@@ -1,0 +1,75 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is executed to completion (collect of an already-reduced
+result, or count for wide row-level outputs — never a full driver-side
+materialization of a big result) and timed wall-clock. A warmup query
+first so JVM/codegen startup isn't attributed to the first headline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# name → action ('collect' for small reduced outputs, 'count' otherwise)
+HEADLINE: dict[str, str] = {
+    "q_agg_hash": "collect",
+    "q_join_shuffle": "collect",
+    "q_join_broadcast": "collect",
+    "q_join_outer": "count",
+    "q_join_asof": "count",
+    "q_agg_rollup_cube": "collect",
+    "q_window_rank": "count",
+    "q_window_analytic": "count",
+    "q_topk": "collect",
+    "q_filter_project": "count",
+    "q_scalar_string_date_math": "count",
+    "q_scalar_array_map_json": "count",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from gasket_spark.queries import QUERIES
+    from gasket_spark.session import get_spark
+
+    spark = get_spark("gasket-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the fact table + trigger codegen paths once
+    QUERIES["q_agg_hash"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, action in HEADLINE.items():
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        if action == "collect":
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

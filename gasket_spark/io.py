@@ -1,0 +1,116 @@
+"""Sources and sinks.
+
+The reference's data model is untyped byte streams with an optional
+NDJSON record lift (/root/reference/index.js:25,73). Here every source
+is a typed columnar scan so Catalyst can push filters and prune columns
+down to the parquet footers; the NDJSON lift maps to ``spark.read.json``
+(schema inference) or ``from_json`` with a pinned schema for
+deterministic results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — which Spark has no
+    native type for (it reads them as nanos-since-epoch longs under the
+    ``nanosAsLong`` legacy conf)."""
+    try:
+        import pyarrow.dataset as pads
+        schema = pads.dataset(path).schema
+    except Exception:  # pragma: no cover - pyarrow is a baked-in dep
+        return []
+    import pyarrow as pa
+    return [f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (parquet → DataFrame).
+
+    A plain ``spark.read.parquet`` keeps predicate pushdown and column
+    pruning available to every downstream operator — the 100 TB path is
+    the same call against a partitioned table root.
+
+    TIMESTAMP(NANOS) columns (no Spark type) are read as nanos longs
+    and truncated to microsecond timestamps — the footer check costs one
+    metadata read, not a data scan.
+    """
+    # Deterministic timestamp semantics even under a caller-provided
+    # session (the correctness driver builds its own): UTC, always.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_timestamp_cols(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for ``spark.sql`` use."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_ndjson(spark: SparkSession, path: str,
+                schema: StructType | str | None = None) -> DataFrame:
+    """NDJSON source — the typed lift of gasket's ``json:true`` framing
+    (/root/reference/index.js:73). With ``schema`` pinned the scan is
+    deterministic and single-pass; inference costs an extra read and is
+    only for exploration.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Plain line source (`value: string`) — the untyped byte/line
+    stream between gasket stages (/root/reference/index.js:25)."""
+    return spark.read.text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Multimodal/opaque-binary source: one row per file with
+    (path, modificationTime, length, content:binary)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def df_to_ndjson(df: DataFrame) -> DataFrame:
+    """Serialize rows back to NDJSON lines (gasket's serialize side of
+    the json frame): one `value: string` column of JSON text."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,645 @@
+"""Relational operator inventory (SURVEY.md §2B) — scans, joins,
+aggregates, windows, sort/limit, set ops, scalar function packs.
+
+Every query here is declarative DataFrame API so Catalyst gets full
+freedom: predicate pushdown + column pruning reach the parquet scans,
+join strategies are chosen by AQE (with explicit ``broadcast()`` hints
+where a dimension is known-small), and aggregates are partial
+(map-side) by construction. Floating-point aggregates use the
+integer-space pattern from ``gasket_spark.functions.numeric`` so the
+result is independent of partitioning — see that module's docstring.
+
+The reference has no relational operators at all (its whole surface is
+pipeline composition, /root/reference/index.js:140-161); this module is
+the data-processing capability those pipelines exist to deliver,
+per the rebuild contract (BASELINE.json "north_star").
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from gasket_spark.functions.numeric import iscaled, money_avg, money_sum
+from gasket_spark.io import df_to_ndjson, read_table
+from gasket_spark.queries import query
+
+
+# ---------------------------------------------------------------------------
+# scan / source
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan with projection (gasket's source stage,
+    /root/reference/index.js:14-27, lifted to a typed scan)."""
+    return read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+_NDJSON_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+@query(
+    "q_scan_ndjson",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props FROM events
+    """,
+)
+def q_scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON source with a pinned schema — gasket's ``json:true``
+    record framing (/root/reference/index.js:73): serialize → parse
+    round-trip must be lossless. Timestamps are excluded because JSON
+    text is a millisecond-precision format; at scale, pin schemas
+    (inference = an extra full read)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props")
+    out = os.path.join(tempfile.gettempdir(), "gasket_spark_ndjson",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    df_to_ndjson(ev).write.mode("overwrite").text(out)
+    return spark.read.schema(_NDJSON_SCHEMA).json(out).select(
+        "event_id", "user_id", "event_type", "value", "props")
+
+
+# ---------------------------------------------------------------------------
+# project / filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_quantity,
+           l_returnflag = 'A' AS is_returned
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_discount > 0.02 AND l_quantity < 30
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection + computed columns. The filters and the
+    4-column read schema are pushed to the parquet scan (check
+    ``PushedFilters`` in explain)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.02) & (F.col("l_quantity") < 30)
+        )
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+            "l_quantity",
+            (F.col("l_returnflag") == "A").alias("is_returned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension equi-join chain (customer ⋈ nation ⋈ region) with
+    explicit broadcast hints — at 100 TB the fact side streams map-side
+    with zero shuffle for the joins; only the final tiny groupBy
+    shuffles."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_join_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large fact-fact equi-join (orders ⋈ lineitem). Both sides shuffle
+    on the join key once; AQE picks sort-merge (or splits skewed
+    partitions). The aggregate is partial map-side before its own
+    (tiny) shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS kind FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS kind FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins — existence checks without
+    materializing the probe side (no row multiplication, and the
+    orders side can broadcast its join keys only)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", F.lit("has_orders").alias("kind"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", F.lit("no_orders").alias("kind"))
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                         AS BIGINT), 0) / 100.0 AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-aware aggregation (customers with no
+    orders keep a 0 total)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            (F.coalesce(F.sum(iscaled(F.col("o_totalprice"))), F.lit(0))
+             / F.lit(100.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    QUALIFY row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+    ) = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest order at-or-before
+    its timestamp for the same user.
+
+    Implemented with the union-and-window ("merge") pattern, NOT a
+    range join: tag both sides, union on (key, time), and carry the
+    last order key forward with ``last(..., ignorenulls)``. One shuffle
+    on the key, no intermediate row explosion — the scale-correct
+    shape (a naive join + filter materializes |events| × |orders/user|
+    rows before pruning). Ties (order date == event ts) resolve to the
+    order side first, then max order key.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("bigint").alias("ord_key"),
+        F.lit(1).alias("side"),
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("side").asc(), F.col("ord_key").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(od)
+        .withColumn("asof_orderkey", F.last("ord_key", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", F.col("k").alias("user_id"), "asof_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+        AS sum_base_price,
+      CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        AS BIGINT) / 100.0 AS sum_disc_price,
+      CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+      CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+        / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        / COUNT(*) / 100.0 AS avg_price,
+      CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+        / COUNT(*) / 100.0 AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregate — the engine's flagship query.
+    Hash aggregate with map-side partials; only (flag, status) group
+    keys shuffle. Money sums in integer space (partition-independent)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(iscaled(F.col("l_quantity"), 1)).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge, 1_000_000).alias("sum_charge"),
+            (F.sum(iscaled(F.col("l_quantity"), 1)) / cnt).alias("avg_qty"),
+            money_avg(F.col("l_extendedprice")).alias("avg_price"),
+            money_avg(F.col("l_discount")).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT CAST(year(o_orderdate) AS INT)) AS n_years,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expands to a two-phase partial
+    distinct under the hood; see q_agg_approx_distinct for the
+    sketch-based scale path)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.year("o_orderdate").cast("int")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_count_distinct`` (HyperLogLog++) — the O(1)-memory
+    distinct-count for 100 TB, where an exact distinct would shuffle
+    every key. Estimates are engine-specific → rows-only check."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_rollup_cube",
+    oracle="""
+    SELECT 'rollup' AS op, l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS op, l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: rollup + cube with grouping flags (the flags
+    disambiguate real NULL keys from subtotal rows)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(iscaled(F.col("l_quantity"), 1)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus").agg(*aggs)
+        .select(F.lit("rollup").alias("op"), "*")
+    )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus").agg(*aggs)
+        .select(F.lit("cube").alias("op"), "*")
+    )
+    return roll.unionByName(cube)
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w2 AS rnk,
+           dense_rank() OVER w2 AS drnk
+    FROM orders
+    WINDOW
+      w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    QUALIFY row_number() OVER w <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranking window (top-3 orders per customer).
+    One shuffle on the partition key; AQE handles group skew. The
+    row_number ORDER BY carries a unique tiebreak so the selected set
+    is deterministic."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    w2 = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("rnk"),
+            F.dense_rank().over(w2).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey)  OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 100.0 AS running_spend,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running sum + bounded frame. The running sum runs in
+    integer space: a double running sum's value would depend on the
+    engine's frame-aggregation algorithm (DuckDB uses segment trees)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wlast3 = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        (F.sum(iscaled(F.col("o_totalprice"))).over(wrun) / F.lit(100.0))
+        .alias("running_spend"),
+        F.count(F.lit(1)).over(wlast3).alias("n_last3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit, set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k. Spark plans ORDER BY + LIMIT as TakeOrderedAndProject:
+    per-partition top-k then a k-row merge on the driver — no global
+    sort shuffle, which is exactly what you want at 100 TB."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "q_setops",
+    oracle="""
+    SELECT 'union' AS op, nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION SELECT s_nationkey AS nk FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      INTERSECT SELECT s_nationkey AS nk FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT SELECT s_nationkey AS nk FROM supplier)
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) / INTERSECT / EXCEPT with SQL distinct
+    semantics."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"))
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"))
+    return (
+        c.union(s).distinct().select(F.lit("union").alias("op"), "nk")
+        .unionByName(
+            c.intersect(s).select(F.lit("intersect").alias("op"), "nk"))
+        .unionByName(
+            c.subtract(s).select(F.lit("except").alias("op"), "nk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function packs
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_scalar_string_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substring(o_orderpriority, 1, 1)) AS pr_code,
+           lower(regexp_extract(o_orderpriority, '[A-Z]+', 0)) AS pr_word,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS INT) AS days_to_2002,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS price_bucket,
+           sqrt(o_totalprice) AS sqrt_price,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod
+    FROM orders
+    """,
+)
+def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / conditional scalar pack — all JVM
+    built-ins inside whole-stage codegen (sqrt is IEEE-exact, so even
+    the doubles are bit-identical across engines)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("pr_code"),
+        F.lower(F.regexp_extract("o_orderpriority", "[A-Z]+", 0)).alias("pr_word"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority"))
+        .alias("status_pri"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).cast("int")
+        .alias("days_to_2002"),
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high").alias("price_bucket"),
+        F.sqrt("o_totalprice").alias("sqrt_price"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@query(
+    "q_scalar_array_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(len(string_split_regex(event_type, 'i')) AS INT) AS n_parts,
+           string_split_regex(event_type, 'i')[1] AS first_part,
+           ((value + value * 2) + value * 3) AS arr_sum,
+           value AS map_val,
+           event_type AS s_type
+    FROM events
+    """,
+)
+def q_scalar_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / map / struct construction + JSON extraction (the typed
+    lift of gasket's NDJSON records, /root/reference/index.js:73).
+    ``arr_sum`` left-folds the array so the fp association order is
+    pinned."""
+    ev = read_table(spark, sf_dir, "events")
+    arr = F.array(F.col("value"), F.col("value") * 2, F.col("value") * 3)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.size(F.split("event_type", "i")).cast("int").alias("n_parts"),
+        F.element_at(F.split("event_type", "i"), 1).alias("first_part"),
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x).alias("arr_sum"),
+        F.element_at(F.create_map(F.lit("a"), F.col("value")), "a")
+        .alias("map_val"),
+        F.struct("event_id", "event_type").getField("event_type")
+        .alias("s_type"),
+    )
+
+
+@query(
+    "q_explode_flatten",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 3 + 1 AS BIGINT) AS n_exploded,
+           CAST((event_id % 3 + 1) * (event_id % 3 + 2) / 2 AS BIGINT) AS x_sum
+    FROM events
+    """,
+)
+def q_explode_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UDTF shape) + re-aggregation: each event fans
+    out to ``event_id % 3 + 1`` rows, then folds back. The oracle is
+    the closed form of the same fan-out."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.explode(F.sequence(F.lit(1).cast("bigint"),
+                                 F.col("event_id") % 3 + 1)).alias("x"))
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exploded"),
+            F.sum("x").alias("x_sum"),
+        )
+    )
