@@ -1,2 +1,111 @@
-"""Event-time window queries (tumbling/sliding/session) — filled in at
-M4. See SURVEY.md §2B."""
+"""Event-time window queries on the ``events`` table.
+
+Spark's ``window()`` / ``session_window()`` are batch/streaming-unified:
+the SAME expressions run under Structured Streaming with a watermark
+(see ``gasket_spark.streaming``). Here they run in batch so the DuckDB
+oracle can verify the window semantics exactly; the streaming module's
+tests then assert streaming == batch on identical input — the
+gasket ``pipe``-verb (unbounded) vs ``run``-verb (bounded) duality
+(/root/reference/index.js:188-201) realized as one logical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gasket_spark.functions.numeric import money_sum
+from gasket_spark.io import read_table
+from gasket_spark.queries import query
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    ev = read_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             money_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+        FROM events
+    )
+    GROUP BY w_start
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min hop): every event lands in
+    exactly two windows. The oracle materializes the same assignment
+    with two offset tumbling buckets."""
+    ev = read_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"), "n")
+    )
+
+
+@query(
+    "q_window_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL '30 minutes' AS s_end,
+           COUNT(*) AS n
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user. The oracle is
+    the classic gaps-and-islands rewrite; Spark's ``session_window``
+    merges events while each gap is < 30 min and ends sessions at
+    last-event + gap."""
+    ev = read_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("s.start").alias("s_start"),
+                F.col("s.end").alias("s_end"), "n")
+    )

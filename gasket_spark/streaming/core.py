@@ -1,0 +1,163 @@
+"""Structured Streaming realization of gasket's unbounded verbs.
+
+The reference distinguishes ``.pipe`` (stdin open — unbounded input,
+/root/reference/index.js:188-195) from ``.run`` (stdin ended — bounded,
+index.js:197-201), and has a ``background`` stage type whose streams
+run beside the main pipeline and are destroyed when it ends
+(index.js:167-174). On Spark those become: the same logical plan
+executed by ``readStream`` instead of ``read``; and a side
+StreamingQuery started before and stopped after the main action —
+:class:`BackgroundQuery`.
+
+Everything here is watermark-correct for late data and uses the same
+window expressions as the batch queries in
+``gasket_spark.queries.streamingq``, so streaming-vs-batch equivalence
+is testable (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+# JSON's default timestamp *rendering* (to_json) is millisecond
+# precision; event time is microseconds. Writers must pin this format.
+# Readers need no option: with no timestampFormat set, Spark's JSON
+# parser falls back to flexible ISO-8601 (any fraction width).
+TS_FORMAT_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       schema: StructType = EVENTS_SCHEMA,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based streaming source over NDJSON event files. At scale
+    this is the replayable on-ramp (each micro-batch picks up new
+    files); swap for Kafka by replacing this one function — everything
+    downstream is source-agnostic."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time counts with a watermark: late rows within
+    ``watermark`` still update their window; older ones are dropped and
+    state is reclaimed (bounded state at 100 TB/day input)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              / F.lit(100.0)).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type", "n", "total_value")
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Session windows under streaming — Spark's native stateful
+    session merging (the batch twin is q_window_session)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("s.start").alias("s_start"),
+                F.col("s.end").alias("s_end"), "n")
+    )
+
+
+def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (``dropDuplicates`` keeps per-key state only until the watermark
+    passes — the streaming analog of exact dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        (keys or ["event_id"]) + ["ts"])
+
+
+def run_to_completion(df: DataFrame, table_name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available input
+    (``availableNow`` trigger → memory sink) and return the bounded
+    result — the bridge that lets tests assert streaming == batch."""
+    spark = df.sparkSession
+    query = (
+        df.writeStream.format("memory").queryName(table_name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    return spark.table(table_name)
+
+
+class BackgroundQuery:
+    """gasket ``background`` lifecycle (index.js:167-174): a side
+    streaming query started before the main action and stopped when it
+    finishes — ``parallel([mainPipeline, bkgds])`` + destroy-on-end.
+
+    Use as a context manager::
+
+        with BackgroundQuery(side_df, "audit") as bq:
+            main_result = main_df.collect()   # main action
+        # side query stopped here; bq.result() has its output
+    """
+
+    def __init__(self, df: DataFrame, name: str,
+                 output_mode: str = "append"):
+        self._df = df
+        self.name = name
+        self._mode = output_mode
+        self.query = None
+
+    def __enter__(self) -> "BackgroundQuery":
+        self.query = (
+            self._df.writeStream.format("memory").queryName(self.name)
+            .outputMode(self._mode).trigger(processingTime="1 second").start()
+        )
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self.query is not None:
+            self.query.processAllAvailable()
+            self.query.stop()
+            self.query.awaitTermination()
+
+    def result(self) -> DataFrame:
+        return self._df.sparkSession.table(self.name)
+
+
+def run_pipeline_streaming(engine, name: str, source: DataFrame,
+                           sink: Callable[[DataFrame, int], None],
+                           params: list[str] | None = None):
+    """Run a registered pipeline over an unbounded source — the
+    ``pipe``-verb (stdin open) in streaming form. The pipeline's
+    transform chain is applied inside ``foreachBatch``, so stages that
+    streaming can't express natively (command stages via RDD.pipe,
+    multi-group concat) still work per micro-batch.
+
+    Returns the started StreamingQuery; caller owns ``stop()``.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        out = engine.pipe(name, input_df=batch_df, params=params)
+        sink(out, batch_id)
+
+    return source.writeStream.foreachBatch(_apply).start()

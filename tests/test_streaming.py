@@ -1,0 +1,152 @@
+"""Structured Streaming tests: streaming results must equal the batch
+twin on identical input (the unified-engine guarantee the batch oracle
+checks transfer through), plus watermark late-data and the background
+lifecycle."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gasket_spark.io import read_table
+from gasket_spark.streaming import (
+    BackgroundQuery,
+    read_events_stream,
+    run_pipeline_streaming,
+    sessionized_counts,
+    streaming_dedup,
+    windowed_counts,
+)
+from gasket_spark.streaming.core import run_to_completion
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark, tmp_path_factory):
+    """events table serialized to NDJSON files — the streaming on-ramp."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = read_table(spark, SF_SMALL, "events")
+    from gasket_spark.streaming.core import TS_FORMAT_US
+
+    ev.select(F.to_json(F.struct(*ev.columns),
+                        {"timestampFormat": TS_FORMAT_US}).alias("value")) \
+        .repartition(4).write.mode("overwrite").text(out)
+    return out
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestStreamingEqualsBatch:
+    def test_windowed_counts(self, spark, events_json_dir):
+        stream = read_events_stream(spark, events_json_dir)
+        got = run_to_completion(windowed_counts(stream), "t_win",
+                                output_mode="complete")
+        batch = windowed_counts(read_table(spark, SF_SMALL, "events"))
+        cols = ["w_start", "event_type", "n", "total_value"]
+        assert _rows(got, cols) == _rows(batch, cols)
+
+    def test_sessionized_counts(self, spark, events_json_dir):
+        stream = read_events_stream(spark, events_json_dir)
+        got = run_to_completion(sessionized_counts(stream), "t_sess",
+                                output_mode="complete")
+        batch = sessionized_counts(read_table(spark, SF_SMALL, "events"))
+        cols = ["user_id", "s_start", "s_end", "n"]
+        assert _rows(got, cols) == _rows(batch, cols)
+
+    def test_streaming_dedup(self, spark, tmp_path):
+        # duplicate event_ids across files → exactly one survivor each
+        rows = [{"event_id": i % 5, "ts": f"2024-01-01T00:0{i % 5}:00",
+                 "user_id": 1, "event_type": "view", "value": 1.0,
+                 "props": "{}"} for i in range(20)]
+        path = tmp_path / "dup"
+        path.mkdir()
+        for part in range(2):
+            with open(path / f"p{part}.json", "w") as fh:
+                for r in rows[part * 10:(part + 1) * 10]:
+                    fh.write(json.dumps(r) + "\n")
+        stream = read_events_stream(spark, str(path))
+        got = run_to_completion(streaming_dedup(stream), "t_dedup")
+        assert got.count() == 5
+
+
+class TestLateData:
+    def test_late_rows_beyond_watermark_dropped(self, spark, tmp_path):
+        """Two micro-batches: the second carries an event 10 hours older
+        than the advanced watermark → its window never appears."""
+        d = tmp_path / "late"
+        d.mkdir()
+        base = [{"event_id": 1, "ts": "2024-01-01T12:00:00", "user_id": 1,
+                 "event_type": "view", "value": 1.0, "props": "{}"}]
+        late = [{"event_id": 2, "ts": "2024-01-01T02:00:00", "user_id": 1,
+                 "event_type": "view", "value": 1.0, "props": "{}"}]
+        with open(d / "a.json", "w") as fh:
+            for r in base:
+                fh.write(json.dumps(r) + "\n")
+        stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+        q = (windowed_counts(stream, watermark="1 hour")
+             .writeStream.format("memory").queryName("t_late")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()  # batch 1: watermark → 11:00
+            with open(d / "b.json", "w") as fh:
+                for r in late:
+                    fh.write(json.dumps(r) + "\n")
+            q.processAllAvailable()  # batch 2: 02:00 event is < watermark
+            # force watermark to close the 12:00 window
+            # advance the watermark past the 12:00 window, then one more
+            # batch: append mode emits a closed window on the batch
+            # AFTER the watermark update
+            for i, ts in enumerate(["2024-01-02T00:00:00",
+                                    "2024-01-02T01:00:00"]):
+                with open(d / f"c{i}.json", "w") as fh:
+                    fh.write(json.dumps({
+                        "event_id": 3 + i, "ts": ts, "user_id": 1,
+                        "event_type": "view", "value": 1.0,
+                        "props": "{}"}) + "\n")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.w_start.hour for r in spark.table("t_late").collect()}
+        assert 12 in got and 2 not in got
+
+
+class TestBackground:
+    def test_lifecycle(self, spark, events_json_dir):
+        """Side query runs beside the main action and is stopped after
+        it — the gasket background verb (index.js:167-174)."""
+        stream = read_events_stream(spark, events_json_dir)
+        side = windowed_counts(stream)
+        with BackgroundQuery(side, "t_bg", output_mode="complete") as bq:
+            main = read_table(spark, SF_SMALL, "events").count()
+            assert main > 0
+        assert bq.query is not None and not bq.query.isActive
+        assert bq.result().count() > 0
+
+
+class TestPipelineStreaming:
+    def test_foreachbatch_pipeline(self, spark, events_json_dir, tmp_path):
+        """The pipe-verb over an unbounded source: a registered pipeline
+        (module stage) applied per micro-batch via foreachBatch."""
+        from gasket_spark.pipeline import Engine
+
+        eng = Engine({"typed": [
+            lambda df, ctx: df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")),
+        ]}, spark=spark)
+        out_dir = str(tmp_path / "sink")
+        stream = read_events_stream(spark, events_json_dir)
+        q = run_pipeline_streaming(
+            eng, "typed", stream,
+            sink=lambda df, bid: df.write.mode("append").parquet(out_dir))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.read.parquet(out_dir).groupBy("event_type").agg(
+            F.sum("n").alias("n"))
+        batch = read_table(spark, SF_SMALL, "events").groupBy(
+            "event_type").agg(F.count(F.lit(1)).alias("n"))
+        assert _rows(got, ["event_type", "n"]) == _rows(batch, ["event_type", "n"])
