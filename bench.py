@@ -30,6 +30,12 @@ HEADLINE: dict[str, str] = {
     "q_filter_project": "count",
     "q_scalar_string_date_math": "count",
     "q_scalar_array_map_json": "count",
+    "q_window_tumbling": "count",
+    "q_window_session": "count",
+    "q_text_stats": "collect",
+    "q_dedup_exact": "count",
+    "q_sim_topk": "count",
+    "q_udf_module": "count",
 }
 
 

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a production pipeline would have:
+
+* :func:`cosine_topk` — exact brute-force: broadcast the (small) query
+  set against the corpus; per-row cosine entirely in JVM higher-order
+  functions; per-query top-k via window. Linear scan of the corpus —
+  the right baseline, and at 100 TB still viable when the query set is
+  small (one corpus pass total, no shuffle of the corpus).
+* :func:`ann_lsh_topk` — random-hyperplane LSH: deterministic seeded
+  hyperplanes, bucket by sign bits, candidates = same bucket (multi-
+  probe over Hamming-1 neighbors), exact cosine within candidates. The
+  corpus is bucketed once (one shuffle) and each query probes a tiny
+  fraction — the scale path.
+
+Determinism: dot products fold in index order; the cosine used for
+*comparison* is computed from integer-scaled per-element products (see
+``_dot_scaled``) so rankings don't depend on partitioning or engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1e15  # per-element products are ~1e-2; 64 terms stay < 2^63
+
+
+def _dot_scaled(a: Column, b: Column) -> Column:
+    """Order-independent integer-space dot product: round each
+    per-element product (a deterministic double op) to 1e-15 units and
+    sum as longs."""
+    prods = F.zip_with(a, b, lambda x, y: F.round(
+        x.cast("double") * y.cast("double") * SCALE).cast("long"))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+
+def _norm_scaled(v: Column) -> Column:
+    return _dot_scaled(v, v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = _dot_scaled(a, b) / F.lit(SCALE)
+    na = F.sqrt(_norm_scaled(a) / F.lit(SCALE))
+    nb = F.sqrt(_norm_scaled(b) / F.lit(SCALE))
+    return dot / (na * nb)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    ``queries`` is broadcast (small side); the corpus streams through
+    map-side — no corpus shuffle. Ties break on neighbor id so the
+    result set is unique. Returns (query_id, neighbor_id, cos_sim,
+    rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic seeded random hyperplanes (driver-side, tiny —
+    n_planes × dim floats broadcast as a literal)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff v · plane_j > 0 (JVM fold)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, p: acc + p)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 8, dim: int = 64,
+                 multiprobe: bool = True, seed: int = 42) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Corpus is hashed to 2^n_planes buckets (one narrow map pass);
+    queries probe their own bucket plus all Hamming-1 neighbor buckets
+    (multi-probe trades a little recall for far fewer empty results).
+    Exact cosine + window top-k within candidates. Returns
+    (query_id, neighbor_id, cos_sim, rank)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    probes = [F.lit(0)] + ([F.lit(1 << j) for j in range(n_planes)]
+                           if multiprobe else [])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*[
+            lsh_bucket(F.col(vec_col), planes).bitwiseXOR(p) for p in probes
+        ])).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos_sim").alias("cos_sim"))  # probe-dedup
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_planes: int = 8, dim: int = 64,
+                             seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus,
+    pair only within buckets (plus Hamming-1 probes via the smaller-id
+    side), verify with exact cosine ≥ threshold. Returns
+    (id_a, id_b, cos_sim)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    h = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    probes = [F.lit(0)] + [F.lit(1 << j) for j in range(n_planes)]
+    a = h.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                 F.explode(F.array(*[
+                     F.col("bucket").bitwiseXOR(p) for p in probes
+                 ])).alias("bucket"))
+    b = h.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

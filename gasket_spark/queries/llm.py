@@ -1,2 +1,404 @@
-"""LLM-data-pipeline queries (dedup / similarity / text / multimodal) —
-filled in at M5. See SURVEY.md §2B."""
+"""LLM-data-pipeline queries: dedup (exact / MinHash / SimHash /
+n-gram Jaccard / embedding), similarity search, text analysis,
+multimodal plumbing, and the module-stage UDF surface.
+
+Fuzzy-dedup queries run against a corpus with *injected* near
+duplicates (the fixture has none): each document gets a mutated twin
+(last token dropped, id offset by 100000). The injection is plain
+column algebra, reproduced verbatim in the SQL oracles, so even the
+"fuzzy" operators get exact cross-engine verification where the
+algorithm allows (n-gram Jaccard); hash-family ops (MinHash, SimHash,
+LSH: xxhash64/seeded hyperplanes are engine-specific) get rows-only
+checks by design.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from gasket_spark.functions import text as T
+from gasket_spark.io import read_table
+from gasket_spark.operators import dedup as D
+from gasket_spark.operators import multimodal as M
+from gasket_spark.operators import similarity as S
+from gasket_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(
+             text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: whitespace tokens, BPE-ish regex
+    tokens, char lengths — the cheap full-scan profile every data
+    pipeline runs first (single pass, partial aggregation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text").cast("bigint")).alias("total_tokens"),
+        F.sum(T.bpe_token_count("text").cast("bigint"))
+        .alias("total_bpe_tokens"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           round(least(length(text) / 200.0, 1.0) * 0.5
+                 + least(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','and','of','to')))
+                   / greatest(len(string_split(text, ' ')), 1) * 10, 1.0) * 0.3
+                 + (1 - least(len(regexp_extract_all(text, '[.!?,;:]'))
+                      / greatest(length(text), 1) * 5, 1.0)) * 0.2,
+                 6) AS quality,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic (length sweet-spot + stopword
+    presence + punctuation density) — the pre-model filter."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").alias("n_tokens"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('the','a','and','of','to'))) AS s_en,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('el','la','los','que','de'))) AS s_es,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('le','la','les','et','est'))) AS s_fr,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('的','是','了','在','我'))) AS s_zh
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_zh = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                ELSE 'de' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic; argmax with a deterministic
+    tie-break (larger language code — mirrored in the oracle's CASE
+    order). The fixture's synthetic vocabulary is shared across langs,
+    so predictions degenerate to en/und — the operator mechanics are
+    what's under test."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id("text").alias("pred_lang"))
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split(text, ' '))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 over the sorted
+    distinct token set)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(text)) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(lower(text))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content, deterministic
+    min-id survivor."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("content_hash", "doc_id", "dup_count")
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated twins (drop last token, id+100000) — plain
+    column algebra so oracles can reproduce it verbatim."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"))
+    return docs.unionByName(mutated)
+
+
+_NEAR_DUP_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(string_split(text, ' ')[
+               1:len(string_split(text, ' ')) - 1], ' ') AS text
+      FROM documents
+"""
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_DUP_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM corpus),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+    SELECT id_a, id_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs over an inverted
+    index, on the injected-duplicate corpus. Fully oracle-verified —
+    the exact counterpart that anchors the hash-based approximations."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return D.ngram_jaccard_pairs(corpus, threshold=0.5)
+
+
+@query("q_dedup_minhash")  # rows-only: xxhash64 family is engine-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH near-dup pairs on the injected-dup
+    corpus; candidates only from band-hash equi-joins, verified by
+    exact Jaccard ≥ 0.5."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return D.minhash_lsh_pairs(corpus, threshold=0.5)
+
+
+@query("q_dedup_simhash")  # rows-only: hash-family specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs via 8-block pigeonhole join,
+    Hamming ≤ 3, on the injected-dup corpus."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return D.simhash_pairs(corpus, max_hamming=3)
+
+
+@query("q_dedup_embedding")  # rows-only: seeded-hyperplane LSH
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed, cos ≥ 0.99) on
+    embeddings ∪ exact copies (ids +100000) — every original must pair
+    with its clone."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                        "embedding")
+    return S.embedding_near_dup_pairs(emb.unionByName(clones), threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (CAST(list_sum(list_transform(range(1, 65),
+                i -> CAST(round(CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE) * 1e15) AS BIGINT)))
+               AS BIGINT) / 1e15)
+             / (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> CAST(round(CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(q.embedding[i] AS DOUBLE) * 1e15) AS BIGINT)))
+                 AS BIGINT) / 1e15)
+                * sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> CAST(round(CAST(c.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE) * 1e15) AS BIGINT)))
+                 AS BIGINT) / 1e15)) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+       AND c.vec_id != q.vec_id
+"""
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM ({_COS_SQL})
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors (vec_id < 10):
+    broadcast query set, one corpus pass, integer-scaled dot products
+    so the ranking is bit-stable across engines and partitionings."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@query("q_sim_ann")  # rows-only: bucket membership is seed/engine-specific
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (8 planes, Hamming-1
+    multiprobe) — the sublinear scale path for the same question
+    q_sim_topk answers exactly."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_lsh_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (gasket module stage as pandas UDF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_module",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_py
+    FROM documents
+    """,
+)
+def q_udf_module(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gasket module stage (/root/reference/index.js:71-74) as an
+    Arrow-batched pandas UDF — the sanctioned shape for Python logic
+    Spark builtins can't express (here deliberately trivial so the SQL
+    oracle can verify the UDF round-trip exactly)."""
+
+    @pandas_udf("int")
+    def py_token_count(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str.len().astype("int32")
+
+    @pandas_udf("int")
+    def py_char_count(s: pd.Series) -> pd.Series:
+        return s.str.len().astype("int32")
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        py_token_count("text").alias("n_tokens"),
+        py_char_count("text").alias("n_chars_py"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 1920 AS INT) AS width
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payload + typed
+    metadata struct (payload derived deterministically from the text
+    fixture; production payloads arrive as parquet binary)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = M.attach_media(docs)
+    return media.select(
+        "media_id", "modality", "format",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           'stub:' || CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END
+             || ':' || octet_length(encode(text)) AS feature
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode path (stub decoder — media libs
+    absent by design; see operators.multimodal). The checksum and the
+    deterministic stub feature ARE oracle-verified, so the whole
+    pandas-UDF plumbing is exact-checked even though decode is fake."""
+    docs = read_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_media(docs)).select(
+        "media_id", "modality", "n_bytes", "checksum", "feature")
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, greatest(
+             CAST(octet_length(encode(text)) * 10 // 1000 AS INT), 1)))
+             * 1000 AS BIGINT) AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (video, frame timestamp)
+    — the fan-out stage ahead of per-frame decode."""
+    docs = read_table(spark, sf_dir, "documents")
+    plan = M.frame_sample_plan(M.attach_media(docs), every_ms=1000)
+    return plan.select("media_id",
+                       F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
