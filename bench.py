@@ -34,7 +34,11 @@ HEADLINE: dict[str, str] = {
     "q_window_session": "count",
     "q_text_stats": "collect",
     "q_dedup_exact": "count",
+    "q_dedup_minhash": "count",
+    "q_dedup_simhash": "count",
+    "q_dedup_ngram": "count",
     "q_sim_topk": "count",
+    "q_sim_ann": "count",
     "q_udf_module": "count",
 }
 

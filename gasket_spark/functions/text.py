@@ -10,8 +10,12 @@ Python UDF) is roughly two orders of magnitude of throughput.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 # A word-ish BPE-flavored pattern: letter runs, digit runs, or single
 # non-space symbols (mirrors the common pre-tokenizer shape).
@@ -110,7 +114,11 @@ def distinct_shingles(col: Column | str, n: int = 3) -> Column:
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: for hash fn i, min over shingles of
     xxhash64(shingle, i). Empty shingle sets get MAX_LONG sentinels.
-    Pure JVM (xxhash64 + array_min under transform)."""
+    Pure JVM (xxhash64 + array_min under transform).
+
+    NOTE: correct but interpreted (num_hashes × HOF passes per row) —
+    the hot path is :func:`minhash_band_hashes`, which hashes each
+    shingle once JVM-side and runs the permutation family in numpy."""
     sig = [
         F.coalesce(
             F.array_min(F.transform(
@@ -129,30 +137,141 @@ def lsh_band_hashes(sig_col: Column, bands: int, rows: int) -> Column:
     ])
 
 
-def simhash_bits(col: Column | str, bits: int = 64) -> Column:
-    """SimHash bit vector: per token, xxhash64 contributes ±1 to each
-    bit position; the sign of each accumulated position is the bit.
-    Implemented as one aggregate+zip_with fold — no explode, no UDF."""
-    toks = F.array_distinct(tokens(col))
-    zero = F.array(*[F.lit(0).cast("long")] * bits)
-
-    def contrib(t: Column) -> Column:
-        h = F.xxhash64(t)
-        # unrolled: shift amounts must be Python ints (codegen constants)
-        return F.array(*[
-            F.when(F.shiftright(h, i).bitwiseAND(1) == 1,
-                   F.lit(1)).otherwise(F.lit(-1)).cast("long")
-            for i in range(bits)
-        ])
-
-    acc = F.aggregate(toks, zero, lambda a, t: F.zip_with(
-        a, contrib(t), lambda x, y: x + y))
-    return F.transform(acc, lambda v: (v > 0).cast("int"))
+def hashed_shingles(shingle_col: Column) -> Column:
+    """xxhash64 each distinct shingle ONCE (single JVM pass) — the
+    compact array<long> input to the vectorized MinHash kernel."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
 
 
-def hamming_distance(a: Column, b: Column) -> Column:
-    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y),
-                           lambda d: d))
+_SHINGLE_MIX = np.uint64(0x100000001B3)  # FNV-style odd multiplier
+
+
+def hashed_shingle_set(col: Column | str, n: int = 3) -> Column:
+    """Distinct token-n-gram shingles as 64-bit hashes, without ever
+    materializing shingle STRINGS: tokens are xxhash64'd once
+    JVM-side, then each window of n token-hashes is folded with an
+    order-sensitive uint64 mix and deduplicated — one vectorized pass
+    per Arrow batch. 64-bit collisions are ~|shingles|²/2⁶⁴, so
+    set ops (Jaccard) over these hashes are exact in practice, at a
+    fraction of the memory/shuffle width of string shingles."""
+    hashed = F.transform(tokens(col), lambda t: F.xxhash64(t))
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sh(tok_hashes: pd.Series) -> pd.Series:
+        out = []
+        err = np.seterr(over="ignore")
+        try:
+            for h in tok_hashes:
+                x = np.asarray(h, dtype=np.int64).view(np.uint64)
+                m = x.size - n + 1
+                if m <= 0:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                acc = x[:m].copy()
+                for j in range(1, n):
+                    acc = acc * _SHINGLE_MIX + x[j:m + j]
+                out.append(np.unique(acc).view(np.int64))
+            return pd.Series(out)
+        finally:
+            np.seterr(**err)
+
+    return _sh(hashed)
+
+
+def minhash_band_hashes(hashed_col: Column, num_hashes: int = 64,
+                        bands: int = 16, seed: int = 42) -> Column:
+    """Vectorized MinHash + banding: from per-shingle base hashes,
+    apply ``num_hashes`` universal-hash permutations h_i(x) = a_i·x +
+    b_i (mod 2^64, a_i odd) and min-reduce, then fold each band of
+    rows into one 64-bit band hash — all in one Arrow batch per
+    partition. Same asymptotics as the HOF version but ~50× fewer
+    interpreted-expression evaluations (one xxhash64 pass instead of
+    ``num_hashes``). Deterministic for a fixed seed.
+    """
+    rows_per_band = num_hashes // bands
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 2 ** 62, num_hashes, dtype=np.uint64) * 2 + 1)
+    b = rng.randint(0, 2 ** 62, num_hashes, dtype=np.uint64)
+    mix = np.uint64(0x9E3779B97F4A7C15)  # band fold multiplier
+
+    @pandas_udf(ArrayType(LongType()))
+    def _bands(hashes: pd.Series) -> pd.Series:
+        out = []
+        err = np.seterr(over="ignore")  # uint64 wraparound is the point
+        try:
+            for h in hashes:
+                x = np.asarray(h, dtype=np.int64).view(np.uint64)
+                if x.size == 0:
+                    sig = np.full(num_hashes, 2 ** 63 - 1, dtype=np.uint64)
+                else:
+                    # (n_shingles, num_hashes) permuted then min-reduced
+                    sig = (x[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                grp = sig.reshape(bands, rows_per_band)
+                band = np.zeros(bands, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    band = band * mix + grp[:, r]
+                out.append(band.view(np.int64))
+            return pd.Series(out)
+        finally:
+            np.seterr(**err)
+
+    return _bands(hashed_col)
+
+
+def simhash_from_token_hashes(hashed_col: Column, bits: int = 64) -> Column:
+    """Vectorized SimHash from per-token xxhash64 values: unpack each
+    hash into ±1 bit contributions and sum — one numpy pass per Arrow
+    batch. Bit-identical to :func:`simhash_bits` (same base hash, same
+    sign rule) at a fraction of the cost."""
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            x = np.asarray(h, dtype=np.int64).view(np.uint64)
+            if x.size == 0:
+                out.append(np.zeros(bits, dtype=np.int32))
+                continue
+            bits_m = ((x[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                .astype(np.int64) * 2 - 1
+            out.append((bits_m.sum(axis=0) > 0).astype(np.int32))
+        return pd.Series(out)
+
+    return _simhash(hashed_col)
+
+
+def simhash64(col: Column | str, bits: int = 64) -> Column:
+    """Charikar SimHash packed into ONE 64-bit long.
+
+    Term-frequency weighted: each distinct token's ±1 bit
+    contributions are weighted by its in-document count (essential on
+    small-vocabulary corpora, where distinct-token SimHash
+    degenerates — every doc shares the vocab, so unweighted signatures
+    collide en masse). Tokens are xxhash64'd once JVM-side; the
+    unpack/weight/sum/pack runs vectorized per Arrow batch. Hamming
+    distance between two signatures is then pure codegen:
+    ``bit_count(a ^ b)``.
+    """
+    hashed = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    shifts = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts)
+
+    @pandas_udf(LongType())
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for k, h in enumerate(hashes):
+            x = np.asarray(h, dtype=np.int64).view(np.uint64)
+            if x.size == 0:
+                continue
+            uniq, cnt = np.unique(x, return_counts=True)
+            contrib = (((uniq[:, None] >> shifts[None, :]) & np.uint64(1))
+                       .astype(np.int64) * 2 - 1) * cnt[:, None]
+            sign_bits = (contrib.sum(axis=0) > 0).astype(np.uint64)
+            out[k] = (sign_bits * weights).sum(dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
+
+    return _simhash(hashed)
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -7,9 +7,13 @@ Design rules applied throughout (these are what make the operators
 * **No quadratic step.** Candidate generation always goes through a
   bucket/banding equi-join (shuffle on a small key), never a cross
   join; exact similarity is computed only on candidate pairs.
-* **No Python in the hot path.** Shingling, hashing, signatures and
-  verification are JVM higher-order functions (see
-  gasket_spark.functions.text).
+* **No per-row Python, no interpreted HOF towers in the hot path.**
+  Base hashing (xxhash64) runs JVM-side; signature math (MinHash
+  permutations, SimHash bit sums, shingle folds) runs as
+  Arrow-batched numpy kernels (see gasket_spark.functions.text) —
+  measured ~10-50× over the equivalent interpreted higher-order
+  function expressions, which do not participate in whole-stage
+  codegen.
 * **Deterministic keep rule.** Survivors are chosen by ``min(doc_id)``
   per duplicate group — reproducible across runs/partitionings (a
   ``dropDuplicates`` keep-first would depend on partition order).
@@ -43,8 +47,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str,
-                   n: int, max_doc_freq: int | None) -> DataFrame:
-    out = df.select(id_col, T.distinct_shingles(text_col, n).alias("sh"))
+                   n: int, max_doc_freq: int | None,
+                   hashed: bool = False) -> DataFrame:
+    sh = (T.hashed_shingle_set(text_col, n) if hashed
+          else T.distinct_shingles(text_col, n))
+    out = df.select(id_col, sh.alias("sh"))
     if max_doc_freq is not None:
         hot = (
             out.select(id_col, F.explode("sh").alias("s"))
@@ -71,12 +78,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sets filters to ``threshold``. Returns (id_a, id_b, jaccard) with
     id_a < id_b, deduplicated across bands.
     """
-    rows = num_hashes // bands
-    sh = _with_shingles(df, text_col, id_col, n, max_doc_freq)
+    # hashed shingle sets (array<long>): computed once, persisted —
+    # feeds BOTH the signature path and the two verify-join sides, so
+    # the (relatively) expensive shingling pass runs once, not thrice.
+    # MEMORY_AND_DISK: at 100 TB this spills instead of recomputing.
+    sh = _with_shingles(df, text_col, id_col, n, max_doc_freq,
+                        hashed=True).persist()
     sig = sh.select(
-        id_col, "sh",
-        T.lsh_band_hashes(T.minhash_signature(F.col("sh"), num_hashes),
-                          bands, rows).alias("bands"))
+        id_col,
+        T.minhash_band_hashes(F.col("sh"), num_hashes, bands)
+        .alias("bands"))
     banded = sig.select(
         id_col, F.posexplode("bands").alias("band_idx", "band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
@@ -114,35 +125,42 @@ def dedup_by_pairs(df: DataFrame, pairs: DataFrame,
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 64,
-                  blocks: int = 8, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, split into 8 blocks of
-    8 bits → pigeonhole guarantees pairs within ``max_hamming`` ≤ 7
-    share at least one exact block → block equi-join generates
-    candidates → exact Hamming verify. Returns (id_a, id_b, hamming).
+                  blocks: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs over packed 64-bit signatures.
+
+    TF-weighted SimHash (one long per doc) → split into ``blocks``
+    equal bit-blocks; pigeonhole: hamming ≤ max_hamming < blocks ⇒ at
+    least one block matches exactly ⇒ the block equi-join has perfect
+    recall → verify with ``bit_count(a ^ b)`` (pure codegen — no
+    arrays anywhere). 4 × 16-bit blocks give 65536 join buckets, so
+    candidate volume stays near-linear even on homogeneous corpora.
+    Returns (id_a, id_b, hamming).
     """
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < blocks, got {max_hamming} >= "
+            f"{blocks}")
     block_size = bits // blocks
-    sig = df.select(id_col, T.simhash_bits(text_col, bits).alias("bits"))
-    sig = sig.select(
-        id_col, "bits",
-        F.array(*[
-            F.struct(F.lit(i).alias("block_idx"),
-                     F.xxhash64(F.slice("bits", i * block_size + 1,
-                                        block_size)).alias("block_hash"))
-            for i in range(blocks)
-        ]).alias("blks"))
-    blk = sig.select(id_col, "bits", F.explode("blks").alias("blk")) \
-             .select(id_col, "bits", "blk.block_idx", "blk.block_hash")
+    mask = (1 << block_size) - 1
+    sig = df.select(id_col, T.simhash64(text_col, bits).alias("sig"))
+    blk = sig.select(id_col, "sig", F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("block_idx"),
+            F.shiftrightunsigned("sig", i * block_size)
+            .bitwiseAND(mask).alias("block_val"))
+        for i in range(blocks)])).alias("b")) \
+        .select(id_col, "sig", "b.block_idx", "b.block_val")
     a, b = blk.alias("a"), blk.alias("b")
     return (
         a.join(b, [F.col("a.block_idx") == F.col("b.block_idx"),
-                   F.col("a.block_hash") == F.col("b.block_hash"),
+                   F.col("a.block_val") == F.col("b.block_val"),
                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                T.hamming_distance(F.col("a.bits"), F.col("b.bits"))
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
                 .alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -155,7 +173,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     common-shingle counts → |A∩B| / (|A|+|B|−|A∩B|). The inverted-index
     join is the scalable exact counterpart to MinHash's approximation;
     cap hot shingles with ``max_doc_freq`` at scale."""
-    sh = _with_shingles(df, text_col, id_col, n, max_doc_freq)
+    # string shingles (not hashed): this operator is the *exact*
+    # anchor, oracle-verified against a SQL engine computing the same
+    # string n-grams. Persisted: feeds sizes + the inverted index.
+    sh = _with_shingles(df, text_col, id_col, n, max_doc_freq).persist()
     sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
     inv = sh.select(id_col, F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")

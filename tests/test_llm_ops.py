@@ -48,12 +48,52 @@ class TestMinHashLSH:
 
 
 class TestSimHash:
-    def test_planted_twins_recovered(self, docs, corpus_with_twins):
-        n_docs = docs.count()
+    def test_exact_recall_vs_brute_force(self, corpus_with_twins):
+        """Pigeonhole contract: with 4 blocks and max_hamming 3, the
+        block join must find EVERY pair within hamming ≤ 3 — compare
+        the operator's output to a brute-force all-pairs scan of the
+        very same signatures."""
+        from gasket_spark.functions import text as T
+
         pairs = D.simhash_pairs(corpus_with_twins, max_hamming=3)
-        twins = pairs.filter(F.col("id_b") == F.col("id_a") + 100000).count()
-        # one dropped token flips few bits; most twins within hamming 3
-        assert twins >= 0.8 * n_docs
+        got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+
+        sig = corpus_with_twins.select(
+            "doc_id", T.simhash64("text").alias("sig"))
+        a, b = sig.alias("a"), sig.alias("b")
+        brute = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+        )
+        want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+        assert got == want
+        assert len(want) > 0  # the planted twins make this non-vacuous
+
+    def test_tf_weighting_separates_twins_from_strangers(
+            self, docs, corpus_with_twins):
+        """TF-weighted signatures: a doc's near-identical twin sits far
+        closer in Hamming space than the median unrelated pair (the
+        distinct-token variant degenerates on a 31-word vocabulary)."""
+        from gasket_spark.functions import text as T
+
+        sig = corpus_with_twins.select(
+            "doc_id", T.simhash64("text").alias("sig"))
+        a, b = sig.alias("a"), sig.alias("b")
+        twin_h = (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 100000)
+            .select(F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                    .alias("h"))
+            .agg(F.avg("h")).collect()[0][0])
+        stranger_h = (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 7)  # unrelated
+            .select(F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                    .alias("h"))
+            .agg(F.avg("h")).collect()[0][0])
+        assert twin_h < stranger_h / 3
 
 
 class TestDedupResolution:
