@@ -30,6 +30,9 @@ HEADLINE: dict[str, str] = {
     "q_filter_project": "count",
     "q_scalar_string_date_math": "count",
     "q_scalar_array_map_json": "count",
+    "q_agg_percentile": "collect",
+    "q_pivot": "collect",
+    "q_join_range": "count",
     "q_window_tumbling": "count",
     "q_window_session": "count",
     "q_text_stats": "collect",

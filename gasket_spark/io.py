@@ -114,3 +114,28 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: StructType | str | None = None,
+             header: bool = True, delimiter: str = ",") -> DataFrame:
+    """CSV source. With ``schema`` pinned the scan is single-pass and
+    the output schema is input-independent (inference costs an extra
+    read and makes the schema data-dependent — exploration only)."""
+    reader = (spark.read.option("header", str(header).lower())
+              .option("delimiter", delimiter))
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """NDJSON sink (gasket's serialize frame as a persistent sink)."""
+    df.write.mode(mode).json(path)

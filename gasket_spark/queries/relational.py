@@ -643,3 +643,127 @@ def q_explode_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("x").alias("x_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# percentile / pivot / range join (training-pipeline staples)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+             AS p50_price,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.9)
+             AS p90_price,
+           quantile_cont(CAST(ROUND(l_quantity) AS BIGINT), 0.5) AS p50_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (type-7 / SQL
+    PERCENTILE_CONT semantics in both engines). Inputs are scaled to
+    integer space first so the sort key — and therefore the
+    interpolation endpoints — are bit-identical across engines; a
+    distributed sort-based aggregate underneath, no quadratic step.
+    At 100 TB the same call swaps to ``approx_percentile`` (t-digest,
+    one pass, mergeable sketches) — exact here because the oracle
+    must agree."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = iscaled(F.col("l_extendedprice"), 100)
+    qty = iscaled(F.col("l_quantity"), 1)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(cents, 0.5).alias("p50_price"),
+            F.percentile(cents, 0.9).alias("p90_price"),
+            F.percentile(qty, 0.5).alias("p50_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+             / 100.0 AS F_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+             / 100.0 AS O_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+             / 100.0 AS P_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order totals by priority × status. The pivot
+    value list is EXPLICIT — omitting it costs an extra collect-distinct
+    job and makes the output schema data-dependent, both wrong at
+    scale. Compiles to one conditional hash aggregate (no extra
+    shuffle vs a plain groupBy)."""
+    od = read_table(spark, sf_dir, "orders")
+    piv = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(money_sum(F.col("o_totalprice")))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("F_total"),
+        F.col("O").alias("O_total"),
+        F.col("P").alias("P_total"),
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(e.event_id) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM (SELECT o_orderkey, o_custkey,
+                 TIMESTAMP '2024-01-01'
+                   + (o_orderkey % 25) * INTERVAL 1 DAY AS win_start
+          FROM orders) o
+    JOIN events e
+      ON e.user_id = o.o_custkey % 150
+     AND e.ts >= o.win_start
+     AND e.ts < o.win_start + INTERVAL 3 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: events inside a per-order 3-day window by
+    the same user (window start derived deterministically from the
+    order key, since the fixtures' native time ranges are disjoint).
+    The equi half (user key) drives a shuffled hash / sort-merge join;
+    the range predicate is applied as a join residual — so the plan
+    scales with the equi-key match count, never the cross product. (A
+    pure range join with NO equi key would need a bucketized band
+    join — see q_join_asof for the sort-based pattern.)"""
+    ev = read_table(spark, sf_dir, "events")
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.timestamp_add("DAY", (F.col("o_orderkey") % 25).cast("int"),
+                        F.lit("2024-01-01").cast("timestamp"))
+        .alias("win_start"))
+    joined = od.join(
+        ev,
+        (ev["user_id"] == od["o_custkey"] % 150)
+        & (ev["ts"] >= od["win_start"])
+        & (ev["ts"] < F.timestamp_add("DAY", F.lit(3), od["win_start"])),
+        "inner",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+    )

@@ -94,6 +94,59 @@ def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
         (keys or ["event_id"]) + ["ts"])
 
 
+STATEFUL_TOTALS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_cents", LongType()),
+])
+
+_TOTALS_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("cents", LongType()),
+])
+
+
+def stateful_user_totals(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals with EXPLICIT state — the shape for operators
+    Spark's built-in stateful set (windows / sessions / dedup) can't
+    express (per-key models, custom eviction, CDC-style accumulators).
+
+    State is one (n, cents) pair per user — O(distinct keys), not
+    O(events); each micro-batch folds its Arrow batches into the pair
+    and emits the updated running row (update semantics). Money sums
+    ride in integer cents so partitioning/batch order can't change the
+    result. Works identically in batch mode (Spark runs the same
+    operator with one "batch")."""
+    import numpy as np
+    import pandas as pd
+
+    def _fold(key, pdf_iter, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(np.round(pdf["value"].to_numpy(np.float64)
+                                  * 100).astype(np.int64).sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_cents": [cents]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=STATEFUL_TOTALS_SCHEMA,
+            stateStructType=_TOTALS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_completion(df: DataFrame, table_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input

@@ -30,3 +30,17 @@ def test_entry_contract(spark):
     qs, oracles = em.queries(), em.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 15
+
+
+class TestCsvRoundTrip:
+    def test_csv_source_sink(self, spark, tmp_path):
+        from gasket_spark.io import read_csv, read_table, write_csv
+
+        out = str(tmp_path / "nation_csv")
+        nation = read_table(spark, SF_SMALL, "nation")
+        write_csv(nation, out)
+        back = read_csv(spark, out,
+                        schema="n_nationkey int, n_name string, "
+                               "n_regionkey int")
+        assert sorted(map(tuple, back.collect())) == \
+            sorted(map(tuple, nation.collect()))

@@ -150,3 +150,54 @@ class TestPipelineStreaming:
         batch = read_table(spark, SF_SMALL, "events").groupBy(
             "event_type").agg(F.count(F.lit(1)).alias("n"))
         assert _rows(got, ["event_type", "n"]) == _rows(batch, ["event_type", "n"])
+
+
+class TestStatefulOperator:
+    def test_stateful_totals_equal_batch(self, spark, events_json_dir):
+        """applyInPandasWithState running totals: the LAST update per
+        user must equal a plain batch groupBy on the same input."""
+        from pyspark.sql import Window
+
+        from gasket_spark.streaming import (
+            read_events_stream, stateful_user_totals)
+        from gasket_spark.streaming.core import run_to_completion
+
+        stream = read_events_stream(spark, events_json_dir,
+                                    max_files_per_trigger=1)
+        got = run_to_completion(stateful_user_totals(stream), "t_stateful",
+                                output_mode="update")
+        # update mode appends one row per (user, micro-batch); the final
+        # running value per user is the row with the max n_events
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (got.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") == 1).select(
+                     "user_id", "n_events", "total_cents"))
+
+        ev = read_table(spark, SF_SMALL, "events")
+        batch = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("total_cents"))
+        cols = ["user_id", "n_events", "total_cents"]
+        assert _rows(final, cols) == _rows(batch, cols)
+
+    def test_state_accumulates_across_batches(self, spark, events_json_dir):
+        """With maxFilesPerTrigger=1 the input arrives over ≥4
+        micro-batches; users seen in several batches must emit strictly
+        increasing running counts — proof state survives batches."""
+        from gasket_spark.streaming import (
+            read_events_stream, stateful_user_totals)
+        from gasket_spark.streaming.core import run_to_completion
+
+        stream = read_events_stream(spark, events_json_dir,
+                                    max_files_per_trigger=1)
+        got = run_to_completion(stateful_user_totals(stream), "t_stateful2",
+                                output_mode="update")
+        multi = (got.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n_updates"),
+                      F.count_distinct("n_events").alias("n_distinct"))
+                 .filter(F.col("n_updates") > 1))
+        # every multi-update user saw its running count change
+        assert multi.filter(
+            F.col("n_distinct") < F.col("n_updates")).count() == 0
+        assert multi.count() > 0
