@@ -173,10 +173,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     common-shingle counts → |A∩B| / (|A|+|B|−|A∩B|). The inverted-index
     join is the scalable exact counterpart to MinHash's approximation;
     cap hot shingles with ``max_doc_freq`` at scale."""
-    # string shingles (not hashed): this operator is the *exact*
-    # anchor, oracle-verified against a SQL engine computing the same
-    # string n-grams. Persisted: feeds sizes + the inverted index.
-    sh = _with_shingles(df, text_col, id_col, n, max_doc_freq).persist()
+    # 64-bit hashed shingle sets: set sizes and intersection counts —
+    # hence Jaccard — are identical to string shingles unless two
+    # distinct shingles collide in 64 bits (P ≈ |shingles|²/2⁶⁴; the
+    # per-round oracle, which computes STRING n-grams in SQL, verifies
+    # exactly this). The inverted index then shuffles 8-byte longs
+    # instead of ~20-byte strings. Persisted: feeds sizes + the index.
+    sh = _with_shingles(df, text_col, id_col, n, max_doc_freq,
+                        hashed=True).persist()
     sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
     inv = sh.select(id_col, F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 SCALE = 1e15  # per-element products are ~1e-2; 64 terms stay < 2^63
 
@@ -213,4 +213,60 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         .groupBy("id_a", "id_b")
         .agg(F.first("cos_sim").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-flat approximate top-k: coarse quantizer + inverted lists.
+
+    The coarse quantizer is the ``n_centroids`` corpus vectors with
+    the smallest ids — deterministic, no iterative k-means job; for
+    100 TB the quantizer would come from a sampled k-means, but it
+    stays a driver-side KxD matrix either way (K ≪ corpus, the
+    standard IVF shape). Corpus vectors are assigned to their nearest
+    centroid in one vectorized pass (one shuffle by cluster id —
+    this is the "inverted list" build); each query probes its
+    ``n_probe`` nearest centroids and exact-reranks only those lists:
+    the scan fraction is ~n_probe/n_centroids of the corpus.
+
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    cents = (corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+             .select(vec_col).collect())
+    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cents])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)  # (K, dim)
+
+    def _assign(top_n: int):
+        @pandas_udf(ArrayType(LongType()))
+        def _nearest(v: pd.Series) -> pd.Series:
+            V = np.stack(v.to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-30)
+            sims = V @ C.T                      # (batch, K)
+            # deterministic: argsort is stable; ties break on index
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
+            return pd.Series(list(order.astype(np.int64)))
+        return _nearest
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        F.element_at(_assign(1)(F.col(vec_col)), 1).alias("cluster"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(_assign(n_probe)(F.col(vec_col))).alias("cluster"))
+    scored = (
+        c.join(F.broadcast(q), ["cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos_sim").alias("cos_sim"))  # probe-overlap dedup
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

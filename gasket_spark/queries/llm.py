@@ -402,3 +402,69 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = M.frame_sample_plan(M.attach_media(docs), every_ms=1000)
     return plan.select("media_id",
                        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, end-to-end in DataFrame ops:
+    explode → per-(doc,term) counts → doc-frequency join (broadcast:
+    the term dictionary is tiny relative to the corpus) → windowed
+    top-k. Two shuffles total (term counts, doc partitioning); the
+    idf table broadcasts at any corpus size where |vocab| ≪ |corpus|.
+    Scores rounded to 1e-6 so cross-engine ln() ULP noise can't leak
+    into the comparison."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " "))
+                       .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # driver-side scalar: one cheap count job
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("doc_id", "term",
+                F.round(F.col("tf") * F.log(F.lit(float(n_docs))
+                                            / F.col("df")), 6)
+                .alias("tfidf"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@query("q_sim_ivf")  # rows-only: inverted-list membership is quantizer-specific
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5 (16 inverted lists, 4 probes) — the
+    cluster-pruned scale path; each query scans ~1/4 of the corpus."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)

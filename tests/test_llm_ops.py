@@ -205,3 +205,25 @@ class TestMultimodal:
         bad = joined.filter(
             F.col("last_ts") != (F.col("n_frames") - 1) * 1000).count()
         assert bad == 0 and joined.count() > 0
+
+
+class TestIVF:
+    def test_recall_vs_exact(self, spark):
+        """IVF with 4/16 probes must recover a solid share of the true
+        top-5 (brute force) — and perfect recall when probing ALL
+        lists (then it IS exhaustive search, just cluster-ordered)."""
+        emb = read_table(spark, SF_SMALL, "embeddings") \
+            .select("vec_id", "embedding")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in S.cosine_topk(emb, queries, k=5).collect()}
+
+        ivf = {(r.query_id, r.neighbor_id)
+               for r in S.ivf_topk(emb, queries, k=5, n_centroids=16,
+                                   n_probe=4).collect()}
+        assert len(ivf & exact) / len(exact) >= 0.5
+
+        full = {(r.query_id, r.neighbor_id)
+                for r in S.ivf_topk(emb, queries, k=5, n_centroids=16,
+                                    n_probe=16).collect()}
+        assert full == exact
