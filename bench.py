@@ -54,8 +54,12 @@ def main() -> None:
     spark = get_spark("gasket-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch the fact table + trigger codegen paths once
+    # warmup: trigger codegen/Python-worker startup once and touch every
+    # input table so timings measure query compute, not first-read I/O
     QUERIES["q_agg_hash"](spark, sf_dir).collect()
+    from gasket_spark.io import TABLES, read_table
+    for t in TABLES:
+        read_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name, action in HEADLINE.items():

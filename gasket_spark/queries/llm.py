@@ -468,3 +468,38 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           median(n_chars) AS median_chars,
+           mad(n_chars) AS mad_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-map ``applyInPandas``: median absolute
+    deviation per language — a two-pass-over-the-group statistic no
+    built-in aggregate expresses. Each group arrives as ONE pandas
+    DataFrame (Arrow), so this holds a group in executor memory: right
+    for bounded-cardinality keys like language; for high-cardinality
+    keys use an algebraic reformulation or approx sketches instead."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def mad_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].to_numpy(np.float64)
+        med = np.median(x)
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n": [len(x)],
+            "median_chars": [med],
+            "mad_chars": [np.median(np.abs(x - med))],
+        })
+
+    return docs.groupBy("lang").applyInPandas(
+        mad_stats,
+        schema="lang string, n long, median_chars double, mad_chars double")

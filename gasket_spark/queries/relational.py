@@ -674,13 +674,21 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     cents = iscaled(F.col("l_extendedprice"), 100)
     qty = iscaled(F.col("l_quantity"), 1)
+    # array form: ONE value buffer serves both price percentiles
+    # (separate percentile() calls would each buffer the column)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile(cents, 0.5).alias("p50_price"),
-            F.percentile(cents, 0.9).alias("p90_price"),
+            F.percentile(cents, F.array(F.lit(0.5), F.lit(0.9)))
+            .alias("_p_price"),
             F.percentile(qty, 0.5).alias("p50_qty"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("_p_price", 1).alias("p50_price"),
+            F.element_at("_p_price", 2).alias("p90_price"),
+            "p50_qty", "n",
         )
     )
 
