@@ -109,3 +109,92 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("s.start").alias("s_start"),
                 F.col("s.end").alias("s_end"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# GENUINE Structured Streaming execution under the oracle gate: the
+# queries below run readStream → windowed/stateful transform →
+# availableNow → memory sink, bounded over the full fixture — so the
+# hash comparison verifies actual streaming execution (state stores,
+# watermarks, micro-batching), not just the shared window expressions.
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+def _events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the events fixture to NDJSON in a temp dir and open it
+    as a file stream — the replayable on-ramp (at scale: Kafka/object
+    store; the downstream plan is source-agnostic)."""
+    import tempfile
+
+    from gasket_spark.streaming.core import TS_FORMAT_US, read_events_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="gasket_stream_")
+    ev.select(F.to_json(F.struct(*ev.columns),
+                        {"timestampFormat": TS_FORMAT_US}).alias("value")) \
+        .repartition(8).write.mode("overwrite").text(out)
+    return read_events_stream(spark, out, max_files_per_trigger=2)
+
+
+def _unique_name(base: str) -> str:
+    _STREAM_SEQ[0] += 1
+    return f"{base}_{_STREAM_SEQ[0]}"
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows executed BY Structured Streaming (watermarked
+    state-store aggregation over micro-batches), bounded with
+    availableNow — must hash-match the identical batch oracle, which is
+    the unified-engine guarantee made checkable."""
+    from gasket_spark.streaming.core import run_to_completion, windowed_counts
+
+    stream = _events_as_stream(spark, sf_dir)
+    return run_to_completion(windowed_counts(stream),
+                             _unique_name("t_oracle_tumbling"),
+                             output_mode="complete")
+
+
+@query(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) executed over
+    micro-batches; the FINAL running row per user (max n_events) must
+    equal the batch groupBy — verifying explicit-state accumulation
+    across batches against an independent engine."""
+    from pyspark.sql import Window
+
+    from gasket_spark.streaming.core import (
+        run_to_completion, stateful_user_totals)
+
+    stream = _events_as_stream(spark, sf_dir)
+    updates = run_to_completion(stateful_user_totals(stream),
+                                _unique_name("t_oracle_stateful"),
+                                output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
