@@ -139,3 +139,19 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
 def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """NDJSON sink (gasket's serialize frame as a persistent sink)."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Bucketed (hash-clustered) managed table: rows are pre-shuffled
+    into ``n_buckets`` files by ``bucket_cols`` at WRITE time, so a
+    subsequent join or aggregation on those columns needs NO exchange —
+    the classic way to pay a big fact table's shuffle once instead of
+    per query. ``sort`` additionally orders within buckets, enabling
+    sort-merge joins with no sort step.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)

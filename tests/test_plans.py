@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the *shape* of the plan is part of
+each operator's contract at scale (a correct-but-reshuffling plan is a
+regression the row-level oracle can't see)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gasket_spark.io import read_table, write_bucketed
+from gasket_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+class TestPlanContracts:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        plan = _plan(QUERIES["q_filter_project"](spark, SF_SMALL))
+        assert "PushedFilters: [IsNotNull" in plan
+        # column pruning: the 16-col fact table scan reads a subset
+        read_schema = [ln for ln in plan.splitlines()
+                       if "ReadSchema" in ln][0]
+        assert read_schema.count(",") < 10
+
+    def test_dim_joins_broadcast(self, spark):
+        plan = _plan(QUERIES["q_join_broadcast"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_topk_avoids_global_sort(self, spark):
+        plan = _plan(QUERIES["q_topk"](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_agg_is_two_phase(self, spark):
+        plan = _plan(QUERIES["q_agg_hash"](spark, SF_SMALL))
+        # partial (map-side) + final HashAggregate around one exchange
+        assert plan.count("HashAggregate") >= 2
+
+    def test_scalar_pack_stays_in_codegen(self, spark):
+        plan = _plan(QUERIES["q_scalar_string_date_math"](spark, SF_SMALL))
+        # formatted mode marks whole-stage-codegen stages as
+        # "[codegen id : N]" (and * on the tree nodes)
+        assert "codegen id" in plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        import shutil
+
+        # drop catalog entries AND their on-disk locations (a previous
+        # session's in-memory catalog forgets the table but leaves the
+        # warehouse dir, which blocks re-creation)
+        warehouse = spark.conf.get("spark.sql.warehouse.dir") \
+            .removeprefix("file:")
+        for t in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        od = read_table(spark, SF_SMALL, "orders")
+        li = read_table(spark, SF_SMALL, "lineitem")
+        write_bucketed(od.select("o_orderkey", "o_totalprice"),
+                       "b_orders", ["o_orderkey"], n_buckets=8)
+        write_bucketed(li.select("l_orderkey", "l_quantity"),
+                       "b_lineitem", ["l_orderkey"], n_buckets=8)
+        try:
+            # merge hint on the INPUT forces SMJ over broadcast, so the
+            # exchange-elision is what's tested
+            j_nobc = spark.table("b_orders").hint("merge").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+            plan = _plan(j_nobc)
+            assert "Exchange" not in plan, plan
+            # and the result is still right
+            want = od.join(li, od.o_orderkey == li.l_orderkey).count()
+            assert j_nobc.count() == want
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
