@@ -503,3 +503,50 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         mad_stats,
         schema="lang string, n long, median_chars double, mad_chars double")
+
+
+@query(
+    "q_pack_shards",
+    oracle="""
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 5000.0) AS BIGINT) AS shard_id
+    FROM (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents)
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~5000-token shards. The oracle states the
+    semantics as one global-window cumsum; the engine computes the SAME
+    numbers with a distributed two-phase prefix sum (see
+    operators/packing.py) — no single-task global window."""
+    from gasket_spark.operators.packing import pack_shards
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens"))
+    return pack_shards(docs, "n_tokens", "doc_id", target_tokens=5000) \
+        .select("doc_id", "n_tokens", "cum_before", "shard_id")
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed sampling (~3/16 ≈ 19%): keep a
+    doc iff its id's md5 starts with 0/1/2. Unlike seeded ``sample()``,
+    the kept set is engine- and partitioning-independent — reruns,
+    backfills and cross-engine audits all agree on membership."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2")).select("doc_id", "lang")

@@ -227,3 +227,28 @@ class TestIVF:
                 for r in S.ivf_topk(emb, queries, k=5, n_centroids=16,
                                     n_probe=16).collect()}
         assert full == exact
+
+
+class TestPacking:
+    def test_prefix_sum_invariant_to_partitioning(self, spark, docs):
+        """The two-phase distributed prefix sum must produce identical
+        shard assignments for ANY partition count — and equal the
+        naive single-window reference."""
+        from pyspark.sql import Window
+
+        from gasket_spark.functions import text as T
+        from gasket_spark.operators.packing import pack_shards
+
+        toks = docs.select(
+            "doc_id", T.token_count("text").cast("bigint").alias("n"))
+        w = (Window.orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        naive = toks.withColumn(
+            "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        want = sorted((r.doc_id, r.cum_before) for r in naive.collect())
+
+        for n_parts in (1, 3, 16):
+            got = pack_shards(toks, "n", "doc_id", 5000,
+                              n_partitions=n_parts)
+            assert sorted((r.doc_id, r.cum_before)
+                          for r in got.collect()) == want
