@@ -199,3 +199,60 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_minhash_pairs(new: DataFrame, corpus: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              num_hashes: int = 64, bands: int = 16,
+                              threshold: float = 0.5,
+                              max_doc_freq: int | None = None) -> DataFrame:
+    """Incremental near-dup detection: NEW batch vs EXISTING corpus.
+
+    The production shape — a daily ingest is checked against the
+    accumulated corpus without ever re-pairing corpus×corpus: band
+    hashes are computed for both sides, but the candidate join is
+    strictly new-side × corpus-side. Cost scales with
+    |new| + matching-band corpus rows, not |corpus|²; at steady state
+    the corpus band table is a materialized artifact updated by
+    appending each accepted batch's bands (one write, no recompute).
+
+    Returns (new_id, corpus_id, jaccard) pairs with jaccard ≥
+    ``threshold``. Self-duplicates WITHIN the new batch are a separate
+    call (:func:`minhash_lsh_pairs` on ``new``).
+    """
+    sh_new = _with_shingles(new, text_col, id_col, n, max_doc_freq,
+                            hashed=True).persist()
+    sh_old = _with_shingles(corpus, text_col, id_col, n, max_doc_freq,
+                            hashed=True).persist()
+
+    def _bands(sh: DataFrame) -> DataFrame:
+        return sh.select(
+            id_col,
+            T.minhash_band_hashes(F.col("sh"), num_hashes, bands)
+            .alias("bands")) \
+            .select(id_col,
+                    F.posexplode("bands").alias("band_idx", "band_hash"))
+
+    cand = (
+        _bands(sh_new).alias("a")
+        .join(_bands(sh_old).alias("b"),
+              [F.col("a.band_idx") == F.col("b.band_idx"),
+               F.col("a.band_hash") == F.col("b.band_hash")])
+        .select(F.col(f"a.{id_col}").alias("new_id"),
+                F.col(f"b.{id_col}").alias("corpus_id"))
+        .distinct()
+    )
+    sa = sh_new.select(F.col(id_col).alias("new_id"),
+                       F.col("sh").alias("sh_a"))
+    sb = sh_old.select(F.col(id_col).alias("corpus_id"),
+                       F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "new_id").join(sb, "corpus_id")
+        .select("new_id", "corpus_id",
+                F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+                .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

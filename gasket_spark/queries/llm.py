@@ -550,3 +550,16 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
         .isin("0", "1", "2")).select("doc_id", "lang")
+
+
+@query("q_dedup_incremental")  # rows-only: hash-family specific candidates
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a 'new batch' of mutated twins checked
+    against the existing documents corpus — candidates are strictly
+    new×corpus (never corpus×corpus), the daily-ingest shape."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    new_batch = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"))
+    return D.incremental_minhash_pairs(new_batch, docs, threshold=0.5)

@@ -252,3 +252,21 @@ class TestPacking:
                               n_partitions=n_parts)
             assert sorted((r.doc_id, r.cum_before)
                           for r in got.collect()) == want
+
+
+class TestIncrementalDedup:
+    def test_new_batch_matches_corpus_only(self, spark, docs):
+        toks = F.split("text", " ")
+        new_batch = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1))
+            .alias("text"))
+        pairs = D.incremental_minhash_pairs(new_batch, docs, threshold=0.5)
+        rows = pairs.collect()
+        n_docs = docs.count()
+        # every pair is new-side x corpus-side by construction
+        assert all(r.new_id >= 100000 and r.corpus_id < 100000
+                   for r in rows)
+        # ~every planted twin is found against its original
+        twins = sum(1 for r in rows if r.new_id == r.corpus_id + 100000)
+        assert twins >= 0.95 * n_docs
