@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis): invariants of the pipeline-spec
+compiler and the determinism contracts that the engine leans on.
+
+Pure-Python properties run at full example counts; Spark-backed
+properties use small example budgets (each example is a Spark job)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gasket_spark.pipeline.spec import (
+    STAGE_TYPES, Stage, normalize_stage, split_groups,
+)
+
+# ---------------------------------------------------------------------------
+# spec compiler invariants (pure python, no Spark)
+# ---------------------------------------------------------------------------
+
+stage_types = st.sampled_from(STAGE_TYPES)
+commands = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           whitelist_characters=" -_./"),
+    min_size=1, max_size=30).filter(str.strip)
+
+
+@given(st.lists(stage_types, min_size=1, max_size=30))
+def test_split_groups_are_maximal_runs(types):
+    """split (index.js:94-115): groups are non-empty maximal runs of
+    equal type, and flattening restores the original order."""
+    stages = [{"command": "cat -", "type": t} for t in types]
+    groups = split_groups(stages)
+    flat = [s.type for g in groups for s in g]
+    assert flat == types
+    for g in groups:
+        assert len({s.type for s in g}) == 1  # homogeneous
+    for a, b in zip(groups, groups[1:]):
+        assert a[0].type != b[0].type  # maximal: adjacent groups differ
+
+
+@given(commands)
+def test_bare_string_is_pipe_command(cmd):
+    """Intended semantics (SURVEY §2.4 item 1): any bare-string stage
+    normalizes to a pipe-type command stage, round-tripping via
+    to_json back to the same string (what `gasket add` writes)."""
+    s = normalize_stage(cmd)
+    assert (s.kind, s.type, s.command) == ("command", "pipe", cmd)
+    assert s.to_json() == cmd
+
+
+@given(commands, stage_types,
+       st.lists(st.text(min_size=1, max_size=8), max_size=4))
+def test_dict_stage_roundtrip(cmd, stype, params):
+    """Object stages keep type and params through normalize → to_json →
+    normalize (the reference DROPS everything but command,
+    index.js:83 — the rebuild preserves the documented surface)."""
+    s = normalize_stage({"command": cmd, "type": stype, "params": params})
+    assert (s.command, s.type, s.params) == (cmd, stype, params)
+    s2 = normalize_stage(s.to_json())
+    assert (s2.command, s2.type, s2.params) == (cmd, stype, params)
+
+
+@given(st.one_of(st.integers(), st.booleans(), st.none(),
+                 st.lists(st.integers(), max_size=3)))
+def test_unsupported_forms_raise(bad):
+    with pytest.raises(ValueError):
+        normalize_stage(bad)
+
+
+# ---------------------------------------------------------------------------
+# determinism contracts (Spark-backed; tiny example budgets)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False,
+                          width=32),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=8))
+def test_money_sum_partition_independent(spark, values, n_parts):
+    """Integer-space money sums must not depend on partitioning (plain
+    float sums would)."""
+    from pyspark.sql import functions as F
+
+    from gasket_spark.functions.numeric import money_sum
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    a = df.coalesce(1).agg(money_sum(F.col("v")).alias("s")).collect()[0].s
+    b = df.repartition(n_parts).agg(
+        money_sum(F.col("v")).alias("s")).collect()[0].s
+    assert a == b
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=500),
+                min_size=1, max_size=60),
+       st.integers(min_value=100, max_value=2000))
+def test_pack_shards_budget_property(spark, token_counts, target):
+    """Floor-binning invariants: shard ids start at 0 and are
+    non-decreasing in doc order (a doc bigger than the target may
+    legitimately SKIP ids), and every shard's total stays under
+    target + its largest doc (the bin bound)."""
+    from gasket_spark.operators.packing import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(token_counts)], "doc_id long, n long")
+    out = sorted(pack_shards(df, "n", "doc_id", target,
+                             n_partitions=3).collect(),
+                 key=lambda r: r.doc_id)
+    assert out[0].shard_id == 0
+    assert all(a.shard_id <= b.shard_id for a, b in zip(out, out[1:]))
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for rows in by_shard.values():
+        total = sum(r.n for r in rows)
+        assert total <= target + max(r.n for r in rows)
