@@ -1,0 +1,78 @@
+"""Connected components over near-duplicate pair edges.
+
+``dedup_by_pairs`` uses a one-pass star approximation (drop every
+larger-id endpoint), which over-drops when duplicate clusters chain:
+a~b, b~c with a<b<c drops BOTH b and c even if a~c was never observed.
+Proper cluster resolution labels each doc with its component's min id
+and keeps exactly one survivor per component.
+
+:func:`connected_components` is iterative min-label propagation:
+every node starts labeled with its own id; each round, a node adopts
+the smallest label among itself and its neighbors; fixpoint = every
+node carries its component's minimum id. Convergence takes
+O(component diameter) rounds — near-dup clusters are shallow, so a
+handful. Each round is two shuffles (neighbor-min groupBy + label
+join); lineage is truncated per round with ``localCheckpoint`` so the
+plan doesn't grow with iterations (the standard iterative-Spark
+discipline; on a cluster use ``checkpoint`` to reliable storage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Label every vertex of the undirected ``edges`` graph with its
+    component's minimum vertex id. Returns (v, component_id).
+    Deterministic: the fixpoint is unique regardless of partitioning
+    or iteration interleaving."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("v")).distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("v").alias("u"), "label"), "u")
+            .groupBy("v").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select("v", F.least(
+                "label", F.coalesce("nbr_label", "label")).alias("label"))
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("v", F.col("label").alias("component_id"))
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Cluster-correct survivor resolution: connected-components over
+    the pair graph, keep the min-id doc per component (docs in no pair
+    are their own component and always survive)."""
+    comp = connected_components(pairs)
+    labeled = df.join(comp.withColumnRenamed("v", id_col), id_col, "left")
+    return labeled.filter(
+        F.col("component_id").isNull()
+        | (F.col(id_col) == F.col("component_id"))).drop("component_id")

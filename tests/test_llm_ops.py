@@ -270,3 +270,34 @@ class TestIncrementalDedup:
         # ~every planted twin is found against its original
         twins = sum(1 for r in rows if r.new_id == r.corpus_id + 100000)
         assert twins >= 0.95 * n_docs
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        """Chains collapse to min-id components; isolated nodes keep
+        their own id; multiple components stay separate."""
+        from gasket_spark.operators.graph import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+             (10, 11),                    # pair
+             (20, 22), (21, 22)],         # vee
+            "id_a long, id_b long")
+        got = {(r.v, r.component_id)
+               for r in connected_components(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                       (10, 10), (11, 10),
+                       (20, 20), (21, 20), (22, 20)}
+
+    def test_dedup_by_components_keeps_one_per_cluster(self, spark):
+        from gasket_spark.operators.graph import dedup_by_components
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in (1, 2, 3, 7, 10, 11)],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        kept = sorted(r.doc_id
+                      for r in dedup_by_components(docs, pairs).collect())
+        # one survivor per cluster {1,2,3} and {10,11}; isolated 7 stays
+        assert kept == [1, 7, 10]
