@@ -301,3 +301,21 @@ class TestConnectedComponents:
                       for r in dedup_by_components(docs, pairs).collect())
         # one survivor per cluster {1,2,3} and {10,11}; isolated 7 stays
         assert kept == [1, 7, 10]
+
+
+class TestHotShingleCap:
+    def test_max_doc_freq_drops_common_shingles(self, spark):
+        """The df-cap skew guard: shingles shared by more than
+        max_doc_freq docs carry no signal and are excluded before the
+        inverted-index / band join — in both hashed and string modes."""
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+            "doc_id long, text string")
+        # docs 1,2 share shingles; cap=1 removes them -> no pairs
+        assert D.minhash_lsh_pairs(df, threshold=0.1,
+                                   max_doc_freq=1).count() == 0
+        assert D.ngram_jaccard_pairs(df, threshold=0.1,
+                                     max_doc_freq=1).count() == 0
+        # uncapped, the pair is found by both
+        assert D.minhash_lsh_pairs(df, threshold=0.1).count() == 1
+        assert D.ngram_jaccard_pairs(df, threshold=0.1).count() == 1
