@@ -87,6 +87,9 @@ class Engine:
         ctx = StageContext(
             spark=self.spark, name=name, params=[str(p) for p in params or []],
             env=self.env, debug=bool(os.environ.get("GASKET_DEBUG")))
+        # DEBUG tap surface: after the caller's action, each
+        # Observation in last_observations yields its stage's row count
+        self.last_observations = ctx.observations
         groups = split_groups(self._config[name])
         main_outputs: list[DataFrame] = []
         background: list[DataFrame] = []

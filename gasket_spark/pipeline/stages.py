@@ -40,6 +40,11 @@ class StageContext:
     params: list[str] = field(default_factory=list)
     env: dict[str, str] = field(default_factory=dict)
     debug: bool = False
+    # debug tap (reference DEBUG wrap, index.js:77-80): per-stage
+    # Observation objects — row counts become available after the
+    # pipeline's action with zero extra jobs (observe() piggybacks the
+    # metrics on the action itself, unlike a count() per stage)
+    observations: list = field(default_factory=list)
 
 
 def _is_line_df(df: DataFrame) -> bool:
@@ -142,4 +147,10 @@ def run_stage(stage: Stage, ctx: StageContext,
         import sys
         print(f"[gasket:{ctx.name}] stage={stage.to_json()!r} "
               f"schema={out.schema.simpleString()}", file=sys.stderr)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        obs = Observation(
+            f"{ctx.name}[{len(ctx.observations)}] {stage.to_json()!r}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        ctx.observations.append(obs)
     return out

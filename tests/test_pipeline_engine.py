@@ -197,3 +197,25 @@ class TestLoad:
         eng = Engine({"p": ["cat -"]}, cwd=str(tmp_path))
         path = eng.save()
         assert load(path).to_json() == {"p": ["cat -"]}
+
+
+class TestDebugTap:
+    def test_observations_report_stage_row_counts(self, spark, monkeypatch):
+        """GASKET_DEBUG taps every stage with an Observation — row
+        counts ride on the action itself (no extra jobs), the Spark
+        analog of the reference's debug-stream wrap (index.js:77-80)."""
+        monkeypatch.setenv("GASKET_DEBUG", "1")
+
+        def keep_evens(df, ctx):
+            return df.filter(F.col("value").cast("long") % 2 == 0)
+
+        eng = Engine({"p": [{"exports": keep_evens},
+                            {"exports": lambda df: df.limit(2)}]},
+                     spark=spark)
+        src = spark.range(10).select(F.col("id").cast("string")
+                                     .alias("value"))
+        out = eng.pipe("p", input_df=src)
+        assert len(eng.last_observations) == 2
+        out.collect()  # the action the metrics piggyback on
+        counts = [o.get["rows"] for o in eng.last_observations]
+        assert counts == [5, 2]
