@@ -775,3 +775,63 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("value")).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                          o_orderkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) per priority class. The order key includes the unique
+    o_orderkey tie-break so every rank-derived value is deterministic
+    across engines and partitionings."""
+    od = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        iscaled(F.col("o_totalprice"), 100), F.col("o_orderkey"))
+    return od.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(ROUND(val * 100) AS BIGINT) / 100.0 AS val_cents
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS price, l_discount AS discount,
+             l_tax AS tax
+      FROM lineitem WHERE l_orderkey % 100 = 0)
+    UNPIVOT (val FOR measure IN (price, discount, tax))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long), the inverse of q_pivot: one row per
+    (line, measure). Compiles to a single Expand node — no shuffle,
+    no join; the classic melt for metric-per-row storage."""
+    li = read_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_orderkey") % 100 == 0)
+    out = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=[F.col("l_extendedprice").alias("price"),
+                F.col("l_discount").alias("discount"),
+                F.col("l_tax").alias("tax")],
+        variableColumnName="measure",
+        valueColumnName="val")
+    return out.select(
+        "l_orderkey", "l_linenumber", "measure",
+        (iscaled(F.col("val"), 100) / F.lit(100.0)).alias("val_cents"))
