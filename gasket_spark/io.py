@@ -155,3 +155,25 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if sort:
         writer = writer.sortBy(*bucket_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    target_file_bytes: int = 512 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` each (the standard maintenance pass after
+    streaming/incremental ingest, where micro-batches leave thousands
+    of KB-scale files that wreck scan parallelism and NameNode/listing
+    costs). File count derives from the INPUT's on-disk size — cheap
+    metadata, no data pass; the single data pass is the rewrite itself
+    (round-robin repartition for even file sizes). Returns the file
+    count written."""
+    import glob as _glob
+
+    in_bytes = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f))
+    n_files = max(1, -(-in_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

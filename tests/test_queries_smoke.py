@@ -44,3 +44,21 @@ class TestCsvRoundTrip:
                                "n_regionkey int")
         assert sorted(map(tuple, back.collect())) == \
             sorted(map(tuple, nation.collect()))
+
+
+class TestCompaction:
+    def test_compacts_many_small_files_to_target(self, spark, tmp_path):
+        from gasket_spark.io import compact_parquet, read_table
+
+        src = str(tmp_path / "fragmented")
+        out = str(tmp_path / "compacted")
+        li = read_table(spark, SF_SMALL, "lineitem")
+        li.repartition(64).write.parquet(src)  # simulate micro-batch litter
+        import glob
+        assert len(glob.glob(f"{src}/part-*")) == 64
+
+        n = compact_parquet(spark, src, out, target_file_bytes=256 * 1024)
+        got = len(glob.glob(f"{out}/part-*"))
+        assert got == n and got < 64
+        # lossless
+        assert spark.read.parquet(out).count() == li.count()
