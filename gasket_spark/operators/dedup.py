@@ -97,6 +97,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
+        # distinct BEFORE verify, not after: a true near-dup matches in
+        # MANY bands (an exact dup in all 16), so skipping this would
+        # multiply verify cost by the band count precisely on the pairs
+        # that ARE duplicates — the dominant cost on dup-heavy corpora.
         .distinct()
     )
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

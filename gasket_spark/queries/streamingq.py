@@ -121,6 +121,15 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SEQ = [0]
 
+# The bounded replay splits the fixture into randomly-ordered files, so
+# event time arrives wildly out of order across micro-batches. A
+# production-tight watermark would (correctly!) drop most of that as
+# late; for the LOSSLESS full-corpus replay the oracle verifies, the
+# watermark must cover the fixture's whole time span. Ordered arrival +
+# tight watermarks is the production configuration; late-data DROP
+# semantics are tested separately (tests/test_streaming.py).
+_REPLAY_WM = "90 days"
+
 
 def _events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the events fixture to NDJSON in a temp dir and open it
@@ -164,7 +173,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gasket_spark.streaming.core import run_to_completion, windowed_counts
 
     stream = _events_as_stream(spark, sf_dir)
-    return run_to_completion(windowed_counts(stream),
+    return run_to_completion(windowed_counts(stream, watermark=_REPLAY_WM),
                              _unique_name("t_oracle_tumbling"),
                              output_mode="complete")
 
@@ -189,7 +198,8 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_completion, stateful_user_totals)
 
     stream = _events_as_stream(spark, sf_dir)
-    updates = run_to_completion(stateful_user_totals(stream),
+    updates = run_to_completion(stateful_user_totals(stream,
+                                                    watermark=_REPLAY_WM),
                                 _unique_name("t_oracle_stateful"),
                                 output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -198,3 +208,42 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL '30 minutes' AS s_end,
+           COUNT(*) AS n
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed BY Structured Streaming — stateful
+    session MERGING across micro-batches (sessions split over batch
+    boundaries must coalesce in the state store), the hardest streaming
+    state shape, hash-verified against the batch gaps-and-islands
+    oracle."""
+    from gasket_spark.streaming.core import (
+        run_to_completion, sessionized_counts)
+
+    stream = _events_as_stream(spark, sf_dir)
+    return run_to_completion(sessionized_counts(stream,
+                                                watermark=_REPLAY_WM),
+                             _unique_name("t_oracle_session"),
+                             output_mode="complete")
