@@ -835,3 +835,18 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", "l_linenumber", "measure",
         (iscaled(F.col("val"), 100) / F.lit(100.0)).alias("val_cents"))
+
+
+@query("q_agg_kmv")  # rows-only: sketch hashes are engine-specific
+def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct sketch (k=1024): per-flag distinct part
+    estimate + sketch size. Unlike HLL the sketch itself is an
+    inspectable array<long> whose union-merge law is exact (tested in
+    tests/test_sketch.py) — the cross-batch rollup shape."""
+    from gasket_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    li = read_table(spark, sf_dir, "lineitem")
+    est = kmv_estimate(kmv_sketch(li, ["l_returnflag"], "l_partkey", 1024),
+                       1024)
+    return est.select("l_returnflag", F.round("distinct_est", 3)
+                      .alias("distinct_est"), "n_seen")
