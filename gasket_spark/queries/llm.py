@@ -609,3 +609,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
     return connected_components(pairs).select(
         F.col("v").alias("doc_id"), "component_id")
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization before exact dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace — plus the content hash of
+    the normalized form (what exact_dedup would key on). Regex classes
+    are kept to [a-z0-9 ]/' +' so Java-regex (Spark) and RE2 (oracle)
+    agree byte-for-byte."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    return docs.select("doc_id", norm.alias("norm_text"),
+                       F.md5(norm).alias("norm_hash"))
