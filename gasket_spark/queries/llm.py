@@ -633,3 +633,63 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "))
     return docs.select("doc_id", norm.alias("norm_text"),
                        F.md5(norm).alias("norm_hash"))
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents)
+    SELECT term, COUNT(*) AS doc_freq
+    FROM toks WHERE len(term) >= 4
+    GROUP BY term
+    ORDER BY doc_freq DESC, term
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: the 20 terms (len ≥ 4) present in the most
+    documents. Per-doc ``array_distinct`` happens before the explode so
+    a term counts once per document regardless of repetition; the
+    count is a two-phase hash aggregate over the (small) vocabulary and
+    the top-k is ``TakeOrderedAndProject`` — per-partition heaps, no
+    global sort. Exact by construction; at 100 TB the same plan holds
+    because the shuffle volume is |vocab|, not |corpus| (a Misra-Gries
+    / count-min pass is only needed when the vocabulary itself stops
+    fitting, e.g. n-gram keys)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+    return (
+        toks.filter(F.length("term") >= 4)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          IN ('0','1','2','3','4','5','6','7')
+      AND (lang = 'en'
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1'))
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (50% of
+    'en' docs, 12.5% of every other language) decided by an md5-prefix
+    threshold on the doc id — no seeded RNG, so membership is
+    partitioning- and engine-independent, and because all strata share
+    one hash the samples are *nested*: lowering a rate yields a strict
+    subset. This is ``sampleBy`` with reproducibility guarantees; a
+    pure map-side filter, no shuffle at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = (nib.isin(*"01234567")
+            & ((F.col("lang") == "en") | nib.isin("0", "1")))
+    return docs.filter(keep).select("doc_id", "lang", "source")

@@ -837,6 +837,136 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (iscaled(F.col("val"), 100) / F.lit(100.0)).alias("val_cents"))
 
 
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > (
+      SELECT AVG(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their customer's average),
+    decorrelated by hand into a single windowed pass — one shuffle on
+    the correlation key instead of the naive per-row re-scan, which is
+    the same rewrite Catalyst's ``RewriteCorrelatedScalarSubquery``
+    performs on the SQL form. Averaging in integer-cent space keeps the
+    comparison exact across engines (per-group partial sums stay below
+    2^53, so the double mean is order-independent)."""
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        iscaled(F.col("o_totalprice"), 100).alias("price_cents"))
+    w = Window.partitionBy("o_custkey")
+    return (
+        od.withColumn("_cust_avg", F.avg("price_cents").over(w))
+        .filter(F.col("price_cents") > F.col("_cust_avg"))
+        .drop("_cust_avg")
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT e.*, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e) t
+    WHERE rn = 1
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert compaction: a base snapshot unioned with an update
+    batch, resolved to latest-record-wins per key (ts desc, unique
+    event_id tie-break). This is the CDC pattern for table formats
+    without transactional MERGE: union + one windowed dedup pass, a
+    single shuffle on the merge key — no driver-side diffing. The
+    base/update split here is synthetic (even/odd event ids); their
+    union is the full change log, which the oracle compacts directly."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    updates = ev.filter(F.col("event_id") % 2 == 1)
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(LEAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 20
+                      // 10000000, 19) AS INT) AS bucket,
+           COUNT(*) AS n,
+           MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS max_cents
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram (20 equi-width buckets over [0, 100k),
+    top-clamped) — the data-profiling primitive. Bucketing is pure
+    integer arithmetic (``cents * 20 div 10^7``) so bin membership is
+    bit-identical across engines, unlike ``width_bucket`` whose
+    float boundary math can flip edge values. One two-phase hash
+    aggregate over ≤21 groups; map-side partials make the shuffle a
+    few hundred bytes regardless of input size."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        iscaled(F.col("l_extendedprice"), 100).alias("_cents"))
+    return (
+        li.select(
+            F.least(F.expr("_cents * 20 div 10000000"), F.lit(19))
+            .cast("int").alias("bucket"),
+            F.col("_cents"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("_cents").alias("min_cents"),
+             F.max("_cents").alias("max_cents"))
+    )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join via deterministic salting
+    (``gasket_spark.operators.skew.salted_join``): the fact side gets a
+    16-way salt from ``xxhash64`` of a row-identity column, the dim
+    side is replicated per salt, so a hot part key fans out over 16
+    tasks instead of one. The oracle is the *plain* join — salting is
+    a physical rewrite with identical bag semantics, and this query
+    keeps that equivalence under the hash gate every round. Use when a
+    key's row count exceeds what AQE skew-split can rebalance."""
+    from gasket_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    pt = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    joined = salted_join(li, pt, on=["l_partkey"],
+                         row_identity="l_orderkey", n_salts=16)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum(F.col("l_quantity")).alias("total_qty"))
+
+
 @query("q_agg_kmv")  # rows-only: sketch hashes are engine-specific
 def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KMV distinct sketch (k=1024): per-flag distinct part
