@@ -216,27 +216,61 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def sampled_kmeans_centroids(corpus: DataFrame, n_centroids: int,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             sample_mult: int = 64,
+                             iters: int = 10) -> np.ndarray:
+    """Deterministic sampled spherical k-means for the IVF coarse
+    quantizer — the standard big-data recipe: ONE distributed pass
+    collects a hash-ordered sample of ``n_centroids * sample_mult``
+    vectors (``TakeOrderedAndProject`` on ``xxhash64(id)``: per-
+    partition heaps, no global sort, content-addressed so the sample
+    is partition-layout independent); Lloyd iterations then run
+    driver-side on that tiny (K·mult × dim) matrix. Everything
+    downstream of the sample is pure numpy with stable tie-breaks, so
+    the quantizer is bit-reproducible run to run — a retry or a
+    different executor count yields the same centroids.
+
+    Empty clusters keep their previous centroid (no respawn jitter).
+    Returns a row-normalized (K, dim) float64 matrix."""
+    sample = (corpus
+              .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+              .limit(n_centroids * sample_mult)
+              .select(vec_col).collect())
+    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+    C = S[:n_centroids].copy()  # init: first K in hash order
+    for _ in range(iters):
+        # stable argmax: ties go to the lowest cluster index
+        assign = np.argmax(S @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = S[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-30:
+                    C[j] = m / norm
+    return C
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
     """IVF-flat approximate top-k: coarse quantizer + inverted lists.
 
-    The coarse quantizer is the ``n_centroids`` corpus vectors with
-    the smallest ids — deterministic, no iterative k-means job; for
-    100 TB the quantizer would come from a sampled k-means, but it
-    stays a driver-side KxD matrix either way (K ≪ corpus, the
-    standard IVF shape). Corpus vectors are assigned to their nearest
-    centroid in one vectorized pass (one shuffle by cluster id —
-    this is the "inverted list" build); each query probes its
+    The coarse quantizer comes from :func:`sampled_kmeans_centroids`
+    (one sampling pass + driver-side Lloyd — K ≪ corpus, so the
+    quantizer stays a broadcast-able KxD matrix at any corpus size,
+    the standard IVF shape). Corpus vectors are assigned to their
+    nearest centroid in one vectorized pass (one shuffle by cluster
+    id — this is the "inverted list" build); each query probes its
     ``n_probe`` nearest centroids and exact-reranks only those lists:
     the scan fraction is ~n_probe/n_centroids of the corpus.
 
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    cents = (corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
-             .select(vec_col).collect())
-    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cents])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)  # (K, dim)
+    C = sampled_kmeans_centroids(corpus, n_centroids, id_col, vec_col)
 
     def _assign(top_n: int):
         @pandas_udf(ArrayType(LongType()))

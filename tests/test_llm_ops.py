@@ -228,6 +228,21 @@ class TestIVF:
                                     n_probe=16).collect()}
         assert full == exact
 
+    def test_kmeans_quantizer_partition_independent(self, spark):
+        """The sampled-k-means quantizer must produce bit-identical
+        centroids regardless of the input's partition layout (the
+        sample is content-addressed via xxhash64, not partition
+        order) — a retried stage or different cluster size can't
+        change the index."""
+        import numpy as np
+
+        emb = read_table(spark, SF_SMALL, "embeddings") \
+            .select("vec_id", "embedding")
+        c1 = S.sampled_kmeans_centroids(emb, 8)
+        c2 = S.sampled_kmeans_centroids(emb.repartition(7), 8)
+        assert np.array_equal(c1, c2)
+        assert c1.shape == (8, 64)
+
 
 class TestPacking:
     def test_prefix_sum_invariant_to_partitioning(self, spark, docs):
