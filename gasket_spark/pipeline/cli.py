@@ -27,11 +27,31 @@ gasket-spark <command> [pipelines...]
   ls                 list pipeline names
   show  <pipe>       pretty-print a pipeline as `a | b` lines
   version            print version
+  completion         print a bash tab-completion script (eval or source it)
   help               this text
 
   -c, --config <path>  explicit config file (default: ./gasket.json,
                        then ./package.json "gasket" key)
   -p, --param  <v>     extra param appended to command stages (repeatable)
+"""
+
+
+_COMPLETION = """\
+_gasket_spark_complete() {
+  local cur prev cmds
+  cur="${COMP_WORDS[COMP_CWORD]}"
+  cmds="run pipe exec add rm ls show version completion help"
+  if [ "$COMP_CWORD" -eq 1 ]; then
+    COMPREPLY=( $(compgen -W "$cmds" -- "$cur") )
+  else
+    case "${COMP_WORDS[1]}" in
+      run|pipe|rm|show)
+        COMPREPLY=( $(compgen -W "$(gasket-spark ls 2>/dev/null)" -- "$cur") ) ;;
+      *) COMPREPLY=() ;;
+    esac
+  fi
+}
+complete -F _gasket_spark_complete gasket-spark
 """
 
 
@@ -78,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "version":
         print(__version__)
+        return 0
+    if cmd == "completion":
+        # tab-completion affordance, as the reference's tabalot-based
+        # `completion` (bin.js:57-67): subcommands complete statically,
+        # pipeline-name positions complete from the live config via `ls`
+        print(_COMPLETION)
         return 0
 
     try:

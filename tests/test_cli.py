@@ -28,6 +28,12 @@ def test_help(capsys):
     assert "run" in capsys.readouterr().out
 
 
+def test_completion(capsys):
+    assert main(["completion"]) == 0
+    out = capsys.readouterr().out
+    assert "complete -F" in out and "gasket-spark" in out
+
+
 def test_ls(config_dir, capsys):
     assert main(["ls"]) == 0
     assert capsys.readouterr().out.split() == ["main", "other"]
