@@ -693,3 +693,81 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (nib.isin(*"01234567")
             & ((F.col("lang") == "en") | nib.isin("0", "1")))
     return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_udtf_tokens",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface — the one-row-in,
+    many-rows-out module-stage kind the reference's stream factories
+    express (/root/reference/index.js:71-74: a through-stream may emit
+    any number of chunks per input). A lateral-joined tokenizer UDTF
+    with 1-based positions; Arrow-optimized so batches cross the
+    Python boundary columnar. For pure tokenization ``posexplode``
+    stays JVM-side and is preferred (q_explode_flatten) — the UDTF is
+    for fan-outs with real Python logic per row (parsers, decoders,
+    chunkers)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, pos int", useArrow=True)
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" "), start=1):
+                yield t, i
+
+    spark.udtf.register("gasket_tokenize", Tokenize)
+    read_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("__gasket_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, t.term, t.pos
+        FROM __gasket_udtf_docs d,
+             LATERAL gasket_tokenize(d.text) t
+    """)
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+      FROM embeddings)
+    SELECT e.vec_id,
+           round(s.scale, 6) AS scale6,
+           array_to_string(list_transform(e.embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / s.scale * 127) AS INT)),
+             ',') AS q_int8
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization — the storage/bandwidth op for
+    vector corpora at scale (4× smaller than float32, 8× smaller than
+    float64; recall loss is negligible for cosine rerank pipelines).
+    Per-vector symmetric scale = max|x|; q = round(x/scale·127). All
+    JVM higher-order functions, map-side only — no shuffle; the
+    quantized array is emitted as a comma-joined string so the oracle
+    hash compares a scalar column. Dequantize is q·scale/127 with the
+    same plan shape."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"),
+                     lambda x: F.abs(x.cast("double")))
+    scale = F.greatest(F.array_max(xd), F.lit(1e-30))
+    e = emb.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale") * 127)
+        .cast("int"))
+    return e.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale6"),
+        F.array_join(q, ",").alias("q_int8"))
