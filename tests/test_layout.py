@@ -1,0 +1,76 @@
+"""Physical-layout property tests: range-clustered writes must produce
+row-group min/max stats that actually enable data skipping, which is a
+checkable footer property — not a timing assertion."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gasket_spark.io import read_table
+from gasket_spark.operators.layout import (
+    cluster_write, skip_fraction, skipping_stats,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    li = read_table(spark, SF_SMALL, "lineitem") \
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    base = tmp_path_factory.mktemp("layout")
+    clustered = str(base / "clustered")
+    unclustered = str(base / "unclustered")
+    cluster_write(li, clustered, ["l_shipdate"], n_files=8)
+    # control: same data, hash-scattered layout
+    li.repartition(8).write.mode("overwrite").parquet(unclustered)
+    return clustered, unclustered
+
+
+def _month_bounds(spark, sf=SF_SMALL):
+    row = read_table(spark, sf, "lineitem").agg(
+        F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+    ).collect()[0]
+    return row.lo, row.hi
+
+
+class TestClusterWrite:
+    def test_files_have_disjoint_ranges(self, layouts):
+        clustered, _ = layouts
+        stats = skipping_stats(clustered, "l_shipdate")
+        # collapse to per-file [min, max] and check non-overlap
+        per_file: dict = {}
+        for fname, _, mn, mx in stats:
+            lo, hi = per_file.get(fname, (mn, mx))
+            per_file[fname] = (min(lo, mn), max(hi, mx))
+        spans = sorted(per_file.values())
+        assert len(spans) >= 4
+        overlaps = sum(1 for (_, hi), (lo, _) in zip(spans, spans[1:])
+                       if lo < hi)
+        assert overlaps == 0, f"range-partitioned files overlap: {spans}"
+
+    def test_narrow_scan_skips_most_row_groups(self, spark, layouts):
+        """A one-week predicate on 7 years of shipdates must skip the
+        vast majority of clustered row groups — and ~none of the
+        hash-scattered control layout."""
+        import datetime
+
+        clustered, unclustered = layouts
+        lo = datetime.datetime(1996, 6, 1)
+        hi = datetime.datetime(1996, 6, 8)
+        frac_clustered = skip_fraction(
+            skipping_stats(clustered, "l_shipdate"), lo, hi)
+        frac_control = skip_fraction(
+            skipping_stats(unclustered, "l_shipdate"), lo, hi)
+        assert frac_clustered >= 0.75
+        assert frac_control <= 0.25
+
+    def test_clustered_layout_preserves_data(self, spark, layouts):
+        clustered, _ = layouts
+        li = read_table(spark, SF_SMALL, "lineitem")
+        back = spark.read.parquet(clustered)
+        assert back.count() == li.count()
+        a = back.agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                           .cast("bigint"))).collect()[0][0]
+        b = li.agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                         .cast("bigint"))).collect()[0][0]
+        assert a == b
