@@ -71,3 +71,80 @@ def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str],
         .agg(F.sort_array(F.collect_list("_h")).alias("sketch"),
              F.count(F.lit(1)).alias("n_seen"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: bottom-k coherent row sample
+# ---------------------------------------------------------------------------
+#
+# Mergeable quantiles without a native KLL/t-digest: keep, per group,
+# the k rows whose xxhash64(row id) is smallest ("bottom-k sample").
+# Bottom-k sampling is COHERENT: the bottom-k of A ∪ B equals the
+# bottom-k of (bottom-k(A) ∪ bottom-k(B)), so per-batch/per-partition
+# sketches union-merge EXACTLY into the sketch the full dataset would
+# have produced (tested). The sample is uniform over rows
+# (content-addressed — no RNG, stable under retries and partitioning),
+# so the rank-q element of the sample estimates the rank-q element of
+# the data with error O(1/sqrt(k)). Sketch = k (hash, value) structs +
+# the true row count: inspectable, storable, diffable — the
+# cross-batch percentile-rollup shape (daily p99s that roll up into a
+# monthly p99 without rescanning).
+
+
+def qsketch(df: DataFrame, group_cols: list[str], value_col: str,
+            id_col: str, k: int = 1024) -> DataFrame:
+    """Per-group bottom-k quantile sketch over ``value_col`` (sampled
+    by ``xxhash64(id_col)``; ``id_col`` must be row-unique for the
+    sample to be uniform over rows). Returns
+    (group_cols…, sample: array<struct<h:long, v:long>>, n_rows)."""
+    hashed = df.select(
+        *group_cols,
+        F.xxhash64(F.col(id_col)).alias("_h"),
+        F.col(value_col).cast("long").alias("_v"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    topk = hashed.withColumn("_rk", F.row_number().over(w)) \
+                 .filter(F.col("_rk") <= k)
+    n = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    sk = topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_h").alias("h"), F.col("_v").alias("v")))).alias("sample"))
+    return sk.join(n, group_cols)
+
+
+def qsketch_merge(a: DataFrame, b: DataFrame, group_cols: list[str],
+                  k: int = 1024) -> DataFrame:
+    """Merge sketches of two DISJOINT row sets: bottom-k of the union
+    of samples (coherence makes this exact), row counts add. Groups
+    present on one side pass through."""
+    cols = [*group_cols, "sample", "n_rows"]
+    both = (
+        a.select(*cols).unionByName(b.select(*cols))
+        .select(*group_cols, F.col("n_rows"),
+                F.explode("sample").alias("_s"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_s.h").asc())
+    topk = both.withColumn("_rk", F.row_number().over(w)) \
+               .filter(F.col("_rk") <= k)
+    n = (
+        a.select(*group_cols, "n_rows")
+        .unionByName(b.select(*group_cols, "n_rows"))
+        .groupBy(*group_cols).agg(F.sum("n_rows").alias("n_rows"))
+    )
+    sk = topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_s")).alias("sample"))
+    return sk.join(n, group_cols)
+
+
+def qsketch_quantiles(sketches: DataFrame, probs: list[float]) -> DataFrame:
+    """Estimate quantiles from a sketch: the rank-``round(p·(m-1))``
+    element of the sample's sorted values, emitted as one column per
+    probability (``q50``, ``q90``, …). Nearest-rank (no interpolation)
+    so estimates are always observed values."""
+    vals = F.array_sort(F.transform("sample", lambda s: s["v"]))
+    out = sketches
+    m = F.size("sample")
+    for p in probs:
+        idx = F.round(F.lit(p) * (m - 1).cast("double")).cast("int") + 1
+        out = out.withColumn(
+            f"q{int(p * 100)}", F.element_at(vals, idx))
+    return out.drop("sample")

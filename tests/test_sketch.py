@@ -50,3 +50,50 @@ class TestKMV:
         want = {r.l_returnflag: (r.sketch, r.n_seen)
                 for r in whole.collect()}
         assert got == want
+
+
+class TestQuantileSketch:
+    def test_merge_law_exact(self, spark, lineitem):
+        """Bottom-k sampling is coherent: merging per-half sketches
+        must reproduce the whole-data sketch bit-for-bit (sample AND
+        count)."""
+        from gasket_spark.operators.sketch import qsketch, qsketch_merge
+
+        li = lineitem.withColumn(
+            "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).withColumn("rid",
+                     F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        k = 256
+        a = li.filter(F.col("l_orderkey") % 2 == 0)
+        b = li.filter(F.col("l_orderkey") % 2 == 1)
+        merged = qsketch_merge(
+            qsketch(a, ["l_returnflag"], "cents", "rid", k),
+            qsketch(b, ["l_returnflag"], "cents", "rid", k),
+            ["l_returnflag"], k)
+        whole = qsketch(li, ["l_returnflag"], "cents", "rid", k)
+        got = {r.l_returnflag: (r.sample, r.n_rows) for r in merged.collect()}
+        want = {r.l_returnflag: (r.sample, r.n_rows) for r in whole.collect()}
+        assert got == want
+
+    def test_quantile_accuracy(self, spark, lineitem):
+        """Sketch median/p90 must land within a few percentile ranks of
+        the exact values (k=1024 → rank error ~1/sqrt(k) ≈ 3%)."""
+        from gasket_spark.operators.sketch import qsketch, qsketch_quantiles
+
+        li = lineitem.withColumn(
+            "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).withColumn("rid",
+                     F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        est = qsketch_quantiles(
+            qsketch(li, ["l_returnflag"], "cents", "rid", 1024),
+            [0.5, 0.9]).collect()
+        exact = {r.l_returnflag: (r.q50, r.q90) for r in lineitem.groupBy(
+            "l_returnflag").agg(
+            F.expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT),"
+                   " 0.5)").alias("q50"),
+            F.expr("percentile(CAST(ROUND(l_extendedprice*100) AS BIGINT),"
+                   " 0.9)").alias("q90")).collect()}
+        for r in est:
+            e50, e90 = exact[r.l_returnflag]
+            assert abs(r.q50 - e50) / e50 < 0.10, (r.l_returnflag, r.q50, e50)
+            assert abs(r.q90 - e90) / e90 < 0.10, (r.l_returnflag, r.q90, e90)
