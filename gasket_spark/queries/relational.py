@@ -967,6 +967,82 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("l_quantity")).alias("total_qty"))
 
 
+@query(
+    "q_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id,
+             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM users u CROSS JOIN bounds b),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS val_cents
+      FROM events GROUP BY 1, 2)
+    SELECT g.user_id, g.hour, h.val_cents,
+           last_value(h.val_cents IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_cents
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a regular hourly grid + forward fill —
+    the hypertable/rollup shape: per-user hourly sums, a dense
+    user × hour grid (sequence-explode of the observed range; at
+    scale you'd bound the range per query, the plan is the same), and
+    gap-fill via ``last(ignorenulls)`` over an ordered per-user
+    window. Everything stays in-plan — the grid bounds come from a
+    1-row aggregate cross-joined in, not a driver collect. Hours with
+    no events keep ``val_cents`` NULL and carry the previous value in
+    ``filled_cents``; leading gaps stay NULL on both sides."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(iscaled(F.col("value"), 100)).alias("val_cents"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"))
+    grid = (
+        ev.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence(
+            F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR")))
+            .alias("hour"))
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = Window.partitionBy("user_id").orderBy("hour") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "user_id", "hour", "val_cents",
+        F.last("val_cents", ignorenulls=True).over(w)
+        .alias("filled_cents"))
+
+
+@query("q_agg_qsketch")  # rows-only: sample membership is hash-specific
+def q_agg_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (bottom-k coherent sample, k=1024):
+    per-flag p50/p90/p99 of extendedprice cents plus sample size. The
+    per-batch→rollup merge law is EXACT (tests/test_sketch.py) — the
+    cross-batch percentile shape ``percentile``/``approx_percentile``
+    can't provide, since their per-run state isn't storable."""
+    from gasket_spark.operators.sketch import qsketch, qsketch_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem") \
+        .withColumn("cents", iscaled(F.col("l_extendedprice"), 100)) \
+        .withColumn("rid", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    q = qsketch_quantiles(
+        qsketch(li, ["l_returnflag"], "cents", "rid", 1024),
+        [0.5, 0.9, 0.99])
+    return q.select("l_returnflag", "n_rows", "q50", "q90", "q99")
+
+
 @query("q_agg_kmv")  # rows-only: sketch hashes are engine-specific
 def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KMV distinct sketch (k=1024): per-flag distinct part
