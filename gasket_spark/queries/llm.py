@@ -771,3 +771,93 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("scale"), 6).alias("scale6"),
         F.array_join(q, ",").alias("q_int8"))
+
+
+_SHINGLE3_SQL = """list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      i -> string_split(text, ' ')[i] || ' ' ||
+           string_split(text, ' ')[i + 1] || ' ' ||
+           string_split(text, ' ')[i + 2]))"""
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH eval_set AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    esh AS (
+      SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS s FROM eval_set),
+    tsh AS (
+      SELECT doc_id, unnest({_SHINGLE3_SQL}) AS s FROM train)
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM tsh t JOIN esh e USING (s)
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    token-3-gram with the eval set (synthetic split: doc_id % 97), and
+    how many they share. The eval side's distinct shingle set is tiny
+    relative to any real corpus, so it BROADCASTS — the corpus-side
+    scan never shuffles, which is what makes n-gram decontamination
+    tractable at 100 TB (in production: 13-grams, same plan). Flagged
+    docs would be dropped or span-redacted downstream."""
+    from gasket_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    esh = eval_set.select(
+        F.explode(T.distinct_shingles("text", 3)).alias("s")).distinct()
+    tsh = train.select(
+        "doc_id", F.explode(T.distinct_shingles("text", 3)).alias("s"))
+    return (
+        tsh.join(F.broadcast(esh), "s")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com now'
+               ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+'))
+                AS INT) AS n_emails
+    FROM aug
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace email-shaped spans with a
+    placeholder token and count removals per doc (the audit metric a
+    compliance pipeline logs). Synthetic emails are injected into
+    every 10th doc in-query so the op is exercised regardless of
+    corpus content. Regex stays within char-class + '+' constructs so
+    Java regex (Spark) and RE2 (oracle) match identical spans; a
+    production pass adds phone/SSN/address patterns the same way —
+    map-side only, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now")))
+            .otherwise(F.lit(""))).alias("text"))
+    pat = "[a-z0-9._]+@[a-z0-9.]+"
+    return aug.select(
+        "doc_id",
+        F.regexp_replace("text", pat, "[EMAIL]").alias("redacted"),
+        F.regexp_count("text", F.lit(pat)).cast("int").alias("n_emails"))

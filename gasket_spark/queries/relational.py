@@ -1025,6 +1025,69 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled_cents"))
 
 
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+             AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary aggregation levels in one
+    pass (rollup/cube are special cases; q_agg_rollup_cube covers
+    those). One Expand node replicates each row once per set, then a
+    single two-phase hash aggregate; the ``gid`` built from
+    ``grouping()`` flags disambiguates a real NULL key from a
+    rolled-up level."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag").cast("int") * 2
+             + F.grouping("l_linestatus").cast("int")).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("l_extendedprice")).alias("revenue"))
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS trailing_hour_cents
+    FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based, not row-based): per user, the
+    trailing-one-hour sum of event values ordered by epoch seconds —
+    the sliding-aggregate shape where frame membership depends on the
+    *time distance*, not a row count (rowsBetween twin:
+    q_window_analytic). Peers with equal timestamps aggregate
+    identically by RANGE semantics in both engines; epoch is floored
+    to whole seconds on both sides so frame boundaries agree."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id") \
+        .orderBy(F.unix_timestamp("ts")) \
+        .rangeBetween(-3600, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(iscaled(F.col("value"), 100)).over(w)
+        .alias("trailing_hour_cents"))
+
+
 @query("q_agg_qsketch")  # rows-only: sample membership is hash-specific
 def q_agg_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (bottom-k coherent sample, k=1024):
