@@ -861,3 +861,63 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_replace("text", pat, "[EMAIL]").alias("redacted"),
         F.regexp_count("text", F.lit(pat)).cast("int").alias("n_emails"))
+
+
+@query(
+    "q_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS t1,
+             unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS t2
+      FROM toks),
+    c12 AS (SELECT t1, t2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT t1, COUNT(*) AS c FROM bg GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(ln(CAST(c12.c AS DOUBLE) / c1.c) * 1000000)
+                  AS BIGINT) AS lp
+      FROM bg JOIN c12 USING (t1, t2) JOIN c1 USING (t1))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality score: train corpus bigram
+    counts, then score each document by its average bigram
+    log-probability ln(c(t1,t2)/c(t1)) — the classic
+    perplexity-filtering signal (low score = unusual token sequences:
+    boilerplate, garbled text, wrong-language spans). The bigram and
+    unigram tables are vocabulary-sized, so they BROADCAST and the
+    corpus makes one narrow pass — at 100 TB the model tables come
+    from the same query over a sample. Per-bigram log-probs are
+    rounded to 1e-6 and summed in integer space so the per-doc mean
+    is partition- and engine-independent (libm ln() can differ by an
+    ULP)."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bg = docs.select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("t1"), b.alias("t2"))))
+        .alias("p")
+    ).select("doc_id", "p.t1", "p.t2")
+    c12 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(F.broadcast(c12), ["t1", "t2"])
+        .join(F.broadcast(c1), ["t1"])
+        .select("doc_id",
+                F.round(F.log(F.col("c12").cast("double") / F.col("c1"))
+                        * 1000000).cast("bigint").alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)) / 1000000.0,
+                6).alias("avg_logprob"))

@@ -1088,6 +1088,36 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_hour_cents"))
 
 
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+      FROM events GROUP BY user_id, event_type) t
+    WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent event type per
+    user): count + windowed argmax with a lexicographic tie-break —
+    native ``mode()`` picks an ARBITRARY value on ties in both Spark
+    and DuckDB, which would flap under the hash gate and under
+    partition changes at scale. Two-phase count agg, then a window
+    over the (small) per-user distinct-type counts."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
 @query("q_agg_qsketch")  # rows-only: sample membership is hash-specific
 def q_agg_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (bottom-k coherent sample, k=1024):
