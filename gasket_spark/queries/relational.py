@@ -281,6 +281,54 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    QUALIFY row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST
+    ) = 1
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the EARLIEST order
+    at-or-after its timestamp per user — the mirror of q_join_asof
+    (direction='forward' in pandas merge_asof terms), same union-and-
+    window merge shape but carrying the next order key backward with
+    ``first(ignorenulls)`` over a FOLLOWING frame. One shuffle on the
+    key, no row explosion. Ties (order date == event ts) match, and
+    resolve to the min order key."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("bigint").alias("ord_key"),
+        F.lit(0).alias("side"),
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("side").asc(),
+                 F.col("ord_key").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        ev.unionByName(od)
+        .withColumn("next_orderkey",
+                    F.first("ord_key", ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select("event_id", F.col("k").alias("user_id"), "next_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation
 # ---------------------------------------------------------------------------

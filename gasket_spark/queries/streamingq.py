@@ -179,6 +179,32 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+        FROM events
+    )
+    GROUP BY w_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows executed BY Structured Streaming — each event
+    updates two overlapping state entries; completes the
+    tumbling/sliding/session trio of genuinely-streamed window shapes
+    hash-verified against the batch oracle."""
+    from gasket_spark.streaming.core import run_to_completion, sliding_counts
+
+    stream = _events_as_stream(spark, sf_dir)
+    return run_to_completion(sliding_counts(stream, watermark=_REPLAY_WM),
+                             _unique_name("t_oracle_sliding"),
+                             output_mode="complete")
+
+
+@query(
     "q_stream_stateful_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

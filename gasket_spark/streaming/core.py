@@ -72,6 +72,21 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_counts(events: DataFrame, window: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding event-time counts: each row updates window/slide
+    overlapping windows' state entries; watermark reclaims state as in
+    :func:`windowed_counts`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"), "n")
+    )
+
+
 def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Session windows under streaming — Spark's native stateful

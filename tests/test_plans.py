@@ -45,6 +45,34 @@ class TestPlanContracts:
         # "[codegen id : N]" (and * on the tree nodes)
         assert "codegen id" in plan
 
+    def test_decontaminate_broadcasts_eval_side(self, spark):
+        """The corpus-side scan must never shuffle: the eval shingle
+        set joins as a broadcast."""
+        plan = _plan(QUERIES["q_decontaminate"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_lm_score_broadcasts_model_tables(self, spark):
+        """Both the bigram and unigram count tables are vocab-sized —
+        they must broadcast so the corpus makes one narrow pass."""
+        plan = _plan(QUERIES["q_lm_score"](spark, SF_SMALL))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_heavy_hitters_topk_avoids_global_sort(self, spark):
+        plan = _plan(QUERIES["q_heavy_hitters"](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_histogram_agg_is_two_phase(self, spark):
+        plan = _plan(QUERIES["q_agg_histogram"](spark, SF_SMALL))
+        assert plan.count("HashAggregate") >= 2
+
+    def test_stratified_sample_is_map_side_only(self, spark):
+        """A deterministic sample is a pure filter: no exchange of any
+        kind may appear in the plan."""
+        plan = _plan(QUERIES["q_sample_stratified"](spark, SF_SMALL))
+        assert "Exchange" not in plan
+
 
 class TestBucketedJoin:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
