@@ -148,3 +148,44 @@ def qsketch_quantiles(sketches: DataFrame, probs: list[float]) -> DataFrame:
         out = out.withColumn(
             f"q{int(p * 100)}", F.element_at(vals, idx))
     return out.drop("sample")
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, group_cols: list[str],
+                k: int = 1024) -> DataFrame:
+    """Set-algebra estimates from two KMV sketch tables (theta-sketch
+    style): per group, the Jaccard similarity of the underlying
+    distinct sets is estimated as the overlap fraction *within the
+    bottom-k of the union* — the union's bottom-k is a uniform sample
+    of A ∪ B, so |A∩B|/|A∪B| estimated on the sample is unbiased,
+    error ~1/sqrt(k). Combined with the union cardinality estimate
+    this yields intersection counts: |A∩B| ≈ J · |A∪B| — the
+    cross-corpus overlap probe (how much of corpus B is already in A)
+    that exact distinct-joins can't answer without rescanning both.
+
+    Returns (group_cols…, jaccard_est, union_est, intersect_est).
+    """
+    ea = a.select(*group_cols, F.explode("sketch").alias("_h")) \
+          .withColumn("_in_a", F.lit(1))
+    eb = b.select(*group_cols, F.explode("sketch").alias("_h")) \
+          .withColumn("_in_b", F.lit(1))
+    both = ea.join(eb, [*group_cols, "_h"], "full") \
+        .select(*group_cols, "_h",
+                F.coalesce("_in_a", F.lit(0)).alias("_in_a"),
+                F.coalesce("_in_b", F.lit(0)).alias("_in_b"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    union_k = both.withColumn("_rk", F.row_number().over(w)) \
+                  .filter(F.col("_rk") <= k)
+    est = union_k.groupBy(*group_cols).agg(
+        F.sum(F.col("_in_a") * F.col("_in_b")).alias("_n_both"),
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_kth"),
+    )
+    u_k = (F.col("_kth").cast("double") + F.lit(_OFFSET)) / F.lit(_RANGE)
+    union_est = F.when(F.col("_n") < k, F.col("_n").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / u_k)
+    jac = F.col("_n_both").cast("double") / F.col("_n")
+    return est.select(
+        *group_cols,
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("intersect_est"))

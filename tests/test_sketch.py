@@ -97,3 +97,31 @@ class TestQuantileSketch:
             e50, e90 = exact[r.l_returnflag]
             assert abs(r.q50 - e50) / e50 < 0.10, (r.l_returnflag, r.q50, e50)
             assert abs(r.q90 - e90) / e90 < 0.10, (r.l_returnflag, r.q90, e90)
+
+
+class TestKMVSetAlgebra:
+    def test_jaccard_and_intersection_estimates(self, spark, lineitem):
+        """Overlap estimates from sketches alone must land near exact
+        Jaccard/intersection of the underlying part-key sets. The two
+        'corpora' share orders ending in 0-4 (half of A, half of B)."""
+        from gasket_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+        k = 1024
+        a = lineitem.filter(F.col("l_orderkey") % 10 < 7)   # 0-6
+        b = lineitem.filter(F.col("l_orderkey") % 10 >= 3)  # 3-9
+        grp = lineitem.select(F.lit("all").alias("g"), "l_partkey")
+        est = kmv_jaccard(
+            kmv_sketch(a.withColumn("g", F.lit("all")), ["g"],
+                       "l_partkey", k),
+            kmv_sketch(b.withColumn("g", F.lit("all")), ["g"],
+                       "l_partkey", k),
+            ["g"], k).collect()[0]
+
+        pa = {r.l_partkey for r in
+              a.select("l_partkey").distinct().collect()}
+        pb = {r.l_partkey for r in
+              b.select("l_partkey").distinct().collect()}
+        true_j = len(pa & pb) / len(pa | pb)
+        true_i = len(pa & pb)
+        assert abs(est.jaccard_est - true_j) < 0.1
+        assert abs(est.intersect_est - true_i) / true_i < 0.15

@@ -201,3 +201,35 @@ class TestStatefulOperator:
         assert multi.filter(
             F.col("n_distinct") < F.col("n_updates")).count() == 0
         assert multi.count() > 0
+
+
+class TestRateSource:
+    def test_rate_source_runs_same_windowed_plan(self, spark):
+        """Source-agnostic streaming: the exact windowed-counts plan
+        the file-stream queries use must also run on Spark's built-in
+        rate source (generated event time) — proving the transform
+        layer has no file-source dependency (at scale: swap in Kafka,
+        same plan)."""
+        import time
+
+        from gasket_spark.streaming.core import windowed_counts
+
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 200).load()
+            .select(F.col("timestamp").alias("ts"),
+                    (F.col("value") % 3).cast("string").alias("event_type"),
+                    (F.col("value") % 100).cast("double").alias("value"))
+        )
+        q = (windowed_counts(stream, window="1 second",
+                             watermark="10 seconds")
+             .writeStream.format("memory").queryName("t_rate_src")
+             .outputMode("complete").start())
+        try:
+            for _ in range(40):
+                time.sleep(0.5)
+                if spark.table("t_rate_src").count() > 0:
+                    break
+        finally:
+            q.stop()
+        assert spark.table("t_rate_src").count() > 0
