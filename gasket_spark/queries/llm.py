@@ -921,3 +921,29 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("lp").cast("double") / F.count(F.lit(1)) / 1000000.0,
                 6).alias("avg_logprob"))
+
+
+@query("q_kmv_overlap")  # rows-only: estimates from engine-specific hashes
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap from sketches alone: per return-flag,
+    estimate the Jaccard / intersection of the distinct part-key sets
+    of two lineitem halves using only their KMV sketches
+    (theta-sketch-style set algebra, operators/sketch.py). This is
+    the 'how much of corpus B is already in corpus A' probe that an
+    exact distinct-join would have to rescan both corpora to answer;
+    with sketches it costs k longs per group per side. Accuracy law
+    (error ~ 1/sqrt(k)) is tested in tests/test_sketch.py."""
+    from gasket_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    est = kmv_jaccard(
+        kmv_sketch(a, ["l_returnflag"], "l_partkey", 1024),
+        kmv_sketch(b, ["l_returnflag"], "l_partkey", 1024),
+        ["l_returnflag"], 1024)
+    return est.select(
+        "l_returnflag",
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+        F.round("union_est", 2).alias("union_est"),
+        F.round("intersect_est", 2).alias("intersect_est"))

@@ -1197,3 +1197,209 @@ def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                        1024)
     return est.select("l_returnflag", F.round("distinct_est", 3)
                       .alias("distinct_est"), "n_seen")
+
+
+# ---------------------------------------------------------------------------
+# statistical / analytic pack
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS HUGEINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM v GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
+           CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+           SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)) AS std_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate pack: per-group mean / sample variance /
+    stddev / Pearson correlation. Native ``stddev``/``corr`` stream
+    doubles whose value depends on partition association order; here
+    every moment (Σx, Σx², Σxy) is an EXACT integer (decimal(38)
+    Spark-side, HUGEINT oracle-side), and the closed-form estimators
+    are single deterministic IEEE-754 expressions over those exact
+    moments — bit-identical across engines AND partition layouts.
+    One two-phase hash aggregate, map-side partials, no second pass
+    (vs the naive mean-then-residuals plan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    x = F.round(F.col("l_quantity")).cast(dec)
+    y = F.round(F.col("l_extendedprice") * 100).cast(dec)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"))
+    n = F.col("n").cast(dec)
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nn1 = (n * (n - 1)).cast("double")
+    return s.select(
+        "l_returnflag", "n",
+        (F.col("sx").cast("double") / F.col("n").cast("double"))
+        .alias("avg_qty"),
+        (dx / nn1).alias("var_qty"),
+        F.sqrt(dx / nn1).alias("std_qty"),
+        ((n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+         / (F.sqrt(dx) * F.sqrt(dy))).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type, value,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v3
+      FROM events),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(v3) AS sv,
+             SUM(v3 * v3) AS svv
+      FROM v GROUP BY event_type),
+    st AS (
+      SELECT event_type,
+             CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+             SQRT(CAST(n * svv - sv * sv AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE)) AS sd3
+      FROM s)
+    SELECT event_id, event_type, value
+    FROM v JOIN st USING (event_type)
+    WHERE ABS(CAST(v3 AS DOUBLE) - m3) > 3 * sd3
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value sits more than
+    3 sigma from its type's mean. Two narrow passes — a tiny
+    per-type moments aggregate (exact integer sums, one row per
+    type → broadcast), then a map-side filter join back: the 100 TB
+    scan is filtered without a shuffle. Moments use the same
+    exact-integer pattern as q_agg_stats so the sigma threshold —
+    and therefore outlier MEMBERSHIP — is partition- and
+    engine-independent."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", "event_type", "value",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v3"))
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v3").alias("sv"),
+        F.sum(F.col("v3") * F.col("v3")).alias("svv"))
+    st = s.select(
+        "event_type",
+        (F.col("sv").cast("double") / F.col("n").cast("double")).alias("m3"),
+        F.sqrt((F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+               .cast("double")
+               / (F.col("n") * (F.col("n") - 1)).cast("double")).alias("sd3"))
+    return (
+        v.join(F.broadcast(st), "event_type")
+        .filter(F.abs(F.col("v3").cast("double") - F.col("m3"))
+                > 3 * F.col("sd3"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q_join_fuzzy",
+    oracle="""
+    WITH dirty(dirty_name) AS (VALUES
+      ('NATION_1X'), ('NTION_7'), ('NATIONN_13'), ('XATION_21'),
+      ('NATION99')),
+    cand AS (
+      SELECT dirty_name, n_name,
+             levenshtein(dirty_name, n_name) AS dist
+      FROM dirty, nation
+      WHERE levenshtein(dirty_name, n_name) <= 2)
+    SELECT dirty_name, n_name AS matched, dist
+    FROM (SELECT cand.*, row_number() OVER (PARTITION BY dirty_name
+            ORDER BY dist, n_name) AS rk FROM cand) t
+    WHERE rk = 1
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension matching: resolve misspelled lookup keys to
+    their nearest dimension row by edit distance (threshold 2), with
+    a deterministic (distance, name) tie-break — the entity-
+    resolution shape for joining dirty external data to a curated
+    dimension. The dirty side is broadcast, so the plan is a
+    broadcast nested-loop join evaluating ``levenshtein`` JVM-side —
+    no shuffle of the dimension; at scale the SMALL side is always
+    the broadcast one and the big table streams."""
+    dirty = spark.createDataFrame(
+        [("NATION_1X",), ("NTION_7",), ("NATIONN_13",), ("XATION_21",),
+         ("NATION99",)], "dirty_name string")
+    nation = read_table(spark, sf_dir, "nation")
+    dist = F.levenshtein(F.col("dirty_name"), F.col("n_name"))
+    cand = nation.join(F.broadcast(dirty), dist <= 2) \
+        .select("dirty_name", "n_name", dist.alias("dist"))
+    w = Window.partitionBy("dirty_name").orderBy("dist", "n_name")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("dirty_name", F.col("n_name").alias("matched"), "dist")
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id)
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that click — the classic
+    product-analytics sequence-match. Each stage is a shrinking
+    per-user aggregate joined to the next event scan on user_id; the
+    survivor sets shrink monotonically, so at scale stages 2+ are
+    broadcast joins against an ever-smaller key set while the event
+    log streams map-side."""
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = ev.filter(F.col("event_type") == "click") \
+        .join(v, "user_id").filter(F.col("ts") > F.col("t1")) \
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .join(c, "user_id").filter(F.col("ts") > F.col("t2")) \
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")) \
+            .select(F.lit(label).alias("stage"), "n_users")
+
+    return stage(v, "1_view").unionByName(stage(c, "2_click")) \
+        .unionByName(stage(p, "3_purchase"))
