@@ -60,11 +60,14 @@ def skipping_stats(path: str, column: str) -> list[tuple]:
     of (file, row_group_index, min, max)."""
     import pyarrow.parquet as pq
 
+    paths: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        paths.extend(os.path.join(root, f) for f in files
+                     if f.endswith(".parquet"))
     out: list[tuple] = []
-    for fname in sorted(os.listdir(path)):
-        if not fname.endswith(".parquet"):
-            continue
-        meta = pq.ParquetFile(os.path.join(path, fname)).metadata
+    for fpath in sorted(paths):
+        fname = os.path.relpath(fpath, path)
+        meta = pq.ParquetFile(fpath).metadata
         col_idx = {meta.row_group(0).column(i).path_in_schema: i
                    for i in range(meta.num_columns)}[column]
         for rg in range(meta.num_row_groups):
@@ -80,3 +83,80 @@ def skip_fraction(stats: list[tuple], lo, hi) -> float:
         return 0.0
     skipped = sum(1 for (_, _, mn, mx) in stats if mx < lo or mn > hi)
     return skipped / len(stats)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton curve) multi-column clustering
+# ---------------------------------------------------------------------------
+
+def _morton_key(bucket_cols, bits: int):
+    """Interleave the low ``bits`` bits of each bucket column into one
+    Morton key — pure JVM bit arithmetic, whole-stage-codegen'd."""
+    from pyspark.sql import functions as F
+
+    c = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bucket_cols):
+            z = z + F.shiftleft(
+                F.shiftright(b.cast("long"), bit).bitwiseAND(1),
+                bit * c + i)
+    return z
+
+
+def zorder_write(df: DataFrame, path: str, zorder_cols: list[str],
+                 n_cells: int = 16, bits: int = 8,
+                 mode: str = "overwrite") -> None:
+    """Write ``df`` parquet clustered on a Z-order (Morton) curve over
+    ``zorder_cols`` — the multi-column complement of
+    :func:`cluster_write`. Lexicographic range clustering gives the
+    LEADING column tight min/max stats but lets every trailing column
+    span its full range in every file; interleaving the columns'
+    bucket bits gives every participating column partially-tight
+    stats, so a predicate on ANY of them skips row groups
+    (the multi-dimensional point/box-lookup layout).
+
+    Buckets are QUANTILE-based, not equi-width: one
+    ``approxQuantile`` pass (all columns at once) computes 2^bits - 1
+    boundaries per column, so skewed columns still fill the bucket
+    space evenly — equi-width Morton degenerates under skew (most
+    rows land in few buckets and the curve stops discriminating).
+    Bucket assignment is a fold over the broadcast boundary array
+    (O(2^bits) comparisons, JVM-side).
+
+    Files are CELL-ALIGNED: the top ``log2(n_cells)`` Morton bits
+    form a cell id written via ``partitionBy``, so every data file
+    spans exactly one Z-cell — each column's per-file min/max is one
+    contiguous 2^(bits - k/ncols)-bucket slice, never the straddled
+    span a sampled range shuffle produces (range boundaries almost
+    never land on cell boundaries, which halves the skip rate).
+    Quantile bucketing makes cells near-equal-sized by construction,
+    so the single ``repartition(n_cells)`` shuffle is balanced and
+    each cell is written by one task as ~one file. Size n_cells so
+    cells land near the 128 MB–1 GB file sweet spot at the target
+    scale. Numeric columns only.
+    """
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    probs = [j / n for j in range(1, n)]
+    all_bounds = df.stat.approxQuantile(
+        list(zorder_cols), probs, 1.0 / (4 * n))
+
+    def bucket_of(col: str, bounds: list[float]):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.aggregate(
+            arr, F.lit(0),
+            lambda acc, x: acc + F.when(
+                F.col(col).cast("double") >= x, 1).otherwise(0))
+
+    buckets = [bucket_of(col, bounds)
+               for col, bounds in zip(zorder_cols, all_bounds)]
+    total_bits = bits * len(zorder_cols)
+    k = min(max((n_cells - 1).bit_length(), 1), total_bits)
+    keyed = df.withColumn("_z", _morton_key(buckets, bits)) \
+              .withColumn("_zcell", F.shiftright(F.col("_z"),
+                                                 total_bits - k))
+    keyed.repartition(1 << k, "_zcell") \
+        .sortWithinPartitions("_zcell", "_z").drop("_z") \
+        .write.mode(mode).partitionBy("_zcell").parquet(path)

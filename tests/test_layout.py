@@ -74,3 +74,57 @@ class TestClusterWrite:
         b = li.agg(F.sum(F.round(F.col("l_extendedprice") * 100)
                          .cast("bigint"))).collect()[0][0]
         assert a == b
+
+
+class TestZOrderWrite:
+    @pytest.fixture(scope="class")
+    def zlayouts(self, spark, tmp_path_factory):
+        from tests.conftest import SF_ORACLE
+        from gasket_spark.operators.layout import zorder_write
+
+        li = read_table(spark, SF_ORACLE, "lineitem") \
+            .select("l_orderkey", "l_partkey", "l_suppkey")
+        base = tmp_path_factory.mktemp("zorder")
+        zpath = str(base / "z")
+        lexpath = str(base / "lex")
+        zorder_write(li, zpath, ["l_partkey", "l_suppkey"], n_cells=64)
+        cluster_write(li, lexpath, ["l_partkey", "l_suppkey"], n_files=64)
+        return zpath, lexpath
+
+    def _mid_range(self, spark, col):
+        from tests.conftest import SF_ORACLE
+        lo, hi = read_table(spark, SF_ORACLE, "lineitem") \
+            .stat.approxQuantile(col, [0.25, 0.5], 0.001)
+        return lo, hi
+
+    def test_zorder_skips_on_both_columns(self, spark, zlayouts):
+        """A quartile-wide predicate on EITHER z-order column must
+        skip at least half the row groups — the property lexicographic
+        sort only provides for its leading column."""
+        zpath, _ = zlayouts
+        for col in ("l_partkey", "l_suppkey"):
+            lo, hi = self._mid_range(spark, col)
+            frac = skip_fraction(skipping_stats(zpath, col), lo, hi)
+            assert frac >= 0.5, (col, frac)
+
+    def test_lexicographic_cannot_skip_trailing_column(self, spark,
+                                                       zlayouts):
+        """Control: the same quartile predicate on the TRAILING
+        lexicographic sort column skips ~nothing (every file spans the
+        full suppkey range) — the gap z-ordering exists to close."""
+        _, lexpath = zlayouts
+        lo, hi = self._mid_range(spark, "l_suppkey")
+        frac = skip_fraction(skipping_stats(lexpath, "l_suppkey"), lo, hi)
+        assert frac <= 0.25, frac
+
+    def test_zorder_preserves_data(self, spark, zlayouts):
+        from tests.conftest import SF_ORACLE
+        zpath, _ = zlayouts
+        li = read_table(spark, SF_ORACLE, "lineitem")
+        back = spark.read.parquet(zpath)
+        # _zcell is the cell-id layout column (a partition directory,
+        # usable for coarse pruning) — not part of the logical data
+        assert set(back.columns) - set(li.columns) == {"_zcell"}
+        assert back.count() == li.count()
+        assert back.agg(F.sum("l_partkey")).collect()[0][0] == \
+            li.agg(F.sum("l_partkey")).collect()[0][0]
