@@ -177,3 +177,27 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
     df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def read_parquet_evolving(spark: SparkSession, path: str,
+                          schema: StructType | str | None = None) -> DataFrame:
+    """Parquet scan across batches whose schemas DRIFTED (columns added
+    over time — the normal life of a long-running ingest directory).
+
+    Two modes, both single-pass over data:
+
+    * ``schema=None``: ``mergeSchema`` — Spark unions the footer
+      schemas of all files (a metadata-only pass, parallelized over
+      footers) and reads every batch against the union; columns a
+      batch predates come back null. Use for exploration.
+    * pinned ``schema``: the production path — the scan is planned
+      against the contract schema directly (no footer union pass);
+      files missing a contract column yield nulls for it, and columns
+      a file has that the contract dropped are simply never read
+      (column pruning). Deterministic regardless of what drifted
+      files contain — at 100 TB, pin.
+    """
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).parquet(path)
+    return reader.option("mergeSchema", "true").parquet(path)

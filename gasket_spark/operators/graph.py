@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gasket_spark.utils import persisted
+
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
@@ -35,34 +37,36 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist()
     )
-    labels = (
-        sym.select(F.col("u").alias("v")).distinct()
-        .withColumn("label", F.col("v"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.select(F.col("v").alias("u"), "label"), "u")
-            .groupBy("v").agg(F.min("label").alias("nbr_label"))
+    # sym is re-joined every round; labels are localCheckpoint'ed
+    # (materialized) each round, so sym's cache can be released the
+    # moment the loop exits — scope-bound, not LRU-bound.
+    with persisted(sym):
+        labels = (
+            sym.select(F.col("u").alias("v")).distinct()
+            .withColumn("label", F.col("v"))
+            .localCheckpoint()
         )
-        new_labels = (
-            labels.join(nbr_min, "v", "left")
-            .select("v", F.least(
-                "label", F.coalesce("nbr_label", "label")).alias("label"))
-            .localCheckpoint()  # truncate lineage each round
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels.select(F.col("v").alias("u"), "label"), "u")
+                .groupBy("v").agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "v", "left")
+                .select("v", F.least(
+                    "label", F.coalesce("nbr_label", "label")).alias("label"))
+                .localCheckpoint()  # truncate lineage each round
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
     return labels.select("v", F.col("label").alias("component_id"))
 
 

@@ -1,0 +1,64 @@
+"""Schema-evolution reads: a long-running ingest directory accumulates
+batches written under drifting schemas; the scan must read them all
+without rewriting old data (at 100 TB, rewriting is the thing you
+never get to do)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gasket_spark.io import read_parquet_evolving
+
+
+@pytest.fixture(scope="module")
+def drifted_dir(spark, tmp_path_factory):
+    """Three batches of one logical table, schema drifting over time:
+    v1 (id, val) → v2 adds source → v3 reorders columns."""
+    base = str(tmp_path_factory.mktemp("evolve") / "t")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, val double"
+    ).write.parquet(base + "/batch=1")
+    spark.createDataFrame(
+        [(3, 30.0, "s1")], "id bigint, val double, source string"
+    ).write.parquet(base + "/batch=2")
+    spark.createDataFrame(
+        [("s2", 4, 40.0)], "source string, id bigint, val double"
+    ).write.parquet(base + "/batch=3")
+    return base
+
+
+class TestMergeSchema:
+    def test_union_schema_with_nulls_for_predating_batches(
+            self, spark, drifted_dir):
+        df = read_parquet_evolving(spark, drifted_dir)
+        assert set(df.columns) == {"id", "val", "source", "batch"}
+        rows = {r.id: r for r in df.collect()}
+        assert len(rows) == 4
+        assert rows[1].source is None          # batch 1 predates source
+        assert rows[3].source == "s1"
+        assert rows[4].source == "s2"          # column order irrelevant
+
+    def test_aggregates_span_all_batches(self, spark, drifted_dir):
+        df = read_parquet_evolving(spark, drifted_dir)
+        assert df.agg(F.sum("val")).collect()[0][0] == 100.0
+
+
+class TestPinnedSchema:
+    def test_contract_schema_reads_drifted_files(self, spark, drifted_dir):
+        """Production path: plan against the contract schema, no
+        footer-union pass; files missing a contract column yield
+        nulls, dropped columns are never read."""
+        df = read_parquet_evolving(
+            spark, drifted_dir, "id bigint, source string")
+        # directory partition columns (batch=N) are discovered and
+        # appended regardless of the pinned file schema
+        assert df.columns == ["id", "source", "batch"]
+        rows = {r.id: r.source for r in df.collect()}
+        assert rows == {1: None, 2: None, 3: "s1", 4: "s2"}
+
+    def test_pinned_schema_prunes_scan(self, spark, drifted_dir):
+        """The read schema in the physical plan carries only the
+        contract columns — `val` is never decoded."""
+        df = read_parquet_evolving(spark, drifted_dir, "id bigint")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "val" not in plan
