@@ -131,18 +131,23 @@ _STREAM_SEQ = [0]
 _REPLAY_WM = "90 days"
 
 
-def _events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_as_stream(spark: SparkSession, sf_dir: str,
+                      copies: int = 1) -> DataFrame:
     """Serialize the events fixture to NDJSON in a temp dir and open it
     as a file stream — the replayable on-ramp (at scale: Kafka/object
-    store; the downstream plan is source-agnostic)."""
+    store; the downstream plan is source-agnostic). ``copies > 1``
+    replays every record that many times (an at-least-once source)."""
+    import functools
     import tempfile
 
     from gasket_spark.streaming.core import TS_FORMAT_US, read_events_stream
 
     ev = read_table(spark, sf_dir, "events")
+    rep = functools.reduce(lambda a, _: a.unionByName(ev),
+                           range(copies - 1), ev)
     out = tempfile.mkdtemp(prefix="gasket_stream_")
-    ev.select(F.to_json(F.struct(*ev.columns),
-                        {"timestampFormat": TS_FORMAT_US}).alias("value")) \
+    rep.select(F.to_json(F.struct(*ev.columns),
+                         {"timestampFormat": TS_FORMAT_US}).alias("value")) \
         .repartition(8).write.mode("overwrite").text(out)
     return read_events_stream(spark, out, max_files_per_trigger=2)
 
@@ -273,3 +278,56 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 watermark=_REPLAY_WM),
                              _unique_name("t_oracle_session"),
                              output_mode="complete")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join executed BY Structured Streaming: two
+    independent file streams (purchases, clicks) joined on user with a
+    relative time bound, each side buffering the other in the state
+    store until the watermark evicts — hash-verified against the batch
+    self-join oracle. The attribution/enrichment shape that batch
+    twins can't fake: rows only emit when BOTH sides' micro-batches
+    have delivered."""
+    from gasket_spark.streaming.core import (
+        run_to_completion, stream_stream_join)
+
+    joined = stream_stream_join(
+        _events_as_stream(spark, sf_dir),
+        _events_as_stream(spark, sf_dir),
+        watermark=_REPLAY_WM)
+    return run_to_completion(joined, _unique_name("t_oracle_ssjoin"),
+                             output_mode="append")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under at-least-once delivery: every
+    fixture record is replayed TWICE (duplicated source files), and
+    ``dropDuplicates`` state must emit each exactly once across
+    micro-batches — the exactly-once lift every real ingest needs,
+    hash-verified against the batch distinct oracle."""
+    from gasket_spark.streaming.core import (
+        run_to_completion, streaming_dedup)
+
+    stream = _events_as_stream(spark, sf_dir, copies=2)
+    deduped = streaming_dedup(stream, keys=["event_id"],
+                              watermark=_REPLAY_WM)
+    out = run_to_completion(deduped, _unique_name("t_oracle_sdedup"),
+                            output_mode="append")
+    return out.select("event_id", "user_id", "event_type", "value")

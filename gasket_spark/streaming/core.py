@@ -229,3 +229,34 @@ def run_pipeline_streaming(engine, name: str, source: DataFrame,
         sink(out, batch_id)
 
     return source.writeStream.foreachBatch(_apply).start()
+
+
+def stream_stream_join(purchases: DataFrame, clicks: DataFrame,
+                       watermark: str = "2 hours",
+                       lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the ``lookback`` window before it (the streaming
+    attribution shape). BOTH sides are watermarked and the join
+    condition bounds the two event times relative to each other —
+    that pair of constraints is what lets the state store EVICT: a
+    buffered click can only ever match purchases within lookback
+    after it, so once the purchase watermark passes that horizon the
+    click's state is dropped. Without the time bound, stream-stream
+    join state grows without limit — the at-scale failure mode.
+    """
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("p_ts")))
+    c = (clicks.filter(F.col("event_type") == "click")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user_id"),
+                 F.col("ts").alias("c_ts")))
+    return (
+        p.join(c, (F.col("user_id") == F.col("c_user_id"))
+               & (F.col("c_ts") < F.col("p_ts"))
+               & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+                   f"INTERVAL {lookback}")))
+        .select("purchase_id", "click_id", "user_id")
+    )
