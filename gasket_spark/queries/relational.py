@@ -1403,3 +1403,37 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stage(v, "1_view").unionByName(stage(c, "2_click")) \
         .unionByName(stage(p, "3_purchase"))
+
+
+@query(
+    "q_incr_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             AS DOUBLE) / 100.0 AS DOUBLE) AS sum_v,
+           CAST(CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             AS DOUBLE) / 100.0 AS DOUBLE) AS min_v,
+           CAST(CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             AS DOUBLE) / 100.0 AS DOUBLE) AS max_v,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_v
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the corpus arrives as three
+    disjoint batches (split by order key residue); each batch is
+    partial-aggregated ONCE into a mergeable state table, the states
+    merge by the distributive laws, and the final read derives
+    count/sum/min/max/mean — hash-identical to aggregating the full
+    corpus in one pass (the oracle), which is the exact-merge-law
+    guarantee that lets a 100 TB corpus maintain statistics at
+    batch-sized cost (operators/incremental.py)."""
+    from gasket_spark.operators.incremental import (
+        finalize, merge_states, partial_agg)
+
+    li = read_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    batches = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    states = [partial_agg(b, keys, "l_extendedprice") for b in batches]
+    return finalize(merge_states(*states))
