@@ -189,3 +189,85 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, group_cols: list[str],
         jac.alias("jaccard_est"),
         union_est.alias("union_est"),
         (jac * union_est).alias("intersect_est"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable per-item frequency estimates
+# ---------------------------------------------------------------------------
+#
+# KMV answers distinct-count and set overlap; count-min answers "how
+# often does ITEM x occur" from a fixed-size state, with one-sided
+# error (never underestimates; overestimates by at most eN with
+# probability 1-delta, w = e/eps, d = ln(1/delta)). The sketch is
+# depth-d rows of width-w counters; here each row is a SPARSE map
+# (bucket -> count) since fixture-scale groups touch few buckets —
+# the dense array is the same law with a different storage choice.
+# Merge is entrywise addition, which is EXACT: cms(A) + cms(B) is the
+# very sketch cms(A ∪ B) would have produced (tested), so per-batch
+# sketches roll up like the KMV/quantile states.
+
+
+def cms_sketch(df: DataFrame, group_cols: list[str], value_col: str,
+               depth: int = 4, width: int = 1024) -> DataFrame:
+    """Per-group count-min sketch of ``value_col`` occurrences.
+    Returns (group_cols…, sketch: array<map<int,long>>) with
+    ``sketch[j]`` the j-th hash row. One explode (×depth) + one
+    two-phase count aggregate + two reshape aggs — all JVM-side;
+    xxhash64(value, j) provides the d independent hash functions."""
+    probes = df.select(
+        *group_cols, F.col(value_col).alias("_v"),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("_j"))
+    counts = probes.groupBy(
+        *group_cols, "_j",
+        F.pmod(F.xxhash64(F.col("_v"), F.col("_j")), F.lit(width))
+        .cast("int").alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    rows = counts.groupBy(*group_cols, "_j").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("_b", "_c"))))
+        .alias("_row"))
+    return rows.groupBy(*group_cols).agg(
+        F.transform(
+            # array_sort with an explicit comparator: structs holding
+            # maps have no natural ordering, but we only order by _j
+            F.array_sort(
+                F.collect_list(F.struct("_j", "_row")),
+                lambda a, b: a.getField("_j") - b.getField("_j")),
+            lambda s: s.getField("_row")).alias("sketch"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame,
+              group_cols: list[str]) -> DataFrame:
+    """Entrywise-add two sketch tables (exact merge law); groups
+    present on one side pass through unchanged."""
+    joined = a.withColumnRenamed("sketch", "_sa").join(
+        b.withColumnRenamed("sketch", "_sb"), group_cols, "full")
+    add = F.zip_with(
+        "_sa", "_sb",
+        lambda ma, mb: F.map_zip_with(
+            ma, mb,
+            lambda _k, x, y: F.coalesce(x, F.lit(0))
+            + F.coalesce(y, F.lit(0))))
+    return joined.select(
+        *group_cols,
+        F.when(F.col("_sa").isNull(), F.col("_sb"))
+        .when(F.col("_sb").isNull(), F.col("_sa"))
+        .otherwise(add).alias("sketch"))
+
+
+def cms_estimate(sketches: DataFrame, items: DataFrame,
+                 item_col: str, width: int = 1024) -> DataFrame:
+    """Point-query frequency estimates: for every (group, item) pair,
+    min over the d hash rows of that row's counter —
+    ``min_j sketch[j][h_j(item)]``. ``items`` is expected to be small
+    (it is broadcast); absent buckets read as 0."""
+    probed = sketches.join(F.broadcast(items))
+    est = F.array_min(F.transform(
+        "sketch",
+        lambda m, j: F.coalesce(
+            F.element_at(m, F.pmod(
+                F.xxhash64(F.col(item_col), j), F.lit(width)).cast("int")),
+            F.lit(0))))
+    return probed.select(
+        *[c for c in probed.columns if c != "sketch"],
+        est.alias("freq_est"))

@@ -947,3 +947,27 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard_est", 4).alias("jaccard_est"),
         F.round("union_est", 2).alias("union_est"),
         F.round("intersect_est", 2).alias("intersect_est"))
+
+
+@query("q_cms_freq")  # rows-only: counter layout is hash-specific
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable term-frequency sketch: build a per-language count-min
+    sketch over document tokens (one fixed-size state per language,
+    entrywise-add merge law tested exact in tests/test_sketch.py),
+    then point-query the corpus's top terms against it. At 100 TB
+    the sketch replaces a full token groupBy for frequency probes:
+    per-batch sketches roll up at state-size cost, and any term's
+    frequency is answered from d map lookups — never a rescan."""
+    from gasket_spark.operators.sketch import cms_estimate, cms_sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")) \
+        .filter(F.length("tok") > 0)
+    sk = cms_sketch(toks, ["lang"], "tok", depth=4, width=1024)
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok").limit(10).select("tok")
+    )
+    return cms_estimate(sk, top, "tok", width=1024) \
+        .select("lang", "tok", "freq_est")

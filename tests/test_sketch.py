@@ -125,3 +125,49 @@ class TestKMVSetAlgebra:
         true_i = len(pa & pb)
         assert abs(est.jaccard_est - true_j) < 0.1
         assert abs(est.intersect_est - true_i) / true_i < 0.15
+
+
+class TestCountMinSketch:
+    def _tokens(self, spark, lineitem):
+        # token stream: one row per (flag, part key occurrence)
+        return lineitem.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_partkey").alias("tok"))
+
+    def test_never_underestimates_and_is_tight_for_heavy_items(
+            self, spark, lineitem):
+        from gasket_spark.operators.sketch import cms_estimate, cms_sketch
+
+        toks = self._tokens(spark, lineitem)
+        sk = cms_sketch(toks, ["g"], "tok", depth=4, width=1024)
+        true = toks.groupBy("g", "tok").agg(
+            F.count(F.lit(1)).alias("true_n"))
+        top = true.orderBy(F.desc("true_n"), "g", "tok").limit(20)
+        est = cms_estimate(sk, top.withColumnRenamed("g", "gg"),
+                           "tok", width=1024) \
+            .filter(F.col("g") == F.col("gg"))
+        rows = est.collect()
+        assert len(rows) == 20
+        n_total = toks.count()
+        for r in rows:
+            assert r.freq_est >= r.true_n, (r.tok, r.freq_est, r.true_n)
+            # CMS bound: overestimate < e/width * N with high prob
+            assert r.freq_est - r.true_n <= 2.72 / 1024 * n_total * 2
+
+    def test_merge_law_is_exact(self, spark, lineitem):
+        """cms(A) + cms(B) must equal cms(A ∪ B) EXACTLY — sketch
+        equality, not estimate equality."""
+        from gasket_spark.operators.sketch import cms_merge, cms_sketch
+
+        toks = self._tokens(spark, lineitem)
+        a = toks.filter(F.col("tok") % 2 == 0)
+        b = toks.filter(F.col("tok") % 2 == 1)
+        merged = cms_merge(cms_sketch(a, ["g"], "tok"),
+                           cms_sketch(b, ["g"], "tok"), ["g"])
+        full = cms_sketch(toks, ["g"], "tok")
+
+        def canon(df):
+            return {r.g: [sorted(m.items()) for m in r.sketch]
+                    for r in df.collect()}
+
+        assert canon(merged) == canon(full)
