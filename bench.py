@@ -43,6 +43,10 @@ HEADLINE: dict[str, str] = {
     "q_sim_topk": "count",
     "q_sim_ann": "count",
     "q_udf_module": "count",
+    "q_agg_stats": "collect",
+    "q_anomaly_zscore": "count",
+    "q_funnel": "collect",
+    "q_incr_agg": "collect",
 }
 
 

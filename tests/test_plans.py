@@ -106,3 +106,29 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestNewQueryPlanContracts:
+    def test_agg_stats_is_two_phase_single_pass(self, spark):
+        """All six moments come from ONE two-phase hash aggregate —
+        no second scan, no sort."""
+        plan = _plan(QUERIES["q_agg_stats"](spark, SF_SMALL))
+        # tree-form node counts ("Name (id)"): exactly one partial +
+        # one final aggregate around exactly one exchange
+        assert plan.count("HashAggregate (") == 2
+        assert plan.count("Exchange (") == 1
+        assert "SortAggregate" not in plan
+
+    def test_anomaly_zscore_broadcasts_moments(self, spark):
+        """The per-type moments table (5 rows) must broadcast back
+        over the event scan — the corpus side never shuffles."""
+        plan = _plan(QUERIES["q_anomaly_zscore"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_fuzzy_join_broadcasts_dirty_side(self, spark):
+        """Edit-distance matching is a broadcast nested-loop join of
+        the tiny dirty-keys side against the streaming dimension."""
+        plan = _plan(QUERIES["q_join_fuzzy"](spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
