@@ -971,3 +971,104 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cms_estimate(sk, top, "tok", width=1024) \
         .select("lang", "tok", "freq_est")
+
+
+@query(
+    "q_vocab_build",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT tok, COUNT(*) AS n FROM toks
+      WHERE length(tok) > 0 GROUP BY tok HAVING COUNT(*) >= 5)
+    SELECT tok, n,
+           CAST(row_number() OVER (ORDER BY n DESC, tok ASC) - 1
+             AS BIGINT) AS token_id
+    FROM counts
+    """,
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tokenizer-vocabulary construction: corpus token
+    counts, a min-frequency cut, and stable id assignment by
+    (count desc, token asc) — the id mapping every training run must
+    reproduce bit-identically. The count aggregate is corpus-sized
+    (two-phase, map-side partial); the id window runs over the
+    VOCAB-sized survivor set only — at 100 TB the vocabulary is
+    still ~10^5-10^6 rows, so the single-partition window is over
+    megabytes, never the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return counts.select(
+        "tok", "n",
+        (F.row_number().over(w) - 1).cast("bigint").alias("token_id"))
+
+
+@query(
+    "q_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+    bg AS (
+      SELECT ts[i] AS t1, ts[i + 1] AS t2
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 1)) AS i)),
+    c12 AS (SELECT t1, t2, COUNT(*) AS n12 FROM bg GROUP BY t1, t2),
+    c1 AS (SELECT t1 AS t, COUNT(*) AS n1 FROM bg GROUP BY t1),
+    c2 AS (SELECT t2 AS t, COUNT(*) AS n2 FROM bg GROUP BY t2),
+    tot AS (SELECT COUNT(*) AS n FROM bg)
+    SELECT t1, t2, n12,
+           round(ln(CAST(n12 * n AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)),
+                 6) AS pmi
+    FROM c12, tot
+    JOIN c1 ON c1.t = c12.t1
+    JOIN c2 ON c2.t = c12.t2
+    WHERE n12 >= 5
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information —
+    the phrase-detection signal (high PMI = tokens that co-occur far
+    more than chance; the classic word2vec-phrases / quality-filter
+    preprocessing step). The corpus is shuffled ONCE (the bigram
+    count); unigram marginals and the corpus total are derived from
+    the bigram table itself (vocab²-sized, not corpus-sized), so the
+    plan is one corpus-scale aggregate + sketch-sized joins. All
+    counts are exact integers; PMI is ONE log of a ratio of exact
+    integer products, rounded to 1e-6 so the cross-engine hash is
+    stable (libm ln can differ in the last ulp). The unigram tables
+    broadcast; top-20 is TakeOrdered, never a global sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    bg = docs.select(
+        F.explode(F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("t1"), b.alias("t2"))))
+        .alias("p")
+    ).select("p.t1", "p.t2")
+    c12 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("t1").agg(F.sum("n12").alias("n1")) \
+        .withColumnRenamed("t1", "tt1")
+    c2 = c12.groupBy("t2").agg(F.sum("n12").alias("n2")) \
+        .withColumnRenamed("t2", "tt2")
+    tot = c12.agg(F.sum("n12").alias("nn"))
+    pmi = F.round(F.log(
+        (F.col("n12") * F.col("nn")).cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double")), 6)
+    return (
+        c12.filter(F.col("n12") >= 5)
+        .join(F.broadcast(c1), F.col("t1") == F.col("tt1"))
+        .join(F.broadcast(c2), F.col("t2") == F.col("tt2"))
+        .crossJoin(F.broadcast(tot))
+        .select("t1", "t2", "n12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "t1", "t2").limit(20)
+    )

