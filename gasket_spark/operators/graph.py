@@ -80,3 +80,64 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     return labeled.filter(
         F.col("component_id").isNull()
         | (F.col(id_col) == F.col("component_id"))).drop("component_id")
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, max_iter: int = 20) -> DataFrame:
+    """PageRank in FIXED-POINT arithmetic: ranks are longs in
+    micro-units (1e12 = mass 1.0), contributions use integer floor
+    division, and every per-iteration sum is an integer sum — so the
+    fixpoint is bit-identical under any partitioning (a double-sum
+    PageRank drifts with association order, which would make results
+    flap between runs and cluster layouts). The tiny mass lost to
+    floor division decays the total by < |V| ulp per round —
+    deterministic, and irrelevant to ranking.
+
+    Shape per iteration: one join (ranks → out-edges) + one groupBy
+    (contributions by target) + the dangling-mass scalar — two
+    shuffles over edge-sized data, lineage truncated per round
+    (``localCheckpoint``), edges cached for the loop's lifetime only
+    (scope-bound). Returns (v, rank) with rank scaled back to
+    doubles summing ≈ 1."""
+    SCALE = 1_000_000_000_000
+    out = (edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+           .distinct())
+    verts = (out.select(F.col("u").alias("v"))
+             .unionByName(out.select(F.col("w").alias("v")))
+             .distinct())
+    deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    with persisted(out, verts, deg):
+        n = verts.count()
+        d_num, d_den = int(damping * 100), 100
+        ranks = verts.withColumn(
+            "r", F.lit(SCALE // n).cast("long")).localCheckpoint()
+        for _ in range(max_iter):
+            contrib = (
+                out.join(deg, "u").join(
+                    ranks.withColumnRenamed("v", "u"), "u")
+                .select("w", (F.col("r") / F.col("deg"))
+                        .cast("long").alias("c"))
+                .groupBy("w").agg(F.sum("c").alias("in_mass"))
+            )
+            # one scalar pass: total mass + mass on nodes with out-links
+            total, linked = (
+                ranks.join(deg.select(F.col("u").alias("v"), "deg"),
+                           "v", "left")
+                .agg(F.sum("r"),
+                     F.sum(F.when(F.col("deg").isNotNull(), F.col("r"))
+                           .otherwise(F.lit(0))))
+                .collect()[0]
+            )
+            dangling = total - (linked or 0)
+            base = (total - total * d_num // d_den
+                    + dangling * d_num // d_den) // n
+            ranks = (
+                verts.join(contrib.withColumnRenamed("w", "v"), "v", "left")
+                .select("v", (F.lit(base) + F.coalesce("in_mass", F.lit(0))
+                              * d_num / d_den)
+                        .cast("long").alias("r"))
+                .localCheckpoint()
+            )
+    return ranks.select(
+        "v", (F.col("r").cast("double") / F.lit(float(SCALE)))
+        .alias("rank"))

@@ -1437,3 +1437,25 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
     states = [partial_agg(b, keys, "l_extendedprice") for b in batches]
     return finalize(merge_states(*states))
+
+
+@query("q_pagerank")  # rows-only: iterative fixpoint, not SQL-expressible
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part↔supplier co-purchase graph
+    (both directions of every lineitem part-supplier edge): the
+    iterative-fixpoint shape (operators/graph.py) that SQL can't
+    express. Fixed-point integer arithmetic makes the result
+    bit-identical under any partitioning (tested in
+    tests/test_graph.py); top-20 by (rank desc, vertex) is
+    deterministic."""
+    from gasket_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p2s = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+    edges = p2s.unionByName(
+        p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, max_iter=8)
+    return ranks.orderBy(F.desc("rank"), "v").limit(20) \
+        .select("v", F.round("rank", 9).alias("rank"))
