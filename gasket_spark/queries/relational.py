@@ -1459,3 +1459,143 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(edges, max_iter=8)
     return ranks.orderBy(F.desc("rank"), "v").limit(20) \
         .select("v", F.round("rank", 9).alias("rank"))
+
+
+@query(
+    "q_join_not_in",
+    oracle="""
+    WITH probe AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_custkey END AS cust
+      FROM orders),
+    excl AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    SELECT COUNT(*) AS n_kept
+    FROM probe
+    WHERE cust NOT IN (SELECT c_custkey FROM excl)
+    """,
+)
+def q_join_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with NULLs — the classic three-valued-logic trap: a NULL
+    probe key can never satisfy NOT IN (comparison is UNKNOWN), so
+    such rows are dropped even though no exclusion row 'matches' them.
+    Spark plans this as a null-aware anti join; a plain left_anti
+    would WRONGLY keep the null-key rows. Both engines must agree on
+    the trap's semantics — parity evidence a nulls-free fixture can't
+    give, so the probe side nullifies every 97th key in-plan."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("cust")
+    ).createOrReplaceTempView("_probe_not_in")
+    cust.filter(F.col("c_acctbal") < 0) \
+        .select("c_custkey").createOrReplaceTempView("_excl_not_in")
+    # NOT IN subqueries aren't expressible in the DataFrame DSL;
+    # spark.sql over temp views IS the DataFrame API's SQL door and
+    # plans identically (null-aware anti join).
+    return spark.sql("""
+        SELECT COUNT(*) AS n_kept FROM _probe_not_in
+        WHERE cust NOT IN (SELECT c_custkey FROM _excl_not_in)
+    """)
+
+
+@query(
+    "q_group_ols",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS HUGEINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM v GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM s
+    """,
+)
+def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fitting without a UDF: closed-form simple
+    linear regression (price-cents on quantity) from the same exact
+    integer moments as q_agg_stats — slope and intercept are single
+    deterministic IEEE expressions over exact sums, so thousands of
+    per-group models fit in ONE two-phase aggregate pass (the
+    grouped-sklearn shape, minus the Python workers)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    x = F.round(F.col("l_quantity")).cast(dec)
+    y = F.round(F.col("l_extendedprice") * 100).cast(dec)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"))
+    n = F.col("n").cast(dec)
+    slope = ((n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+             / (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+             .cast("double"))
+    intercept = ((F.col("sy").cast("double")
+                  - slope * F.col("sx").cast("double"))
+                 / F.col("n").cast("double"))
+    return s.select("l_returnflag", "n", slope.alias("slope_cents"),
+                    intercept.alias("intercept_cents"))
+
+
+@query(
+    "q_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n,
+           COUNT(o_custkey) AS n_nonnull,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pack: per-column row/non-null/distinct counts +
+    extrema (stringified; doubles via integer cents so the text is
+    engine-stable) — the schema-audit pass every new 100 TB corpus
+    gets first. One scan per profiled column family here for oracle
+    clarity; the production variant fuses all columns into one pass
+    of struct-typed aggregates."""
+    orders = read_table(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax):
+        return orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            minmax(F.min(col)).alias("min_v"),
+            minmax(F.max(col)).alias("max_v"),
+        ).select(F.lit(col).alias("col"), "n", "n_nonnull",
+                 "n_distinct", "min_v", "max_v")
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    cents_str = lambda c: F.round(c * 100).cast("bigint").cast("string")  # noqa: E731
+    return (
+        prof("o_custkey", as_str)
+        .unionByName(prof("o_orderstatus", as_str))
+        .unionByName(prof("o_totalprice", cents_str))
+    )

@@ -62,3 +62,21 @@ class TestPinnedSchema:
         df = read_parquet_evolving(spark, drifted_dir, "id bigint")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "val" not in plan
+
+
+class TestTypeWidening:
+    def test_pinned_wider_schema_upcasts_old_batches(
+            self, spark, tmp_path_factory):
+        """Type drift: a column written as int in early batches and
+        bigint later must read uniformly under the WIDER pinned
+        contract (parquet int32 upcasts to long at scan time — no
+        rewrite of old data)."""
+        base = str(tmp_path_factory.mktemp("widen") / "t")
+        spark.createDataFrame([(1, 10)], "id bigint, v int") \
+            .write.parquet(base + "/batch=1")
+        spark.createDataFrame([(2, 2**40)], "id bigint, v bigint") \
+            .write.parquet(base + "/batch=2")
+        df = read_parquet_evolving(spark, base, "id bigint, v bigint")
+        rows = {r.id: r.v for r in df.collect()}
+        assert rows == {1: 10, 2: 2**40}
+        assert dict(df.dtypes)["v"] == "bigint"
