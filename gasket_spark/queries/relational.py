@@ -758,23 +758,20 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide): order totals by priority × status. The pivot
-    value list is EXPLICIT — omitting it costs an extra collect-distinct
-    job and makes the output schema data-dependent, both wrong at
-    scale. Compiles to one conditional hash aggregate (no extra
-    shuffle vs a plain groupBy)."""
+    """Pivot (long→wide): order totals by priority × status, as ONE
+    conditional hash aggregate — ``sum(when(status == v, x))`` per
+    explicit pivot value. The native ``groupBy().pivot()`` compiles to
+    TWO stacked aggregates (pre-agg by (key, pivot) then pivotfirst =
+    two shuffles); the conditional form is a single two-phase agg with
+    one exchange, and the explicit value list keeps the output schema
+    data-independent (a dynamic pivot costs a collect-distinct job
+    first — both wrong at scale)."""
     od = read_table(spark, sf_dir, "orders")
-    piv = (
-        od.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(money_sum(F.col("o_totalprice")))
-    )
-    return piv.select(
-        "o_orderpriority",
-        F.col("F").alias("F_total"),
-        F.col("O").alias("O_total"),
-        F.col("P").alias("P_total"),
-    )
+    return od.groupBy("o_orderpriority").agg(*[
+        money_sum(F.when(F.col("o_orderstatus") == v,
+                         F.col("o_totalprice")))
+        .alias(f"{v}_total")
+        for v in ("F", "O", "P")])
 
 
 @query(

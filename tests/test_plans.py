@@ -132,3 +132,10 @@ class TestNewQueryPlanContracts:
         plan = _plan(QUERIES["q_join_fuzzy"](spark, SF_SMALL))
         assert "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_pivot_is_single_conditional_aggregate(self, spark):
+        """Conditional-aggregate pivot: ONE two-phase agg, one
+        exchange — not the stacked pair native pivot() compiles to."""
+        plan = _plan(QUERIES["q_pivot"](spark, SF_SMALL))
+        assert plan.count("HashAggregate (") == 2
+        assert plan.count("Exchange (") == 1
