@@ -1055,7 +1055,13 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("t1"), b.alias("t2"))))
         .alias("p")
     ).select("p.t1", "p.t2")
-    c12 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+    # persist: four consumers (pairs, both marginals, the total) read
+    # the bigram table — without the pin, Catalyst re-executes the
+    # corpus-scale bigram shuffle once PER consumer (verified:
+    # ReusedExchange does not fire across these subplans). The cache
+    # is vocab²-sized, not corpus-sized; lifetime is LRU.
+    c12 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12")) \
+        .persist()
     c1 = c12.groupBy("t1").agg(F.sum("n12").alias("n1")) \
         .withColumnRenamed("t1", "tt1")
     c2 = c12.groupBy("t2").agg(F.sum("n12").alias("n2")) \
@@ -1072,3 +1078,50 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t1", "t2", "n12", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "t1", "t2").limit(20)
     )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts
+      FROM documents),
+    tg AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 2)) AS i)),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_tri,
+             COUNT(DISTINCT g) AS n_uniq
+      FROM tg GROUP BY doc_id)
+    SELECT doc_id, n_tri, n_uniq,
+           round(1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_tri AS DOUBLE), 6)
+             AS rep_ratio
+    FROM per WHERE n_tri >= 10
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring: the fraction of a document's
+    trigrams that are duplicates of earlier ones — the classic
+    boilerplate/spam signal (quality-filter pipelines drop docs whose
+    repeated-n-gram mass is high). Trigrams are built with JVM array
+    HOFs (zip_with over shifted slices — no Python), counted per doc
+    with one two-phase aggregate; the ratio is a single IEEE division
+    of exact counts rounded to 1e-6 for the cross-engine hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    n3 = F.greatest(F.size(t) - 2, F.lit(0))
+    tri = docs.select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.zip_with(F.slice(t, 1, n3), F.slice(t, 2, n3),
+                       lambda a, b: F.concat_ws(" ", a, b)),
+            F.slice(t, 3, n3),
+            lambda ab, c: F.concat_ws(" ", ab, c))).alias("g"))
+    per = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.countDistinct("g").alias("n_uniq"))
+    return per.filter(F.col("n_tri") >= 10).select(
+        "doc_id", "n_tri", "n_uniq",
+        F.round(F.lit(1.0) - F.col("n_uniq").cast("double")
+                / F.col("n_tri").cast("double"), 6).alias("rep_ratio"))
