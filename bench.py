@@ -47,6 +47,7 @@ HEADLINE: dict[str, str] = {
     "q_anomaly_zscore": "count",
     "q_funnel": "collect",
     "q_incr_agg": "collect",
+    "q_pipeline_curate": "collect",
 }
 
 

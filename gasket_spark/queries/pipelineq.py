@@ -153,3 +153,75 @@ def q_cmd_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = eng.pipe("shout", input_df=src)
     return out.select(F.col("value").alias("line")).filter(
         F.col("line").contains("R_NAME"))
+
+
+# ---------------------------------------------------------------------------
+# the flagship composition: a training-data curation pipeline run
+# THROUGH the gasket Engine (the whole point of the rebuild — gasket's
+# composition vocabulary over the LLM-data operator set)
+# ---------------------------------------------------------------------------
+
+def _stage_normalize(df: DataFrame, ctx) -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    return df.select("doc_id", "lang", norm.alias("norm_text"))
+
+
+def _stage_quality_gate(df: DataFrame, ctx) -> DataFrame:
+    return df.filter(F.size(F.split("norm_text", " ")) >= 20)
+
+
+def _stage_exact_dedup(df: DataFrame, ctx) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    return df.withColumn("_rk", F.row_number().over(w)) \
+        .filter(F.col("_rk") == 1).drop("_rk")
+
+
+def _stage_corpus_stats(df: DataFrame, ctx) -> DataFrame:
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("norm_text", " ")).cast("bigint"))
+        .alias("total_tokens"))
+
+
+@query(
+    "q_pipeline_curate",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+      FROM documents),
+    gated AS (
+      SELECT * FROM normed
+      WHERE len(string_split(norm_text, ' ')) >= 20),
+    deduped AS (
+      SELECT * FROM (
+        SELECT gated.*, row_number() OVER (
+          PARTITION BY md5(norm_text) ORDER BY doc_id) AS rk
+        FROM gated) t
+      WHERE rk = 1)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(string_split(norm_text, ' ')) AS BIGINT))
+             AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: a four-stage training-data curation
+    pipeline (normalize → quality gate → exact dedup → corpus stats)
+    declared as a gasket pipeline spec and compiled BY THE ENGINE into
+    one Catalyst tree (/root/reference/index.js:52-56 semantics over
+    the LLM operator set). The narrow stages (normalize, gate) fuse
+    into the scan's codegen span; dedup is the only shuffle before the
+    final vocab-sized aggregate — composition itself adds zero
+    physical boundaries, which is the reason the rebuild maps gasket
+    pipelines to lazy DataFrame chains instead of materialized
+    stages."""
+    eng = Engine({"curate": [_stage_normalize, _stage_quality_gate,
+                             _stage_exact_dedup, _stage_corpus_stats]},
+                 spark=spark)
+    return eng.pipe("curate",
+                    input_df=read_table(spark, sf_dir, "documents"))
