@@ -1596,3 +1596,83 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_orderstatus", as_str))
         .unionByName(prof("o_totalprice", cents_str))
     )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE r.r_regionkey <> n.n_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (dim × dim, with a non-equi residual
+    so no equi-join rewrite applies). Spark requires the crossJoin
+    call — an implicit cartesian is an analysis error, which is the
+    right default at scale (an accidental 100 TB × anything cross
+    join is an outage). One side broadcasts: BroadcastNestedLoopJoin,
+    the only sane cartesian shape."""
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS names,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregation with DETERMINISM discipline:
+    ``collect_list`` order is partition-dependent (nondeterministic at
+    scale), so the engine always sorts the collected array before any
+    use that observes order — here flattened to a string so the
+    cross-engine hash checks element order exactly."""
+    n = read_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+        .alias("names"),
+        F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_scalar_null_pack",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_totalprice END IS NULL AS masked,
+           ifnull(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                       ELSE o_totalprice END, -1.0) AS price_filled,
+           greatest(coalesce(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                                  ELSE o_totalprice END, 0.0), 1.0)
+             AS price_floor
+    FROM orders
+    """,
+)
+def q_scalar_null_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics scalar pack: nullif/coalesce/ifnull/IS NULL/
+    greatest-with-null (greatest ignores nulls in both engines) over
+    an in-plan nullified column — three-valued logic parity on a
+    nulls-free fixture. All JVM expressions, one codegen span, zero
+    shuffles."""
+    od = read_table(spark, sf_dir, "orders")
+    masked_price = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)) \
+        .otherwise(F.col("o_totalprice"))
+    return od.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")),
+                   F.lit("OPEN")).alias("status_norm"),
+        masked_price.isNull().alias("masked"),
+        F.ifnull(masked_price, F.lit(-1.0)).alias("price_filled"),
+        F.greatest(F.coalesce(masked_price, F.lit(0.0)), F.lit(1.0))
+        .alias("price_floor"))
