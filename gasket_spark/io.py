@@ -74,13 +74,27 @@ def register_views(spark: SparkSession, sf_dir: str,
 
 
 def read_ndjson(spark: SparkSession, path: str,
-                schema: StructType | str | None = None) -> DataFrame:
+                schema: StructType | str | None = None,
+                mode: str = "PERMISSIVE",
+                corrupt_col: str | None = None) -> DataFrame:
     """NDJSON source — the typed lift of gasket's ``json:true`` framing
     (/root/reference/index.js:73). With ``schema`` pinned the scan is
     deterministic and single-pass; inference costs an extra read and is
     only for exploration.
+
+    Malformed-line policy (real ingest feeds always have some):
+
+    * ``mode='PERMISSIVE'`` (default) — bad lines become all-null rows;
+      pass ``corrupt_col`` to additionally capture the raw offending
+      text in that column (quarantine-and-continue, the 100 TB
+      default: one bad shard must not kill a day-long job; note the
+      corrupt column must also be declared in a pinned ``schema``).
+    * ``mode='DROPMALFORMED'`` — silently drop bad lines.
+    * ``mode='FAILFAST'`` — abort the job on the first bad line.
     """
-    reader = spark.read
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

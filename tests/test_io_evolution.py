@@ -80,3 +80,44 @@ class TestTypeWidening:
         rows = {r.id: r.v for r in df.collect()}
         assert rows == {1: 10, 2: 2**40}
         assert dict(df.dtypes)["v"] == "bigint"
+
+
+class TestMalformedRecords:
+    @pytest.fixture(scope="class")
+    def dirty_ndjson(self, spark, tmp_path_factory):
+        p = tmp_path_factory.mktemp("dirty") / "feed.ndjson"
+        p.write_text('{"id": 1, "v": "a"}\n'
+                     'NOT JSON AT ALL\n'
+                     '{"id": 2, "v": "b"}\n'
+                     '{"id": broken\n')
+        return str(p)
+
+    SCHEMA = "id bigint, v string, _bad string"
+
+    def test_permissive_quarantines_bad_lines(self, spark, dirty_ndjson):
+        from gasket_spark.io import read_ndjson
+
+        df = read_ndjson(spark, dirty_ndjson, self.SCHEMA,
+                         corrupt_col="_bad")
+        rows = df.collect()
+        good = {r.id: r.v for r in rows if r._bad is None}
+        bad = sorted(r._bad for r in rows if r._bad is not None)
+        assert good == {1: "a", 2: "b"}
+        assert bad == ['NOT JSON AT ALL', '{"id": broken']
+
+    def test_dropmalformed_keeps_only_good(self, spark, dirty_ndjson):
+        from gasket_spark.io import read_ndjson
+
+        df = read_ndjson(spark, dirty_ndjson, "id bigint, v string",
+                         mode="DROPMALFORMED")
+        assert {r.id for r in df.collect()} == {1, 2}
+
+    def test_failfast_aborts(self, spark, dirty_ndjson):
+        from gasket_spark.io import read_ndjson
+
+        df = read_ndjson(spark, dirty_ndjson, "id bigint, v string",
+                         mode="FAILFAST")
+        # surfaces as a JVM task failure (Py4JJavaError), not a typed
+        # PySpark exception — assert on the abort, not the wrapper
+        with pytest.raises(Exception, match="(?i)malformed|cannot read"):
+            df.collect()

@@ -62,3 +62,24 @@ class TestCompaction:
         assert got == n and got < 64
         # lossless
         assert spark.read.parquet(out).count() == li.count()
+
+
+class TestOnePassProfile:
+    def test_values_match_exact_and_single_scan(self, spark):
+        from gasket_spark.io import read_table
+        from gasket_spark.operators.profile import profile_table
+        from tests.conftest import SF_SMALL
+
+        od = read_table(spark, SF_SMALL, "orders")
+        prof = {r.col: r for r in profile_table(
+            od, ["o_orderkey", "o_orderstatus", "o_custkey"]).collect()}
+        n = od.count()
+        for c in ("o_orderkey", "o_orderstatus", "o_custkey"):
+            exact_distinct = od.select(c).distinct().count()
+            p = prof[c]
+            assert p.n == n and p.n_nonnull == n
+            # HLL rsd default 5%
+            assert abs(p.distinct_est - exact_distinct) \
+                <= max(3, 0.1 * exact_distinct)
+        assert prof["o_orderstatus"].min_v == "F"
+        assert prof["o_orderstatus"].max_v == "P"
