@@ -37,6 +37,9 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled":
         "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Python DataSource readers (gasket_spark.sources) implement
+    # pushFilters; without this flag Spark refuses to plan them
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

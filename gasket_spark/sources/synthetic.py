@@ -1,0 +1,109 @@
+"""A Python DataSource: deterministic synthetic events, batch +
+streaming, with filter pushdown.
+
+This is the engine's connector-authoring surface — the gasket analog
+is a source *command stage* (a process that emits records,
+/root/reference/index.js:14-27), lifted to Spark's DataSource V2
+Python API (pyspark.sql.datasource, new in Spark 4): when a feed has
+no JVM connector, a pure-Python reader slots into the SAME scan
+machinery — partition planning on the driver, per-partition reads on
+executors (Arrow-batched), pushed filters applied at the source.
+
+Everything is DETERMINISTIC (row i is a pure function of i), so tests
+can assert exact contents, repeated reads are identical, and the
+streaming reader's offset log replays losslessly.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, EqualTo, InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+_TYPES = ("view", "click", "purchase", "signup", "error")
+_BASE_TS = datetime.datetime(2024, 1, 1)
+_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+           "event_type string, value double")
+
+
+def _row(i: int):
+    """Row i as a pure function of i (xorshift-free integer mix)."""
+    return (
+        i,
+        _BASE_TS + datetime.timedelta(seconds=i * 7),
+        (i * 2654435761) % 150,
+        _TYPES[i % len(_TYPES)],
+        ((i * 1103515245 + 12345) % 1_000_000) / 10_000.0,
+    )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("gasket_synthetic")`` — options:
+    ``rows`` (total, default 1000), ``partitions`` (default 4),
+    streaming ``rowsPerBatch`` (default 100)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gasket_synthetic"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> "SyntheticBatchReader":
+        return SyntheticBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+        return SyntheticStreamReader(self.options)
+
+
+class SyntheticBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+        self.uid_filter: int | None = None
+
+    def pushFilters(self, filters):
+        """Absorb user_id equality filters; everything else stays in
+        the Spark plan. Pushdown here means the generator SKIPS
+        non-matching rows at the source — for a real remote feed, the
+        predicate travels into the upstream query."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("user_id",):
+                self.uid_filter = f.value
+            else:
+                yield f
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_parts)]
+
+    def read(self, partition):
+        per = -(-self.n_rows // self.n_parts)  # ceil
+        lo = partition.value * per
+        for i in range(lo, min(lo + per, self.n_rows)):
+            r = _row(i)
+            if self.uid_filter is not None and r[2] != self.uid_filter:
+                continue
+            yield r
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Offset = next row index; each micro-batch serves a bounded
+    slice, so replay from any committed offset regenerates the exact
+    rows (deterministic source ⇒ exactly-once on retry)."""
+
+    def __init__(self, options):
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        lo = start["i"]
+        hi = lo + self.per_batch
+        return iter([_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(i) for i in range(start["i"], end["i"])])

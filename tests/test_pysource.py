@@ -1,0 +1,64 @@
+"""Python DataSource tests: batch determinism, partition planning,
+source-side filter pushdown, and streaming offset replay."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module", autouse=True)
+def registered(spark):
+    from gasket_spark.sources.synthetic import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class TestBatch:
+    def test_deterministic_and_partitioned(self, spark):
+        r1 = spark.read.format("gasket_synthetic") \
+            .option("rows", 500).option("partitions", 8).load()
+        assert r1.rdd.getNumPartitions() == 8
+        assert r1.count() == 500
+        a = sorted(tuple(x) for x in r1.collect())
+        b = sorted(tuple(x) for x in spark.read
+                   .format("gasket_synthetic").option("rows", 500)
+                   .option("partitions", 3).load().collect())
+        assert a == b  # content independent of partitioning
+
+    def test_filter_pushdown_reaches_generator(self, spark):
+        df = spark.read.format("gasket_synthetic") \
+            .option("rows", 1000).load() \
+            .filter(F.col("user_id") == 7)
+        rows = df.collect()
+        assert rows and all(r.user_id == 7 for r in rows)
+        # the equality was ABSORBED by the source: the plan's residual
+        # Filter keeps only isnotnull — no "= 7" comparison remains
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchScan gasket_synthetic" in plan
+        assert "= 7" not in plan
+
+    def test_schema(self, spark):
+        df = spark.read.format("gasket_synthetic").load()
+        assert [f.name for f in df.schema.fields] == \
+            ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+class TestStream:
+    def test_microbatches_accumulate_exact_prefix(self, spark):
+        import time
+
+        q = (spark.readStream.format("gasket_synthetic")
+             .option("rowsPerBatch", 50).load()
+             .writeStream.format("memory").queryName("t_pysrc")
+             .outputMode("append").start())
+        try:
+            for _ in range(60):
+                time.sleep(0.5)
+                if spark.table("t_pysrc").count() >= 100:
+                    break
+        finally:
+            q.stop()
+        got = {r.event_id for r in spark.table("t_pysrc").collect()}
+        # an exact prefix 0..n-1: deterministic offsets, no gaps/dups
+        assert len(got) >= 100
+        assert got == set(range(len(got)))
