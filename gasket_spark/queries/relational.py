@@ -1676,3 +1676,44 @@ def q_scalar_null_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ifnull(masked_price, F.lit(-1.0)).alias("price_filled"),
         F.greatest(F.coalesce(masked_price, F.lit(0.0)), F.lit(1.0))
         .alias("price_floor"))
+
+
+@query(
+    "q_scan_pysource",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 999)) AS i),
+    rows_ AS (
+      SELECT i AS event_id,
+             TIMESTAMP '2024-01-01' + to_seconds(i * 7) AS ts,
+             (i * 2654435761) % 150 AS user_id,
+             ['view','click','purchase','signup','error'][i % 5 + 1]
+               AS event_type,
+             CAST((i * 1103515245 + 12345) % 1000000 AS DOUBLE) / 10000.0
+               AS value
+      FROM g)
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS value_e4,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM rows_ GROUP BY event_type
+    """,
+)
+def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan over the engine's Python DataSource connector
+    (gasket_spark/sources/synthetic.py — the PySpark-4 extension
+    point for feeds with no JVM connector): the source's rows are a
+    pure function of the row index, so the ORACLE REGENERATES the
+    same feed with generate_series and the whole connector path
+    (driver partition planning → executor Python readers → Arrow
+    batches → aggregation) is hash-verified, not just smoke-tested."""
+    from gasket_spark.sources.synthetic import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    src = spark.read.format("gasket_synthetic") \
+        .option("rows", 1000).option("partitions", 8).load()
+    return src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .alias("value_e4"),
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
