@@ -1717,3 +1717,70 @@ def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 10000).cast("bigint"))
         .alias("value_e4"),
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderkey AS nearest_orderkey
+    FROM events e
+    LEFT JOIN orders o ON o.o_custkey = e.user_id
+    QUALIFY row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) ASC
+               NULLS LAST,
+               (o.o_orderdate <= e.ts) DESC,
+               CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey
+                    ELSE o.o_orderkey END ASC NULLS LAST
+    ) = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (direction='nearest' in pandas merge_asof
+    terms): each event takes whichever of its latest-before /
+    earliest-after order is closer in time, ties preferring the
+    backward match. Composed from the SAME union-and-window merge as
+    the two directional as-ofs — both candidates come out of ONE
+    union and one shuffle (two window passes over the same
+    partitioning, no second exchange), then a pure row-local
+    microsecond-distance pick. Still no row explosion: the naive form
+    joins every order per user before pruning."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("bigint").alias("ord_key"),
+        F.lit(1).alias("side"))
+    od = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.lit(0).alias("side"))
+    ord_struct = F.when(F.col("side") == 0,
+                        F.struct(F.col("t").alias("ot"),
+                                 F.col("ord_key").alias("ok")))
+    base = Window.partitionBy("k").orderBy(
+        F.col("t").asc(), F.col("side").asc(),
+        F.col("ord_key").asc_nulls_last())
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = (
+        ev.unionByName(od)
+        .withColumn("_o", ord_struct)
+        # backward: at-or-before inclusive (orders sort before events
+        # at equal t). forward: strictly-after (the same ordering puts
+        # an equal-t order OUTSIDE the following frame) — lossless,
+        # since an exact-t order is already the dt=0 backward winner.
+        .withColumn("_prev", F.last("_o", ignorenulls=True).over(wb))
+        .withColumn("_next", F.first("_o", ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+    )
+    dtp = F.unix_micros(F.col("t")) - F.unix_micros(F.col("_prev.ot"))
+    dtn = F.unix_micros(F.col("_next.ot")) - F.unix_micros(F.col("t"))
+    nearest = (
+        F.when(F.col("_prev").isNull(), F.col("_next.ok"))
+        .when(F.col("_next").isNull(), F.col("_prev.ok"))
+        .when(dtp <= dtn, F.col("_prev.ok"))
+        .otherwise(F.col("_next.ok")))
+    return merged.select(
+        "event_id", F.col("k").alias("user_id"),
+        nearest.alias("nearest_orderkey"))

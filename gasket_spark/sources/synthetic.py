@@ -107,3 +107,73 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return iter([_row(i) for i in range(start["i"], end["i"])])
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER: NDJSON sink with a commit protocol
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter, WriterCommitMessage,
+)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    temp_path: str
+    final_path: str
+    n_rows: int
+
+
+class NdjsonSinkDataSource(DataSource):
+    """``df.write.format("gasket_ndjson_sink").option("path", dir)`` —
+    a pure-Python NDJSON sink with the two-phase commit every real
+    sink needs: each task writes to a UNIQUE temp file and reports it
+    in its commit message; only the DRIVER's commit() renames temp
+    files into place (and abort() deletes them) — so a failed or
+    speculatively-retried task can never leave a partial file visible.
+    The same protocol is what makes object-store sinks exactly-once
+    at 100 TB; here it is observable and testable locally."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gasket_ndjson_sink"
+
+    def writer(self, schema, overwrite: bool) -> "NdjsonWriter":
+        return NdjsonWriter(self.options["path"],
+                            [f.name for f in schema.fields])
+
+
+class NdjsonWriter(DataSourceWriter):
+    def __init__(self, path: str, cols: list[str]):
+        self.path = path
+        self.cols = cols
+
+    def write(self, rows) -> _FileCommit:
+        _os.makedirs(self.path, exist_ok=True)
+        uid = _uuid.uuid4().hex
+        temp = _os.path.join(self.path, f"._tmp_{uid}.ndjson")
+        final = _os.path.join(self.path, f"part-{uid}.ndjson")
+        n = 0
+        with open(temp, "w") as f:
+            for row in rows:
+                f.write(_json.dumps(
+                    dict(zip(self.cols, row)), default=str) + "\n")
+                n += 1
+        return _FileCommit(temp, final, n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            _os.replace(m.temp_path, m.final_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                _os.remove(m.temp_path)
+            except FileNotFoundError:
+                pass

@@ -62,3 +62,45 @@ class TestStream:
         # an exact prefix 0..n-1: deterministic offsets, no gaps/dups
         assert len(got) >= 100
         assert got == set(range(len(got)))
+
+
+class TestNdjsonSink:
+    def test_write_commit_read_back(self, spark, tmp_path):
+        import os
+
+        from gasket_spark.sources.synthetic import NdjsonSinkDataSource
+
+        spark.dataSource.register(NdjsonSinkDataSource)
+        out = str(tmp_path / "sink")
+        df = spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 7).alias("m"))
+        df.repartition(4).write.format("gasket_ndjson_sink") \
+            .option("path", out).mode("append").save()
+        files = os.listdir(out)
+        # only committed files are visible — no temp residue
+        assert files and all(f.startswith("part-") for f in files)
+        back = spark.read.json(out)
+        assert back.count() == 100
+        assert back.agg(F.sum("m")).collect()[0][0] == \
+            df.agg(F.sum("m")).collect()[0][0]
+
+    def test_abort_leaves_no_partial_files(self, spark, tmp_path):
+        import os
+
+        from gasket_spark.sources.synthetic import NdjsonSinkDataSource
+
+        spark.dataSource.register(NdjsonSinkDataSource)
+        out = str(tmp_path / "sink_abort")
+
+        @F.udf("long")
+        def boom(v):
+            if v == 66:
+                raise ValueError("poison row")
+            return v
+
+        df = spark.range(0, 100).select(boom(F.col("id")).alias("id"))
+        with pytest.raises(Exception):
+            df.repartition(4).write.format("gasket_ndjson_sink") \
+                .option("path", out).mode("append").save()
+        leftover = [f for f in os.listdir(out)] if os.path.isdir(out) else []
+        assert all(not f.startswith("part-") for f in leftover)
