@@ -24,7 +24,10 @@ from pyspark.sql.datasource import (
 )
 
 _TYPES = ("view", "click", "purchase", "signup", "error")
-_BASE_TS = datetime.datetime(2024, 1, 1)
+# timezone-AWARE base: a naive datetime would be interpreted in the
+# Python worker's process-local zone, shifting the stored instant
+# whenever the host TZ isn't UTC (caught by the TZ-shifted selfcheck)
+_BASE_TS = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
 _SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
            "event_type string, value double")
 
