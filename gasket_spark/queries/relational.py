@@ -1784,3 +1784,30 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_id", F.col("k").alias("user_id"),
         nearest.alias("nearest_orderkey"))
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1) AS all_low_disc,
+           bool_or(l_quantity >= 50) AS any_bulk,
+           count_if(l_tax = 0) AS n_taxfree,
+           CAST(COUNT(*) FILTER (WHERE l_shipdate
+             >= TIMESTAMP '1998-01-01') AS BIGINT) AS n_recent
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/filtered aggregate pack: every/any predicates,
+    count_if, and FILTER-clause counting — one two-phase hash
+    aggregate; predicates evaluate in the scan's codegen span, so the
+    pass is as cheap as a plain count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_discount") <= 0.1).alias("all_low_disc"),
+        F.some(F.col("l_quantity") >= 50).alias("any_bulk"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        F.count(F.when(F.col("l_shipdate")
+                       >= F.lit("1998-01-01").cast("timestamp"), 1))
+        .cast("bigint").alias("n_recent"))

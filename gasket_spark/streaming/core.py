@@ -288,3 +288,24 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("r")
     ).select("r.*")
+
+
+def idempotent_batch_sink(base_dir: str):
+    """An exactly-once ``foreachBatch`` sink over an at-least-once
+    engine: Structured Streaming may RE-RUN a micro-batch after a
+    failure (same batch_id, same data), so a sink that blindly
+    appends double-writes on recovery. The standard fix, implemented
+    here observably: write each batch to a directory KEYED BY
+    batch_id with overwrite semantics — a replay overwrites its own
+    previous (possibly partial) output instead of appending next to
+    it. Readers see `base_dir/batch_id=N/` partitions; the batch_id
+    column also gives lineage (which micro-batch produced each row).
+    At scale the same pattern is a transactional table MERGE keyed on
+    batch_id."""
+    import os
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"batch_id={batch_id}"))
+
+    return _sink
