@@ -1125,3 +1125,36 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tri", "n_uniq",
         F.round(F.lit(1.0) - F.col("n_uniq").cast("double")
                 / F.col("n_tri").cast("double"), 6).alias("rep_ratio"))
+
+
+@query(
+    "q_split_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): the split
+    is a pure function of a salted content id hash — stable across
+    runs, engines, partitionings, AND corpus growth (adding documents
+    never reassigns existing ones — the property a random split or
+    any count-based split lacks, and the one that prevents silent
+    train/test leakage across pipeline re-runs). Map-side only: zero
+    shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("split42:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 100
+    return docs.select(
+        "doc_id", "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").alias("split"))

@@ -1811,3 +1811,54 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_shipdate")
                        >= F.lit("1998-01-01").cast("timestamp"), 1))
         .cast("bigint").alias("n_recent"))
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+     AND o.o_orderdate > e.ts - INTERVAL '7 days'
+    QUALIFY row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+    ) = 1
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof
+    `tolerance=`): the latest order at-or-before each event, but only
+    if it is within 7 days — staler matches become null instead of
+    silently joining months-old state (the freshness contract real
+    feature-store lookups need). Same single-shuffle merge as
+    q_join_asof; the tolerance is one row-local comparison AFTER the
+    window carries the (date, key) pair forward."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("bigint").alias("ord_key"),
+        F.lit(1).alias("side"))
+    od = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.lit(0).alias("side"))
+    ord_struct = F.when(F.col("side") == 0,
+                        F.struct(F.col("t").alias("ot"),
+                                 F.col("ord_key").alias("ok")))
+    w = (Window.partitionBy("k")
+         .orderBy(F.col("t").asc(), F.col("side").asc(),
+                  F.col("ord_key").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (
+        ev.unionByName(od)
+        .withColumn("_prev", F.last(ord_struct, ignorenulls=True).over(w))
+        .filter(F.col("side") == 1))
+    fresh = (F.col("_prev").isNotNull()
+             & (F.col("_prev.ot")
+                > F.col("t") - F.expr("INTERVAL 7 DAYS")))
+    return merged.select(
+        "event_id", F.col("k").alias("user_id"),
+        F.when(fresh, F.col("_prev.ok")).alias("asof_orderkey"))
