@@ -48,6 +48,14 @@ HEADLINE: dict[str, str] = {
     "q_funnel": "collect",
     "q_incr_agg": "collect",
     "q_pipeline_curate": "collect",
+    # heavy LLM/iterative paths (added r2): regressions in the LSH /
+    # iterative-join machinery must be visible round-over-round
+    "q_dedup_components": "count",
+    "q_dedup_incremental": "count",
+    "q_sim_ivf": "count",
+    "q_collocations": "count",
+    "q_pack_shards": "count",
+    "q_agg_percentile_approx": "collect",
 }
 
 

@@ -57,7 +57,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Floor division, not `div` (truncate-toward-zero): pre-epoch
+        # nanos must round DOWN to the earlier microsecond. Stays in
+        # integer space — a double divide loses precision at 1e18 nanos.
+        df = df.withColumn(
+            c, F.timestamp_micros(
+                F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")))
     return df
 
 

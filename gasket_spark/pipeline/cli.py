@@ -79,7 +79,10 @@ def _stdin_df(spark):
 
 
 def _print_df(df) -> None:
-    for row in df.collect():
+    # Stream partitions through the driver instead of materialising the
+    # whole result (`collect()`) — a large pipeline output must not OOM
+    # the CLI process.
+    for row in df.toLocalIterator():
         print(row[0] if len(row) == 1 else "\t".join(str(v) for v in row))
 
 

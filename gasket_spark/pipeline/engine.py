@@ -124,6 +124,11 @@ class Engine:
             current_input = None
         if not main_outputs and not background:
             raise ValueError(f"pipeline {name!r} is empty")
+        if not main_outputs:
+            # Background-only pipeline — the reference runs it as
+            # parallel([empty multistream, ...backgrounds]) (index.js:115),
+            # so the pipeline's output IS the background union.
+            return ops.fork_union(background)
         main = (main_outputs[0] if len(main_outputs) == 1
                 else ops.run_concat(main_outputs))
         if background:

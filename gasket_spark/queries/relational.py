@@ -742,6 +742,65 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path, PROVEN rather than asserted:
+    ``approx_percentile`` (one-pass mergeable quantile summaries,
+    rank error ≤ n/accuracy) computes p50/p90 per group, then a second
+    map-side pass counts ranks below/at each approximate value and the
+    query RETURNS whether the guarantee held. The exact-SQL oracle pins
+    every group to ``TRUE`` — so this row hash-verifies the bounded
+    error claim, not just that the query ran. (The exact twin
+    ``q_agg_percentile`` stays the small-scale reference; this is the
+    plan you'd run at scale: no per-group value buffering, sketches
+    merge map-side.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = iscaled(F.col("l_extendedprice"), 100)
+    acc = 10_000
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_percentile(
+                cents, F.array(F.lit(0.5), F.lit(0.9)), F.lit(acc))
+             .alias("_ap"),
+             F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag", "n",
+                F.element_at("_ap", 1).alias("ap50"),
+                F.element_at("_ap", 2).alias("ap90"))
+    )
+    # Rank check: the returned value's rank interval [lt+1, le] must
+    # intersect [p·n − tol, p·n + tol]; tol = n/accuracy + 1 (the +1
+    # absorbs the p·n vs 1+p·(n−1) rank-definition gap, < 1).
+    ranks = (
+        li.select("l_returnflag", cents.alias("v"))
+        .join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.count_if(F.col("v") < F.col("ap50")).alias("lt50"),
+             F.count_if(F.col("v") <= F.col("ap50")).alias("le50"),
+             F.count_if(F.col("v") < F.col("ap90")).alias("lt90"),
+             F.count_if(F.col("v") <= F.col("ap90")).alias("le90"))
+    )
+    tol = F.col("n") / acc + F.lit(1)
+
+    def ok(p: float, lt: str, le: str):
+        target = F.lit(p) * F.col("n")
+        return ((F.col(lt) + 1 <= target + tol)
+                & (F.col(le) >= target - tol))
+
+    return (
+        approx.join(ranks, "l_returnflag")
+        .select("l_returnflag", "n",
+                ok(0.5, "lt50", "le50").alias("p50_ok"),
+                ok(0.9, "lt90", "le90").alias("p90_ok"))
+    )
+
+
+@query(
     "q_pivot",
     oracle="""
     SELECT o_orderpriority,
@@ -1708,6 +1767,11 @@ def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches → aggregation) is hash-verified, not just smoke-tested."""
     from gasket_spark.sources.synthetic import SyntheticEventsDataSource
 
+    # The reader implements pushFilters(); PySpark 4 refuses to plan it
+    # unless this conf is on. The engine's own session sets it, but a
+    # caller-provided session (the verification harness) may not — it is
+    # runtime-settable, so pin it here where the capability is used.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
     src = spark.read.format("gasket_synthetic") \
         .option("rows", 1000).option("partitions", 8).load()
@@ -1792,7 +1856,7 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            bool_and(l_discount <= 0.1) AS all_low_disc,
            bool_or(l_quantity >= 50) AS any_bulk,
-           count_if(l_tax = 0) AS n_taxfree,
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree,
            CAST(COUNT(*) FILTER (WHERE l_shipdate
              >= TIMESTAMP '1998-01-01') AS BIGINT) AS n_recent
     FROM lineitem GROUP BY l_returnflag

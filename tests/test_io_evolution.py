@@ -121,3 +121,30 @@ class TestMalformedRecords:
         # PySpark exception — assert on the abort, not the wrapper
         with pytest.raises(Exception, match="(?i)malformed|cannot read"):
             df.collect()
+
+
+class TestNanosTimestamps:
+    def test_pre_epoch_nanos_floor_to_earlier_microsecond(
+            self, spark, tmp_path_factory):
+        """TIMESTAMP(NANOS) truncation must FLOOR: -250 ns is
+        23:59:59.999999, not 00:00:00 (truncate-toward-zero)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gasket_spark.io import read_table
+
+        d = tmp_path_factory.mktemp("nanos")
+        # nanos-since-epoch: pre-epoch non-divisible, pre-epoch exact,
+        # post-epoch non-divisible (regression for the unchanged path)
+        tbl = pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([-250, -1_000, 1_999],
+                           pa.timestamp("ns")),
+        })
+        pq.write_table(tbl, str(d / "t.parquet"))
+        # exact integer checks via unix_micros to dodge float rounding
+        from pyspark.sql import functions as F
+        got = {r.id: r.us for r in
+               read_table(spark, str(d), "t")
+               .select("id", F.unix_micros("ts").alias("us")).collect()}
+        assert got == {1: -1, 2: -1, 3: 1}

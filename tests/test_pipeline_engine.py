@@ -121,6 +121,17 @@ class TestBackground:
         ]}, spark=spark)
         assert sorted(r.value for r in eng.run("p").collect()) == ["main", "src:p"]
 
+    def test_background_only_pipeline(self, spark):
+        # a pipeline of ONLY background stages is valid in the
+        # reference (parallel([empty multistream, bkgds])): its output
+        # is the background union, not an empty-reduce crash
+        eng = Engine({"p": [
+            {"exports": source_stage, "type": "background"},
+            {"exports": source_stage, "type": "background"},
+        ]}, spark=spark)
+        assert sorted(r.value for r in eng.run("p").collect()) == [
+            "src:p", "src:p"]
+
 
 class TestCommandStages:
     def test_pipe_through_command(self, spark):

@@ -83,3 +83,16 @@ class TestOnePassProfile:
                 <= max(3, 0.1 * exact_distinct)
         assert prof["o_orderstatus"].min_v == "F"
         assert prof["o_orderstatus"].max_v == "P"
+
+
+class TestApproxPercentileBound:
+    def test_rank_error_within_guarantee(self, spark):
+        """q_agg_percentile_approx RETURNS its own error-bound verdicts;
+        every group must report in-bounds at sf0.01 (the oracle pins
+        the same at driver time — this is the local regression)."""
+        from gasket_spark.queries import QUERIES
+        from tests.conftest import SF_ORACLE
+
+        rows = QUERIES["q_agg_percentile_approx"](spark, SF_ORACLE).collect()
+        assert len(rows) == 3
+        assert all(r.p50_ok and r.p90_ok for r in rows)

@@ -50,9 +50,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from gasket_spark.session import get_spark
 
-    spark = get_spark("selfcheck")
+    if os.environ.get("SPARK_GRAFT_SESSION") == "engine":
+        from gasket_spark.session import get_spark
+        spark = get_spark("selfcheck")
+    else:
+        # Default: a VANILLA session, like the driver's — none of the
+        # engine's session.py confs. Every query must self-provision
+        # any conf it needs (q_scan_pysource taught us that).
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .appName("selfcheck-vanilla")
+                 .config("spark.sql.shuffle.partitions",
+                         os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+                 .getOrCreate())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
