@@ -182,11 +182,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # distinct shingles collide in 64 bits (P ≈ |shingles|²/2⁶⁴; the
     # per-round oracle, which computes STRING n-grams in SQL, verifies
     # exactly this). The inverted index then shuffles 8-byte longs
-    # instead of ~20-byte strings. Persisted: feeds sizes + the index.
-    sh = _with_shingles(df, text_col, id_col, n, max_doc_freq,
-                        hashed=True).persist()
-    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
-    inv = sh.select(id_col, F.explode("sh").alias("s"))
+    # instead of ~20-byte strings.
+    if max_doc_freq is None:
+        # uncapped: sizes fall out of the shingle arrays for free
+        sh = _with_shingles(df, text_col, id_col, n, None,
+                            hashed=True).persist()
+        sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
+        inv = sh.select(id_col, F.explode("sh").alias("s"))
+    else:
+        # capped: build the inverted index ONCE and df-filter it in
+        # place — the keep-join and the self-join share the shuffle
+        # key ``s``, and the hot-shingle set never visits the driver
+        # (at 100 TB the keep table is shingle-vocabulary sized and
+        # stays distributed)
+        inv0 = df.select(
+            id_col,
+            F.explode(T.hashed_shingle_set(text_col, n)).alias("s"))
+        keep = (inv0.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_doc_freq).select("s"))
+        inv = inv0.join(keep, "s").persist()
+        # post-cap set sizes: identical to sizing the arrays after
+        # hot-shingle removal (shingles are distinct per doc); docs
+        # losing every shingle drop out — they can produce no pairs
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, [F.col("a.s") == F.col("b.s"),

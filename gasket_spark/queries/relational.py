@@ -70,7 +70,23 @@ def q_scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "props")
     out = os.path.join(tempfile.gettempdir(), "gasket_spark_ndjson",
                        os.path.basename(os.path.normpath(sf_dir)))
-    df_to_ndjson(ev).write.mode("overwrite").text(out)
+    # Rewrite the NDJSON copy only when the source fixture changed
+    # (size+mtime marker): repeated harness runs pay the serialization
+    # once, and a stale copy can never survive a fixture update.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(out, "_gasket_src_stamp")
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read() == stamp
+    except OSError:
+        pass
+    if not fresh:
+        df_to_ndjson(ev).write.mode("overwrite").text(out)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
     return spark.read.schema(_NDJSON_SCHEMA).json(out).select(
         "event_id", "user_id", "event_type", "value", "props")
 
@@ -402,16 +418,32 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact,
+           COUNT(*) AS n_orders, TRUE AS hll_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_count_distinct`` (HyperLogLog++) — the O(1)-memory
     distinct-count for 100 TB, where an exact distinct would shuffle
-    every key. Estimates are engine-specific → rows-only check."""
+    every key. The raw estimate is engine-specific, so the query
+    verifies it IN-PLAN: ``hll_ok`` asserts the estimate is within 6
+    relative standard errors (rsd=0.02 → ±12%) of the exact count
+    computed alongside, and the oracle pins every group TRUE — a
+    hash-verified error-bound claim instead of a rows-only shrug."""
     o = read_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        F.countDistinct("o_custkey").alias("n_exact"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    err = F.abs(F.col("_approx") - F.col("n_exact")) \
+        / F.col("n_exact").cast("double")
+    return agg.select("o_orderstatus", "n_exact", "n_orders",
+                      (err <= 0.12).alias("hll_ok"))
 
 
 @query(
@@ -1222,13 +1254,25 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_qsketch")  # rows-only: sample membership is hash-specific
+@query(
+    "q_agg_qsketch",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (bottom-k coherent sample, k=1024):
-    per-flag p50/p90/p99 of extendedprice cents plus sample size. The
-    per-batch→rollup merge law is EXACT (tests/test_sketch.py) — the
-    cross-batch percentile shape ``percentile``/``approx_percentile``
-    can't provide, since their per-run state isn't storable."""
+    per-flag p50/p90/p99 of extendedprice cents. The per-batch→rollup
+    merge law is EXACT (tests/test_sketch.py) — the cross-batch
+    percentile shape ``percentile``/``approx_percentile`` can't
+    provide, since their per-run state isn't storable.
+
+    Hash-verified via in-plan rank checks: each sketch quantile's
+    empirical CDF position must sit within ±0.08 of its target
+    probability (DKW bound: a 1024-row uniform sample exceeds ε=0.08
+    with probability ≈ 4e-6); the oracle pins every group TRUE."""
     from gasket_spark.operators.sketch import qsketch, qsketch_quantiles
 
     li = read_table(spark, sf_dir, "lineitem") \
@@ -1237,22 +1281,59 @@ def q_agg_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = qsketch_quantiles(
         qsketch(li, ["l_returnflag"], "cents", "rid", 1024),
         [0.5, 0.9, 0.99])
-    return q.select("l_returnflag", "n_rows", "q50", "q90", "q99")
+    ranks = (
+        li.select("l_returnflag", F.col("cents").alias("v"))
+        .join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(*[a for p in (50, 90, 99) for a in (
+            F.count_if(F.col("v") < F.col(f"q{p}")).alias(f"lt{p}"),
+            F.count_if(F.col("v") <= F.col(f"q{p}")).alias(f"le{p}"))])
+    )
+
+    def ok(p: int):
+        lo = (F.lit(p / 100 - 0.08)) * F.col("n_rows")
+        hi = (F.lit(p / 100 + 0.08)) * F.col("n_rows")
+        return ((F.col(f"lt{p}") <= hi) & (F.col(f"le{p}") >= lo)) \
+            .alias(f"ok{p}")
+
+    return (q.join(ranks, "l_returnflag")
+            .select("l_returnflag", "n_rows", ok(50), ok(90), ok(99)))
 
 
-@query("q_agg_kmv")  # rows-only: sketch hashes are engine-specific
+@query(
+    "q_agg_kmv",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_exact,
+           CAST(LEAST(1024, COUNT(DISTINCT l_partkey)) AS BIGINT)
+             AS n_seen,
+           TRUE AS kmv_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KMV distinct sketch (k=1024): per-flag distinct part
-    estimate + sketch size. Unlike HLL the sketch itself is an
-    inspectable array<long> whose union-merge law is exact (tested in
-    tests/test_sketch.py) — the cross-batch rollup shape."""
+    estimate. Unlike HLL the sketch itself is an inspectable
+    array<long> whose union-merge law is exact (tested in
+    tests/test_sketch.py) — the cross-batch rollup shape.
+
+    Hash-verified: ``kmv_ok`` asserts the (k−1)/u_k estimate lands
+    within ±15% of the exact distinct count computed alongside
+    (k=1024 → rse ≈ 3.1%, so this is ~5σ); ``n_seen`` — min(k,
+    distinct) — is itself exactly predictable and oracle-checked
+    (64-bit hash collisions are the only way it could differ)."""
     from gasket_spark.operators.sketch import kmv_estimate, kmv_sketch
 
     li = read_table(spark, sf_dir, "lineitem")
     est = kmv_estimate(kmv_sketch(li, ["l_returnflag"], "l_partkey", 1024),
                        1024)
-    return est.select("l_returnflag", F.round("distinct_est", 3)
-                      .alias("distinct_est"), "n_seen")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact"))
+    rel_err = F.abs(F.col("distinct_est") - F.col("n_exact")) \
+        / F.col("n_exact").cast("double")
+    return (est.join(exact, "l_returnflag")
+            .select("l_returnflag", "n_exact", "n_seen",
+                    (rel_err <= 0.15).alias("kmv_ok")))
 
 
 # ---------------------------------------------------------------------------

@@ -131,24 +131,36 @@ _STREAM_SEQ = [0]
 _REPLAY_WM = "90 days"
 
 
+_STREAM_DIRS: dict[tuple[str, int], str] = {}
+
+
 def _events_as_stream(spark: SparkSession, sf_dir: str,
                       copies: int = 1) -> DataFrame:
     """Serialize the events fixture to NDJSON in a temp dir and open it
     as a file stream — the replayable on-ramp (at scale: Kafka/object
     store; the downstream plan is source-agnostic). ``copies > 1``
-    replays every record that many times (an at-least-once source)."""
+    replays every record that many times (an at-least-once source).
+
+    The serialized dir is cached per (sf_dir, copies) for the process
+    lifetime: six stream queries over one fixture pay the write once,
+    not six times."""
     import functools
+    import os
     import tempfile
 
     from gasket_spark.streaming.core import TS_FORMAT_US, read_events_stream
 
-    ev = read_table(spark, sf_dir, "events")
-    rep = functools.reduce(lambda a, _: a.unionByName(ev),
-                           range(copies - 1), ev)
-    out = tempfile.mkdtemp(prefix="gasket_stream_")
-    rep.select(F.to_json(F.struct(*ev.columns),
-                         {"timestampFormat": TS_FORMAT_US}).alias("value")) \
-        .repartition(8).write.mode("overwrite").text(out)
+    key = (os.path.normpath(sf_dir), copies)
+    out = _STREAM_DIRS.get(key)
+    if out is None:
+        ev = read_table(spark, sf_dir, "events")
+        rep = functools.reduce(lambda a, _: a.unionByName(ev),
+                               range(copies - 1), ev)
+        out = tempfile.mkdtemp(prefix="gasket_stream_")
+        rep.select(F.to_json(F.struct(*ev.columns),
+                             {"timestampFormat": TS_FORMAT_US}).alias("value")) \
+            .repartition(8).write.mode("overwrite").text(out)
+        _STREAM_DIRS[key] = out
     return read_events_stream(spark, out, max_files_per_trigger=2)
 
 

@@ -163,16 +163,29 @@ def stateful_user_totals(events: DataFrame,
 
 
 def run_to_completion(df: DataFrame, table_name: str,
-                      output_mode: str = "append") -> DataFrame:
+                      output_mode: str = "append",
+                      shuffle_partitions: int = 8) -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input
     (``availableNow`` trigger → memory sink) and return the bounded
-    result — the bridge that lets tests assert streaming == batch."""
+    result — the bridge that lets tests assert streaming == batch.
+
+    Stateful streaming spins up one state-store instance per shuffle
+    partition per operator PER MICRO-BATCH; for a bounded fixture
+    replay that fixed cost dwarfs the data, and a caller-provided
+    session may default to hundreds of partitions. Pin a small count
+    for the stream's lifetime (captured at query start), then restore.
+    At production scale, size this to the key cardinality instead."""
     spark = df.sparkSession
-    query = (
-        df.writeStream.format("memory").queryName(table_name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        query = (
+            df.writeStream.format("memory").queryName(table_name)
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table_name)
 
 
