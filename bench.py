@@ -56,6 +56,7 @@ HEADLINE: dict[str, str] = {
     "q_collocations": "count",
     "q_pack_shards": "count",
     "q_agg_percentile_approx": "collect",
+    "q_dedup_segments": "count",
 }
 
 

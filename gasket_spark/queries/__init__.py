@@ -47,19 +47,23 @@ _DRIVER_GREEN_R01: tuple[str, ...] = (
     "q_scan_parquet", "q_scan_ndjson", "q_filter_project",
     "q_join_broadcast", "q_join_shuffle", "q_join_semi_anti",
     "q_join_outer", "q_join_asof", "q_join_asof_fwd", "q_agg_hash",
-    "q_agg_distinct", "q_agg_approx_distinct", "q_agg_rollup_cube",
+    "q_agg_distinct", "q_agg_rollup_cube",
     "q_window_rank", "q_window_analytic", "q_topk", "q_setops",
     "q_scalar_string_date_math", "q_scalar_array_map_json",
     "q_explode_flatten", "q_agg_percentile", "q_pivot", "q_join_range",
     "q_window_ntile", "q_unpivot", "q_subquery_correlated",
     "q_merge_upsert", "q_agg_histogram", "q_join_skew_salted",
     "q_resample_ffill", "q_grouping_sets", "q_window_range_frame",
-    "q_agg_mode", "q_agg_qsketch", "q_agg_kmv", "q_agg_stats",
+    "q_agg_mode", "q_agg_stats",
     "q_anomaly_zscore", "q_join_fuzzy", "q_funnel", "q_incr_agg",
     "q_pagerank", "q_join_not_in", "q_group_ols", "q_profile",
     "q_join_cross", "q_agg_collect", "q_scalar_null_pack",
     "q_join_asof_nearest",
 )
+# NOTE: q_agg_approx_distinct / q_agg_qsketch / q_agg_kmv were green
+# (rows-only) in r01 but were upgraded in r02 to hash-verified
+# error-bound outputs — their rows changed, so they re-enter the
+# front (unverified) group until the driver re-checks them.
 
 # Driver-unchecked in round 1 but independently oracle-verified PASS by
 # the round-1 judge (VERDICT.md §2B) — some signal already, so they sit

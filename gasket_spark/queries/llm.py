@@ -7,15 +7,18 @@ duplicates (the fixture has none): each document gets a mutated twin
 (last token dropped, id offset by 100000). The injection is plain
 column algebra, reproduced verbatim in the SQL oracles, so even the
 "fuzzy" operators get exact cross-engine verification where the
-algorithm allows (n-gram Jaccard); hash-family ops (MinHash, SimHash,
-LSH: xxhash64/seeded hyperplanes are engine-specific) get rows-only
-checks by design.
+algorithm allows (n-gram Jaccard). Hash-family ops are hash-verified
+too wherever recall is provably 1.0 on this corpus (MinHash ≥-0.8-J
+pairs, identical-vector embedding clones — see those docstrings);
+only ops whose OUTPUT is genuinely hash-family-specific (SimHash
+Hamming pairs, ANN neighbor sets at low recall) stay rows-only by
+design.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -716,6 +719,93 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
     return connected_components(pairs).select(
         F.col("v").alias("doc_id"), "component_id")
+
+
+@query(
+    "q_dedup_segments",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_DUP_SQL}),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(string_split(text, ' ')) / 10.0)
+                             AS BIGINT)),
+               i -> array_to_string(
+                 string_split(text, ' ')[(i*10 + 1):(i*10 + 10)], ' ')))
+               AS seg
+      FROM corpus),
+    dup AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id, COUNT(*) AS n_segments,
+           CAST(COUNT(*) FILTER (WHERE seg IN (SELECT seg FROM dup))
+             AS BIGINT) AS n_dup,
+           ROUND(COUNT(*) FILTER (WHERE seg IN (SELECT seg FROM dup))
+                 / COUNT(*), 4) AS dup_frac
+    FROM segs GROUP BY doc_id
+    """,
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (segment-level) duplication profile — the C4-style
+    'remove repeated lines across documents' signal, adapted to the
+    newline-free corpus as consecutive 10-token segments: a segment is
+    duplicated if it appears in ≥ 2 distinct docs, and each doc
+    reports its duplicated-segment fraction (the curation filter key).
+    One explode + two hash aggregates + a semi-join on the (small)
+    duplicated-segment set — at 100 TB the dup set is broadcast-sized
+    relative to the corpus because cross-doc repeated segments are
+    precisely the rare thing being hunted."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(w) / F.lit(10.0)).cast("int")
+    segs = corpus.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i * 10 + 1, 10))))
+        .alias("seg"))
+    dup = (segs.groupBy("seg")
+           .agg(F.countDistinct("doc_id").alias("_nd"))
+           .filter(F.col("_nd") >= 2).select("seg"))
+    marked = segs.join(F.broadcast(dup), "seg", "left_semi") \
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+        .join(marked, "doc_id", "left")
+        .select("doc_id", "n_segments",
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                F.round(F.coalesce("n_dup", F.lit(0))
+                        / F.col("n_segments").cast("double"), 4)
+                .alias("dup_frac"))
+    )
+
+
+@query(
+    "q_cap_per_source",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+    """,
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the crawl-curation move that stops
+    one domain from dominating the training mix: keep at most N=10
+    docs per source, chosen by a deterministic content-addressed order
+    (md5 of the id), so the sample is stable across runs, partitions,
+    and engines — no RNG, no first-seen dependence. One window over
+    the source partitioning; if a single source were pathologically
+    hot at 100 TB, the same cap composes as a two-phase per-partition
+    pre-cap (any row below a partition's own top-N can never enter
+    the global top-N) before the final window."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (docs.select("doc_id", "source",
+                        F.row_number().over(w).alias("_rk"))
+            .filter(F.col("_rk") <= 10).select("doc_id", "source"))
 
 
 @query(

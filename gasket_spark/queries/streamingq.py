@@ -169,6 +169,79 @@ def _unique_name(base: str) -> str:
     return f"{base}_{_STREAM_SEQ[0]}"
 
 
+_ORDERED_DIRS: dict[tuple[str, bool], str] = {}
+
+# sentinel rows: far-future events that exist only to push the
+# watermark past every real record at the end of a bounded replay —
+# the flush that lets APPEND-mode stateful results (outer-join NULLs,
+# finalized windows) emit. user_id/-ids are impossible values; every
+# consumer filters them out of the RESULT (batch-side, after the
+# stream), never inside the stream (a pre-watermark filter would stop
+# the sentinel from advancing the watermark).
+_SENTINEL_UID = -1
+
+
+def _events_as_ordered_stream(spark: SparkSession, sf_dir: str,
+                              dup: bool = False) -> DataFrame:
+    """Time-ordered bounded replay with a watermark-flush sentinel.
+
+    The fixture is range-partitioned by ``ts`` into 8 NDJSON files
+    whose modification times are forced ascending, so the file stream
+    (ordered by mtime, 2 files/trigger) delivers micro-batches in
+    event-time order — the shape a log-compacted Kafka topic or
+    object-store ingest actually has. A final sentinel file (2 rows,
+    ts = max + 30 days, ``user_id = -1``) advances the watermark past
+    all real data so append-mode state flushes. ``dup=True`` writes
+    every record twice (at-least-once source) within its range file."""
+    import os
+    import tempfile
+
+    from gasket_spark.streaming.core import TS_FORMAT_US, read_events_stream
+
+    key = (os.path.normpath(sf_dir), dup)
+    out = _ORDERED_DIRS.get(key)
+    if out is None:
+        ev = read_table(spark, sf_dir, "events")
+        body = ev.unionByName(ev) if dup else ev
+        out = tempfile.mkdtemp(prefix="gasket_stream_ord_")
+        (body.repartitionByRange(8, "ts").sortWithinPartitions("ts")
+         .select(F.to_json(F.struct(*ev.columns),
+                           {"timestampFormat": TS_FORMAT_US}).alias("value"))
+         .write.mode("overwrite").text(out))
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        sent = spark.createDataFrame(
+            [(-1, "purchase"), (-2, "click")], "event_id long, et string"
+        ).select(
+            "event_id",
+            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(_SENTINEL_UID).cast("long").alias("user_id"),
+            F.col("et").alias("event_type"),
+            F.lit(0.0).alias("value"), F.lit(None).cast("string")
+            .alias("props"))
+        import shutil
+        sent_tmp = tempfile.mkdtemp(prefix="gasket_sentinel_")
+        (sent.coalesce(1)
+         .select(F.to_json(F.struct(*ev.columns),
+                           {"timestampFormat": TS_FORMAT_US}).alias("value"))
+         .write.mode("overwrite").text(sent_tmp))
+        sent_part = next(os.path.join(sent_tmp, f)
+                         for f in os.listdir(sent_tmp)
+                         if f.startswith("part-"))
+        shutil.move(sent_part, os.path.join(out, "zz-sentinel.txt"))
+        shutil.rmtree(sent_tmp, ignore_errors=True)
+        # force deterministic arrival order: range files ascending,
+        # sentinel strictly last (FileStreamSource orders by mtime)
+        parts = sorted(f for f in os.listdir(out)
+                       if f.startswith("part-") or f.startswith("zz-"))
+        base = 1_600_000_000
+        for i, name in enumerate(parts):
+            off = 10_000 if name.startswith("zz-") else i
+            p = os.path.join(out, name)
+            os.utime(p, (base + off, base + off))
+        _ORDERED_DIRS[key] = out
+    return read_events_stream(spark, out, max_files_per_trigger=2)
+
+
 @query(
     "q_stream_tumbling",
     oracle="""
@@ -319,6 +392,103 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=_REPLAY_WM)
     return run_to_completion(joined, _unique_name("t_oracle_ssjoin"),
                              output_mode="append")
+
+
+@query(
+    "q_stream_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join executed BY Structured Streaming:
+    purchases with no click in the hour before them emit with NULL —
+    but only once the click-side watermark PROVES no match can still
+    arrive. Runs over the time-ordered replay with a sentinel
+    watermark-push so the bounded run flushes every outer row (the
+    part availableNow alone cannot do — NOTES.md r1 named this the
+    blocker; the ordered-replay + sentinel strategy is the fix).
+    Hash-verified against the batch LEFT JOIN oracle."""
+    from gasket_spark.streaming.core import (
+        run_to_completion, stream_stream_outer_join)
+
+    joined = stream_stream_outer_join(
+        _events_as_ordered_stream(spark, sf_dir),
+        _events_as_ordered_stream(spark, sf_dir),
+        watermark="1 minute")
+    out = run_to_completion(joined, _unique_name("t_oracle_outer_join"),
+                            output_mode="append")
+    return out.filter(F.col("user_id") != _SENTINEL_UID)
+
+
+@query(
+    "q_stream_dedup_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (dedup → windowed aggregate) in
+    APPEND mode: the 2×-replayed stream is deduplicated exactly-once,
+    feeds a tumbling aggregate, and each window emits exactly once,
+    FINALIZED, as the ordered replay's watermark passes its end (the
+    sentinel flushes the tail windows). Append-mode finalized windows
+    are what a downstream sink can consume idempotently — complete
+    mode re-emits everything each batch and cannot scale. Hash-matched
+    to the batch dedup+window oracle."""
+    from gasket_spark.streaming.core import (
+        dedup_then_windowed_counts, run_to_completion)
+
+    stream = _events_as_ordered_stream(spark, sf_dir, dup=True)
+    agg = dedup_then_windowed_counts(stream, watermark="1 minute")
+    out = run_to_completion(agg, _unique_name("t_oracle_dedup_window"),
+                            output_mode="append")
+    # drop the sentinel's far-future windows (batch-side filter on the
+    # bounded result; the sentinel's types are real types by design)
+    max_ts = read_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return out.filter(F.col("w_start") <= F.lit(max_ts))
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment executed BY Structured
+    Streaming: the event stream broadcast-joins the static customer
+    table inside every micro-batch (no state buffered for the static
+    side — the standard enrich-then-aggregate ingest shape), then a
+    stateful per-nation aggregate accumulates across batches.
+    Hash-verified against the batch join+group oracle."""
+    from gasket_spark.streaming.core import run_to_completion
+
+    dim = read_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    stream = _events_as_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim),
+                           stream.user_id == dim.c_custkey)
+    agg = (enriched.groupBy("c_nationkey")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .alias("total_cents")))
+    return run_to_completion(agg, _unique_name("t_oracle_static_join"),
+                             output_mode="complete")
 
 
 @query(

@@ -275,6 +275,61 @@ def stream_stream_join(purchases: DataFrame, clicks: DataFrame,
     )
 
 
+def stream_stream_outer_join(purchases: DataFrame, clicks: DataFrame,
+                             watermark: str = "2 hours",
+                             lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream LEFT OUTER join: like :func:`stream_stream_join`
+    but purchases with NO click in the lookback window also emit (with
+    NULL click) — and they can only emit when the state store PROVES
+    no match can still arrive, i.e. when the click-side watermark
+    passes ``purchase ts``. That makes outer results watermark-driven:
+    a bounded replay must push the watermark past the last purchase
+    (sentinel row / ordered files — see queries.streamingq) or the
+    tail rows stay buffered forever, which is exactly the at-scale
+    operational contract this operator documents."""
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("p_ts")))
+    c = (clicks.filter(F.col("event_type") == "click")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user_id"),
+                 F.col("ts").alias("c_ts")))
+    return (
+        p.join(c, (F.col("user_id") == F.col("c_user_id"))
+               & (F.col("c_ts") < F.col("p_ts"))
+               & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+                   f"INTERVAL {lookback}")),
+               "leftOuter")
+        .select("purchase_id", "click_id", "user_id")
+    )
+
+
+def dedup_then_windowed_counts(events: DataFrame,
+                               window: str = "1 hour",
+                               watermark: str = "2 hours") -> DataFrame:
+    """CHAINED stateful operators in one streaming query:
+    ``dropDuplicates`` (exactly-once lift over at-least-once input)
+    feeding a tumbling window aggregate, append mode — windows only
+    emit once FINALIZED (watermark past window end), so downstream
+    sees each window exactly once with its complete, deduplicated
+    count. Needs ordered-ish replay + a watermark push at the end of
+    a bounded run to flush the tail windows (see queries.streamingq).
+    One watermark node feeds both stateful operators."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("total_cents"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type", "n", "total_cents")
+    )
+
+
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
                       topic: str, schema,
                       starting_offsets: str = "earliest") -> DataFrame:
