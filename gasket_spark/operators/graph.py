@@ -32,41 +32,57 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     component's minimum vertex id. Returns (v, component_id).
     Deterministic: the fixpoint is unique regardless of partitioning
     or iteration interleaving."""
+    # No .distinct() on sym: the per-round groupBy-min absorbs
+    # duplicate edges (they only pad the join output), so the
+    # symmetrize pass stays shuffle-free — one fewer exchange +
+    # materialization before the loop.
+    sc = edges.sparkSession.sparkContext
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        # union stacks both inputs' partitions (2× task count every
+        # round); a narrow coalesce restores the parallelism target
+        # without the exchange the old .distinct() paid for.
+        .coalesce(sc.defaultParallelism)
     )
     # sym is re-joined every round; labels are localCheckpoint'ed
     # (materialized) each round, so sym's cache can be released the
     # moment the loop exits — scope-bound, not LRU-bound.
     with persisted(sym):
+        # Round 1 needs NO join: the neighbor-min of the identity seed
+        # (label(v) = v) is min(v, min of v's neighbors), which reads
+        # straight off the edge list — neighbor candidates from
+        # sym(v ← u), self candidates from sym(u ← u). One shuffle
+        # replaces seed-distinct + join.
         labels = (
-            sym.select(F.col("u").alias("v")).distinct()
-            .withColumn("label", F.col("v"))
+            sym.select("v", F.col("u").alias("label"))
+            .unionByName(sym.select(F.col("u").alias("v"),
+                                    F.col("u").alias("label")))
+            .groupBy("v").agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        for _ in range(max_iter):
-            nbr_min = (
+        # Convergence check without a join: labels only ever DECREASE,
+        # so Σ label is strictly monotone until the fixpoint — one
+        # scalar agg on the just-materialized checkpoint (cheap; no
+        # recompute) replaces an old-vs-new join+count job.
+        label_sum = labels.agg(F.sum("label")).first()[0]
+        for _ in range(max_iter - 1):
+            # one hop of min-label propagation in TWO shuffles: push
+            # every neighbor's label to v (join on u), union v's own
+            # label row, take the min per v. (The previous three-
+            # shuffle form did groupBy then re-joined onto labels.)
+            labels = (
                 sym.join(labels.select(F.col("v").alias("u"), "label"), "u")
-                .groupBy("v").agg(F.min("label").alias("nbr_label"))
-            )
-            new_labels = (
-                labels.join(nbr_min, "v", "left")
-                .select("v", F.least(
-                    "label", F.coalesce("nbr_label", "label")).alias("label"))
+                .select("v", "label")
+                .unionByName(labels)
+                .groupBy("v").agg(F.min("label").alias("label"))
                 .localCheckpoint()  # truncate lineage each round
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "v")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            new_sum = labels.agg(F.sum("label")).first()[0]
+            if new_sum == label_sum:
                 break
+            label_sum = new_sum
     return labels.select("v", F.col("label").alias("component_id"))
 
 
@@ -97,35 +113,41 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     (contributions by target) + the dangling-mass scalar — two
     shuffles over edge-sized data, lineage truncated per round
     (``localCheckpoint``), edges cached for the loop's lifetime only
-    (scope-bound). Returns (v, rank) with rank scaled back to
-    doubles summing ≈ 1."""
+    (scope-bound). The dangling-mass scalar needs NO join: the rank
+    table carries each vertex's out-degree (joined once, before the
+    loop), so the per-round scalar is a plain agg over the
+    just-materialized checkpoint. Returns (v, rank) with rank scaled
+    back to doubles summing ≈ 1."""
     SCALE = 1_000_000_000_000
     out = (edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
            .distinct())
+    deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # verts carries the out-degree (NULL = dangling) for the loop's
+    # lifetime, so every rank table inherits it for free.
     verts = (out.select(F.col("u").alias("v"))
              .unionByName(out.select(F.col("w").alias("v")))
-             .distinct())
-    deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    with persisted(out, verts, deg):
+             .distinct()
+             .join(deg.select(F.col("u").alias("v"), "deg"), "v", "left"))
+    with persisted(out, verts):
         n = verts.count()
         d_num, d_den = int(damping * 100), 100
         ranks = verts.withColumn(
             "r", F.lit(SCALE // n).cast("long")).localCheckpoint()
         for _ in range(max_iter):
             contrib = (
-                out.join(deg, "u").join(
-                    ranks.withColumnRenamed("v", "u"), "u")
+                out.join(ranks.select(F.col("v").alias("u"), "deg", "r"),
+                         "u")
                 .select("w", (F.col("r") / F.col("deg"))
                         .cast("long").alias("c"))
                 .groupBy("w").agg(F.sum("c").alias("in_mass"))
             )
-            # one scalar pass: total mass + mass on nodes with out-links
+            # scalar pass over the materialized checkpoint (no join):
+            # total mass + mass on nodes with out-links
             total, linked = (
-                ranks.join(deg.select(F.col("u").alias("v"), "deg"),
-                           "v", "left")
-                .agg(F.sum("r"),
-                     F.sum(F.when(F.col("deg").isNotNull(), F.col("r"))
-                           .otherwise(F.lit(0))))
+                ranks.agg(
+                    F.sum("r"),
+                    F.sum(F.when(F.col("deg").isNotNull(), F.col("r"))
+                          .otherwise(F.lit(0))))
                 .collect()[0]
             )
             dangling = total - (linked or 0)
@@ -133,8 +155,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                     + dangling * d_num // d_den) // n
             ranks = (
                 verts.join(contrib.withColumnRenamed("w", "v"), "v", "left")
-                .select("v", (F.lit(base) + F.coalesce("in_mass", F.lit(0))
-                              * d_num / d_den)
+                .select("v", "deg",
+                        (F.lit(base) + F.coalesce("in_mass", F.lit(0))
+                         * d_num / d_den)
                         .cast("long").alias("r"))
                 .localCheckpoint()
             )

@@ -679,24 +679,28 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_components",
     oracle=f"""
     WITH RECURSIVE corpus AS ({_NEAR_DUP_SQL}),
-    sh AS (
+    inv0 AS (
       SELECT doc_id,
-             list_distinct(list_transform(
+             unnest(list_distinct(list_transform(
                range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
                i -> string_split(text,' ')[i] || ' ' ||
                     string_split(text,' ')[i+1] || ' ' ||
-                    string_split(text,' ')[i+2])) AS sh
+                    string_split(text,' ')[i+2]))) AS s
       FROM corpus),
-    inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    keep AS (
+      SELECT s FROM (SELECT s, COUNT(*) AS df FROM inv0 GROUP BY s)
+      WHERE df <= 8),
+    inv AS (SELECT doc_id, s FROM inv0 JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
       SELECT id_a, id_b
-      FROM common JOIN sh sa ON sa.doc_id = id_a
-                  JOIN sh sb ON sb.doc_id = id_b
-      WHERE n_common / (len(sa.sh) + len(sb.sh) - n_common) >= 0.5),
+      FROM common JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
@@ -711,12 +715,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact n-gram near-dup pair graph
     (the cluster-correct resolution the one-pass star approximation
-    can't give). Iterative min-label propagation, verified EXACTLY
-    against the oracle's recursive-CTE transitive closure."""
+    can't give), built from the SAME df-capped pair graph as
+    q_dedup_ngram (production posture — the uncapped inverted index is
+    quadratic in the hottest shingle at scale). Iterative min-label
+    propagation, verified EXACTLY against the oracle's recursive-CTE
+    transitive closure over the identically-capped pair set."""
     from gasket_spark.operators.graph import connected_components
 
     corpus = _docs_with_near_dups(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5, max_doc_freq=8)
     return connected_components(pairs).select(
         F.col("v").alias("doc_id"), "component_id")
 
