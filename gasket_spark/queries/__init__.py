@@ -56,13 +56,13 @@ _DRIVER_GREEN_R01: tuple[str, ...] = (
     "q_resample_ffill", "q_grouping_sets", "q_window_range_frame",
     "q_agg_mode", "q_agg_stats",
     "q_anomaly_zscore", "q_join_fuzzy", "q_funnel", "q_incr_agg",
-    "q_pagerank", "q_join_not_in", "q_group_ols", "q_profile",
+    "q_join_not_in", "q_group_ols", "q_profile",
     "q_join_cross", "q_agg_collect", "q_scalar_null_pack",
     "q_join_asof_nearest",
 )
-# NOTE: q_agg_approx_distinct / q_agg_qsketch / q_agg_kmv were green
-# (rows-only) in r01 but were upgraded in r02 to hash-verified
-# error-bound outputs — their rows changed, so they re-enter the
+# NOTE: q_agg_approx_distinct / q_agg_qsketch / q_agg_kmv / q_pagerank
+# were green (rows-only) in r01 but were upgraded in r02 to
+# hash-verified outputs — their rows changed, so they re-enter the
 # front (unverified) group until the driver re-checks them.
 
 # Driver-unchecked in round 1 but independently oracle-verified PASS by

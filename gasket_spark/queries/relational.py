@@ -1576,15 +1576,72 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(merge_states(*states))
 
 
-@query("q_pagerank")  # rows-only: iterative fixpoint, not SQL-expressible
+def _pagerank_oracle(iters: int = 8) -> str:
+    """Unrolled fixed-iteration PageRank as plain chained CTEs.
+
+    The engine's PageRank (operators/graph.py) is FIXED-POINT integer
+    arithmetic precisely so the fixpoint is bit-identical under any
+    partitioning — which also makes it bit-replicable in SQL: every
+    per-iteration step is integer sums, integer floor-divisions, and
+    one IEEE double division whose truncation both engines perform
+    identically (DuckDB ``trunc`` == Spark ``cast(long)`` on
+    positives). Recursive CTEs disallow aggregation in the recursive
+    term, so the 8 iterations unroll as generated CTE blocks instead.
+    DuckDB's SUM(BIGINT) returns HUGEINT — exact, and every result
+    re-enters BIGINT via the explicit trunc+cast."""
+    head = """
+    WITH p2s AS (
+      SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem),
+    alle AS (
+      SELECT src AS u, dst AS w FROM p2s
+      UNION ALL SELECT dst, src FROM p2s),
+    oute AS MATERIALIZED (SELECT DISTINCT u, w FROM alle),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM oute GROUP BY u),
+    verts AS MATERIALIZED (
+      SELECT vv.v, d.deg
+      FROM (SELECT u AS v FROM oute UNION SELECT w FROM oute) vv
+      LEFT JOIN deg d ON d.u = vv.v),
+    nn AS (SELECT COUNT(*) AS n FROM verts),
+    r0 AS MATERIALIZED (SELECT v, deg, (SELECT 1000000000000 // n FROM nn) AS r
+           FROM verts)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+    s{i} AS MATERIALIZED (
+      SELECT SUM(r) AS total,
+             COALESCE(SUM(CASE WHEN deg IS NOT NULL THEN r END), 0)
+               AS linked
+      FROM r{i}),
+    b{i} AS MATERIALIZED (
+      SELECT (total - total * 85 // 100 + (total - linked) * 85 // 100)
+             // (SELECT n FROM nn) AS base
+      FROM s{i}),
+    c{i} AS MATERIALIZED (
+      SELECT o.w, SUM(CAST(trunc(rr.r / rr.deg) AS BIGINT)) AS in_mass
+      FROM oute o JOIN r{i} rr ON o.u = rr.v GROUP BY o.w),
+    r{i + 1} AS MATERIALIZED (
+      SELECT vv.v, vv.deg,
+             CAST(trunc((SELECT base FROM b{i})
+                        + COALESCE(c.in_mass, 0) * 85 / 100) AS BIGINT)
+               AS r
+      FROM verts vv LEFT JOIN c{i} c ON c.w = vv.v)""")
+    tail = f"""
+    SELECT v, CAST(r AS DOUBLE) / 1000000000000 AS rank
+    FROM r{iters} ORDER BY rank DESC, v LIMIT 20"""
+    return head + "," + ",".join(steps) + tail
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(8))
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the part↔supplier co-purchase graph
     (both directions of every lineitem part-supplier edge): the
-    iterative-fixpoint shape (operators/graph.py) that SQL can't
-    express. Fixed-point integer arithmetic makes the result
-    bit-identical under any partitioning (tested in
-    tests/test_graph.py); top-20 by (rank desc, vertex) is
-    deterministic."""
+    iterative-fixpoint shape (operators/graph.py). Fixed-point integer
+    arithmetic makes the result bit-identical under any partitioning
+    (tested in tests/test_graph.py) — and therefore bit-replicable by
+    the oracle's unrolled-iteration SQL (_pagerank_oracle), upgrading
+    this from rows-only to full hash verification; top-20 by
+    (rank desc, vertex) is deterministic."""
     from gasket_spark.operators.graph import pagerank
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -1595,7 +1652,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, max_iter=8)
     return ranks.orderBy(F.desc("rank"), "v").limit(20) \
-        .select("v", F.round("rank", 9).alias("rank"))
+        .select("v", "rank")
 
 
 @query(
