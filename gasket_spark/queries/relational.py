@@ -1697,6 +1697,43 @@ def q_join_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(s_suppkey, anc, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      UNION ALL
+      SELECT w.s_suppkey, w.anc // 2, w.depth + 1
+      FROM walk w WHERE w.anc > 1)
+    SELECT s_suppkey, MAX(depth) AS depth_to_root,
+           CAST(SUM(anc) AS BIGINT) AS anc_key_sum
+    FROM walk GROUP BY s_suppkey
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — the iterate-in-plan
+    surface): every supplier walks its ancestor chain in the implicit
+    binary hierarchy parent(k) = k div 2 down to the root, emitting
+    chain depth and the chain-key checksum. The recursion depth is
+    O(log max_key) — each step is one self-referential projection the
+    engine unions breadth-first, the hierarchy/BOM-walk shape that
+    pre-4.x Spark needed a driver-side loop for (cf.
+    operators/graph.py, which keeps the explicit loop form for
+    fixpoints whose iteration count is data-dependent)."""
+    read_table(spark, sf_dir, "supplier").select("s_suppkey") \
+        .createOrReplaceTempView("_supp_rcte")
+    return spark.sql("""
+        WITH RECURSIVE walk(s_suppkey, anc, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM _supp_rcte
+          UNION ALL
+          SELECT w.s_suppkey, w.anc DIV 2, w.depth + 1
+          FROM walk w WHERE w.anc > 1)
+        SELECT s_suppkey, MAX(depth) AS depth_to_root,
+               SUM(anc) AS anc_key_sum
+        FROM walk GROUP BY s_suppkey
+    """)
+
+
+@query(
     "q_group_ols",
     oracle="""
     WITH v AS (
