@@ -91,6 +91,83 @@ def q_scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "props")
 
 
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip: the orders table serialized to ORC once
+    (stamp-cached like the NDJSON twin) and read back — column
+    pruning and predicate pushdown work on ORC exactly as on parquet,
+    so a lakehouse mixing both formats keeps one engine surface."""
+    from gasket_spark.io import read_orc, write_orc
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderpriority"]
+    od = read_table(spark, sf_dir, "orders").select(*cols)
+    out = os.path.join(tempfile.gettempdir(), "gasket_spark_orc",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(out, "_gasket_src_stamp")
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read() == stamp
+    except OSError:
+        pass
+    if not fresh:
+        write_orc(od, out)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return read_orc(spark, out).select(*cols)
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT)
+             AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables are written as
+    8-bucket hash-clustered managed tables on the join key, so the
+    join itself needs NO exchange — the shuffle is paid once at write
+    time, then every subsequent join/agg on the key is exchange-free
+    (the plan contract is regression-tested in tests/test_plans.py).
+    This is THE at-scale pattern for a fact table joined daily: at
+    100 TB the one-time bucketing write replaces a per-query
+    terabyte shuffle."""
+    from gasket_spark.io import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_items = f"gbkt_orders_{tag}", f"gbkt_lineitem_{tag}"
+    od = read_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    write_bucketed(od, t_orders, ["o_orderkey"], n_buckets=8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   t_items, ["o_orderkey"], n_buckets=8)
+    return (
+        spark.table(t_orders)
+        .join(spark.table(t_items), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.round("l_quantity").cast("bigint"))
+             .alias("total_qty"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # project / filter
 # ---------------------------------------------------------------------------
