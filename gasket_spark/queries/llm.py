@@ -816,6 +816,52 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_mix",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    wt AS (
+      SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM cnt),
+    tot AS (SELECT SUM(w) AS sw FROM wt),
+    quota AS (
+      SELECT source, LEAST(n, 300 * w // sw) AS k FROM wt, tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN quota q USING (source)
+    QUALIFY row_number() OVER (
+      PARTITION BY d.source
+      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) <= q.k
+    """,
+)
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing — the training-mix move
+    that up-samples small sources and down-samples dominant ones:
+    per-source quotas ∝ n^T at T=0.5, drawn deterministically.
+    EVERYTHING stays in integer space so the mix is bit-stable across
+    engines, partitionings, and runs: weights are floor(sqrt(n))
+    (sqrt is IEEE-correctly-rounded, so its floor is engine-exact —
+    unlike pow(n, 0.7), whose libm differs), the weight SUM and
+    quotas k_s = min(n_s, N·w_s div Σw) are integer arithmetic, and
+    the quota is filled by md5-ordered row_number. One count agg +
+    one broadcast quota join + one window per source — corpus scans
+    twice, shuffles once at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    wt = (docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+          .select("source", "n",
+                  F.floor(F.sqrt("n")).cast("bigint").alias("w")))
+    tot = wt.agg(F.sum("w").alias("sw"))
+    quota = (wt.crossJoin(F.broadcast(tot))
+             .select("source",
+                     F.expr("least(n, (300 * w) div sw)").alias("k")))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (docs.select("doc_id", "source")
+            .join(F.broadcast(quota), "source")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.col("k"))
+            .select("doc_id", "source"))
+
+
+@query(
     "q_text_normalize",
     oracle="""
     SELECT doc_id,
