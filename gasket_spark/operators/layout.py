@@ -104,6 +104,30 @@ def _morton_key(bucket_cols, bits: int):
     return z
 
 
+def _quantile_buckets(df: DataFrame, cols: list[str], bits: int):
+    """Per-column quantile bucket ids (0 .. 2^bits - 1) as JVM column
+    expressions: one ``approxQuantile`` pass for ALL columns, bucket
+    assignment is a fold over the broadcast boundary array. Quantile
+    (not equi-width) bucketing keeps skewed columns filling the bucket
+    space evenly — equi-width space-filling curves degenerate under
+    skew."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    probs = [j / n for j in range(1, n)]
+    all_bounds = df.stat.approxQuantile(list(cols), probs, 1.0 / (4 * n))
+
+    def bucket_of(col: str, bounds: list[float]):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.aggregate(
+            arr, F.lit(0),
+            lambda acc, x: acc + F.when(
+                F.col(col).cast("double") >= x, 1).otherwise(0))
+
+    return [bucket_of(col, bounds)
+            for col, bounds in zip(cols, all_bounds)]
+
+
 def zorder_write(df: DataFrame, path: str, zorder_cols: list[str],
                  n_cells: int = 16, bits: int = 8,
                  mode: str = "overwrite") -> None:
@@ -138,20 +162,7 @@ def zorder_write(df: DataFrame, path: str, zorder_cols: list[str],
     """
     from pyspark.sql import functions as F
 
-    n = 1 << bits
-    probs = [j / n for j in range(1, n)]
-    all_bounds = df.stat.approxQuantile(
-        list(zorder_cols), probs, 1.0 / (4 * n))
-
-    def bucket_of(col: str, bounds: list[float]):
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        return F.aggregate(
-            arr, F.lit(0),
-            lambda acc, x: acc + F.when(
-                F.col(col).cast("double") >= x, 1).otherwise(0))
-
-    buckets = [bucket_of(col, bounds)
-               for col, bounds in zip(zorder_cols, all_bounds)]
+    buckets = _quantile_buckets(df, zorder_cols, bits)
     total_bits = bits * len(zorder_cols)
     k = min(max((n_cells - 1).bit_length(), 1), total_bits)
     keyed = df.withColumn("_z", _morton_key(buckets, bits)) \
@@ -160,3 +171,90 @@ def zorder_write(df: DataFrame, path: str, zorder_cols: list[str],
     keyed.repartition(1 << k, "_zcell") \
         .sortWithinPartitions("_zcell", "_z").drop("_z") \
         .write.mode(mode).partitionBy("_zcell").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve multi-column clustering
+# ---------------------------------------------------------------------------
+
+def _hilbert_index(coords, bits: int):
+    """Vectorized Skilling transform: per-row bucket coordinates
+    (N × n_dims int64, each in [0, 2^bits)) → Hilbert curve index.
+
+    Skilling, "Programming the Hilbert curve" (AIP Conf. Proc. 707,
+    2004): undo excess-work pass + Gray decode produce the transposed
+    index; interleaving the transpose MSB-first yields the scalar key.
+    All steps are numpy mask operations over the whole batch — no
+    per-row Python."""
+    import numpy as np
+
+    X = coords.astype(np.int64).copy()
+    n = X.shape[1]
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            on = (X[:, i] & q) != 0
+            X[on, 0] ^= p
+            t = (X[~on, 0] ^ X[~on, i]) & p
+            X[~on, 0] ^= t
+            X[~on, i] ^= t
+        q >>= 1
+    # Gray encode (cumulative xor across dims)
+    X = np.bitwise_xor.accumulate(X, axis=1)
+    t = np.zeros(len(X), dtype=np.int64)
+    q = 1 << (bits - 1)
+    while q > 1:
+        on = (X[:, n - 1] & q) != 0
+        t[on] ^= q - 1
+        q >>= 1
+    X ^= t[:, None]
+    # interleave the transpose: index bit (b*n) order, MSB first
+    z = np.zeros(len(X), dtype=np.int64)
+    for bitpos in range(bits - 1, -1, -1):
+        for i in range(n):
+            z = (z << 1) | ((X[:, i] >> bitpos) & 1)
+    return z
+
+
+def hilbert_write(df: DataFrame, path: str, hilbert_cols: list[str],
+                  n_cells: int = 16, bits: int = 8,
+                  mode: str = "overwrite") -> None:
+    """Write ``df`` parquet clustered on a HILBERT curve over
+    ``hilbert_cols`` — same contract and cell-aligned file layout as
+    :func:`zorder_write`, but on the curve with strictly better
+    locality: Hilbert has no Morton "seams" (adjacent curve positions
+    are always adjacent in space), so per-file bounding boxes are
+    tighter and skip fractions higher, increasingly so at 3+ dims.
+
+    Bucketing stays JVM-side (quantile fold, shared with Z-order);
+    the bucket→curve-index transform runs as an Arrow-batched
+    vectorized-numpy pandas_udf (Skilling's algorithm is a bit-level
+    state machine that would explode whole-stage codegen as a column
+    expression; a layout write is a one-time batch job, so one
+    Python crossing on the write path is the right trade). Numeric
+    columns only."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    buckets = _quantile_buckets(df, hilbert_cols, bits)
+    total_bits = bits * len(hilbert_cols)
+    k = min(max((n_cells - 1).bit_length(), 1), total_bits)
+
+    def _hkey(*cols):
+        coords = np.stack([c.to_numpy(np.int64) for c in cols], axis=1)
+        return pd.Series(_hilbert_index(coords, bits))
+
+    # varargs signature (n_dims is dynamic) → eval type can't be
+    # hint-inferred; the hint-free form selects scalar Arrow eval
+    hkey = pandas_udf(_hkey, "long")
+
+    keyed = df.withColumn("_h", hkey(*buckets)) \
+              .withColumn("_hcell", F.shiftright(F.col("_h"),
+                                                 total_bits - k))
+    keyed.repartition(1 << k, "_hcell") \
+        .sortWithinPartitions("_hcell", "_h").drop("_h") \
+        .write.mode(mode).partitionBy("_hcell").parquet(path)

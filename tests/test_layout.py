@@ -128,3 +128,53 @@ class TestZOrderWrite:
         assert back.count() == li.count()
         assert back.agg(F.sum("l_partkey")).collect()[0][0] == \
             li.agg(F.sum("l_partkey")).collect()[0][0]
+
+
+class TestHilbertWrite:
+    def test_curve_adjacency_property(self):
+        """Ground truth for the Skilling transform: walking the full
+        2D 16×16 grid in Hilbert-index order moves exactly one step in
+        exactly one coordinate each time (the locality property Morton
+        lacks), and the index is a bijection onto [0, 256)."""
+        import numpy as np
+
+        from gasket_spark.operators.layout import _hilbert_index
+
+        bits = 4
+        g = np.arange(1 << bits, dtype=np.int64)
+        coords = np.stack(np.meshgrid(g, g), axis=-1).reshape(-1, 2)
+        idx = _hilbert_index(coords, bits)
+        assert sorted(idx) == list(range((1 << bits) ** 2))
+        order = coords[np.argsort(idx)]
+        steps = np.abs(np.diff(order, axis=0)).sum(axis=1)
+        assert (steps == 1).all()
+
+    @pytest.fixture(scope="class")
+    def hlayouts(self, spark, tmp_path_factory):
+        from tests.conftest import SF_ORACLE
+        from gasket_spark.operators.layout import hilbert_write
+
+        li = read_table(spark, SF_ORACLE, "lineitem") \
+            .select("l_orderkey", "l_partkey", "l_suppkey")
+        base = tmp_path_factory.mktemp("hilbert")
+        hpath = str(base / "h")
+        hilbert_write(li, hpath, ["l_partkey", "l_suppkey"], n_cells=64)
+        return hpath
+
+    def test_hilbert_skips_on_both_columns(self, spark, hlayouts):
+        from tests.conftest import SF_ORACLE
+        for col in ("l_partkey", "l_suppkey"):
+            lo, hi = read_table(spark, SF_ORACLE, "lineitem") \
+                .stat.approxQuantile(col, [0.25, 0.5], 0.001)
+            frac = skip_fraction(skipping_stats(hlayouts, col), lo, hi)
+            assert frac >= 0.5, (col, frac)
+
+    def test_hilbert_preserves_data(self, spark, hlayouts):
+        from tests.conftest import SF_ORACLE
+        li = read_table(spark, SF_ORACLE, "lineitem")
+        back = spark.read.parquet(hlayouts)
+        assert set(back.columns) - {"l_orderkey", "l_partkey",
+                                    "l_suppkey"} == {"_hcell"}
+        assert back.count() == li.count()
+        assert back.agg(F.sum("l_partkey")).collect()[0][0] == \
+            li.agg(F.sum("l_partkey")).collect()[0][0]
