@@ -122,7 +122,7 @@ import uuid as _uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (  # noqa: E402
-    DataSourceWriter, WriterCommitMessage,
+    DataSourceStreamWriter, DataSourceWriter, WriterCommitMessage,
 )
 
 
@@ -151,6 +151,10 @@ class NdjsonSinkDataSource(DataSource):
         return NdjsonWriter(self.options["path"],
                             [f.name for f in schema.fields])
 
+    def streamWriter(self, schema, overwrite: bool) -> "NdjsonStreamWriter":
+        return NdjsonStreamWriter(self.options["path"],
+                                  [f.name for f in schema.fields])
+
 
 class NdjsonWriter(DataSourceWriter):
     def __init__(self, path: str, cols: list[str]):
@@ -176,6 +180,56 @@ class NdjsonWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
+            try:
+                _os.remove(m.temp_path)
+            except FileNotFoundError:
+                pass
+
+
+class NdjsonStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`NdjsonWriter` —
+    ``df.writeStream.format("gasket_ndjson_sink")`` — with the
+    IDEMPOTENT per-micro-batch commit that upgrades a restart-replayed
+    (at-least-once) micro-batch to exactly-once output: tasks write
+    unique temp files, and the driver's ``commit(batch_id)`` renames
+    them to names DETERMINISTIC in (batch_id, partition_id), so a
+    replay of batch N overwrites batch N's own files instead of
+    duplicating them. This file-naming contract is the same one
+    Spark's own file sink relies on; here it's pure Python and the
+    replay test can watch it happen."""
+
+    def __init__(self, path: str, cols: list[str]):
+        self.path = path
+        self.cols = cols
+
+    def write(self, rows) -> _FileCommit:
+        from pyspark import TaskContext
+
+        _os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        uid = _uuid.uuid4().hex
+        temp = _os.path.join(self.path, f"._tmp_{uid}.ndjson")
+        n = 0
+        with open(temp, "w") as f:
+            for row in rows:
+                f.write(_json.dumps(
+                    dict(zip(self.cols, row)), default=str) + "\n")
+                n += 1
+        # final name is completed by commit() once batch_id is known
+        return _FileCommit(temp, f"{pid:05d}", n)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            final = _os.path.join(
+                self.path, f"part-{batchId:09d}-{m.final_path}.ndjson")
+            _os.replace(m.temp_path, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
             try:
                 _os.remove(m.temp_path)
             except FileNotFoundError:

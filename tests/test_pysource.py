@@ -104,3 +104,40 @@ class TestNdjsonSink:
                 .option("path", out).mode("append").save()
         leftover = [f for f in os.listdir(out)] if os.path.isdir(out) else []
         assert all(not f.startswith("part-") for f in leftover)
+
+
+class TestNdjsonStreamSink:
+    def _run_stream(self, spark, src, out, cp):
+        stream = spark.readStream.schema("id long, m long").json(src) \
+            .withColumn("m2", F.col("m") * 2)
+        q = stream.writeStream.format("gasket_ndjson_sink") \
+            .option("path", out).option("checkpointLocation", cp) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    def test_streaming_commit_and_idempotent_batch_names(
+            self, spark, tmp_path):
+        import json
+        import os
+
+        from gasket_spark.sources.synthetic import NdjsonSinkDataSource
+
+        spark.dataSource.register(NdjsonSinkDataSource)
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for i in range(4):
+            with open(os.path.join(src, f"in{i}.json"), "w") as f:
+                for j in range(10):
+                    f.write(json.dumps({"id": i * 10 + j, "m": j}) + "\n")
+        out, cp1 = str(tmp_path / "out"), str(tmp_path / "cp1")
+        self._run_stream(spark, src, out, cp1)
+        files = os.listdir(out)
+        assert files and all(f.startswith("part-") for f in files)
+        back = spark.read.json(out)
+        assert back.count() == 40
+        assert back.agg(F.sum("m2")).collect()[0][0] == 2 * 4 * 45
+        # replay the WHOLE stream (fresh checkpoint, same output dir):
+        # batch ids repeat, so deterministic (batch, partition) names
+        # overwrite rather than duplicate — the exactly-once lift
+        self._run_stream(spark, src, out, str(tmp_path / "cp2"))
+        assert spark.read.json(out).count() == 40
