@@ -160,6 +160,24 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def drop_managed_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its warehouse directory. A fresh
+    session's in-memory catalog doesn't know tables a previous session
+    wrote, but their warehouse directories persist — so a plain
+    overwrite ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS.
+    Clearing both makes bucketed-table writes idempotent across
+    sessions."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    path = urlparse(wh).path if wh.startswith("file:") else wh
+    if path:
+        shutil.rmtree(os.path.join(path, table.lower()),
+                      ignore_errors=True)
+
+
 def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """ORC source (columnar, predicate-pushdown-capable like parquet —
     the other first-class columnar format a lakehouse ingests).

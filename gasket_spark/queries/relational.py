@@ -147,7 +147,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is THE at-scale pattern for a fact table joined daily: at
     100 TB the one-time bucketing write replaces a per-query
     terabyte shuffle."""
-    from gasket_spark.io import write_bucketed
+    from gasket_spark.io import drop_managed_table, write_bucketed
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     t_orders, t_items = f"gbkt_orders_{tag}", f"gbkt_lineitem_{tag}"
@@ -155,6 +155,10 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority")
     li = read_table(spark, sf_dir, "lineitem") \
         .select("l_orderkey", "l_quantity")
+    # stale-location guard: a prior session's warehouse dir survives
+    # while the fresh catalog forgot the table
+    drop_managed_table(spark, t_orders)
+    drop_managed_table(spark, t_items)
     write_bucketed(od, t_orders, ["o_orderkey"], n_buckets=8)
     write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
                    t_items, ["o_orderkey"], n_buckets=8)
