@@ -862,6 +862,69 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_quality_gopher",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(text) AS n_chars,
+             len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             string_split(lower(text), ' ') AS words
+      FROM documents)
+    SELECT doc_id,
+           n_words BETWEEN 10 AND 5000 AS r_len,
+           (n_chars - n_words + 1) BETWEEN 3 * n_words AND 10 * n_words
+             AS r_wordlen,
+           5 * n_digits <= n_chars AS r_digit,
+           CAST(list_contains(words, 'the') AS INT)
+             + CAST(list_contains(words, 'and') AS INT)
+             + CAST(list_contains(words, 'of') AS INT)
+             + CAST(list_contains(words, 'to') AS INT)
+             + CAST(list_contains(words, 'in') AS INT) AS n_stop,
+           (n_words BETWEEN 10 AND 5000)
+             AND (n_chars - n_words + 1)
+                 BETWEEN 3 * n_words AND 10 * n_words
+             AND 5 * n_digits <= n_chars
+             AND (CAST(list_contains(words, 'the') AS INT)
+                  + CAST(list_contains(words, 'and') AS INT)
+                  + CAST(list_contains(words, 'of') AS INT)
+                  + CAST(list_contains(words, 'to') AS INT)
+                  + CAST(list_contains(words, 'in') AS INT)) >= 2
+             AS passes
+    FROM t
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    adapted): word-count bounds, mean-word-length bounds, digit-ratio
+    cap, and a stopword-presence floor, each emitted as its own flag
+    so curation can audit WHICH rule dropped a document. Every rule is
+    INTEGER arithmetic (mean word length as bounds on the summed word
+    length = chars − spaces; digit ratio as 5·digits ≤ chars) so the
+    verdicts are bit-identical across engines — no float thresholds.
+    Pure map-side JVM expressions; one corpus scan, zero shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_chars = F.length("text")
+    n_digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    wl_sum = n_chars - n_words + 1
+    n_stop = sum(
+        F.array_contains(words, s).cast("int")
+        for s in ("the", "and", "of", "to", "in"))
+    r_len = n_words.between(10, 5000)
+    r_wordlen = wl_sum.between(3 * n_words, 10 * n_words)
+    r_digit = 5 * n_digits <= n_chars
+    return docs.select(
+        "doc_id",
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_digit.alias("r_digit"),
+        n_stop.alias("n_stop"),
+        (r_len & r_wordlen & r_digit & (n_stop >= 2)).alias("passes"))
+
+
+@query(
     "q_text_normalize",
     oracle="""
     SELECT doc_id,

@@ -1815,6 +1815,85 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_history",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, value_cents,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change log — the
+    warehouse-standard versioned-history shape: each purchase opens a
+    version effective [valid_from, valid_to) closed by the user's
+    next change; the open version is flagged current. One window per
+    user (ties broken by event_id, so the history is deterministic
+    under replays and partitioning); at 100 TB this is a single
+    shuffle on the dimension key — and merging a NEW day of changes
+    into an existing SCD2 table reuses the same window over
+    (existing open versions ∪ new changes), never the full history."""
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"))
+
+
+@query(
+    "q_join_bloom",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered join, the explicit form of the runtime
+    filter AQE injects for selective joins: the small side's keys
+    aggregate into a bloom filter (one tiny broadcast), the fact scan
+    drops non-members BEFORE the shuffle, and the real join removes
+    the false positives — so the result is EXACTLY the plain join
+    (which is the oracle) while the shuffle carries only ~selectivity
+    × fact bytes. At 100 TB this is the difference between shuffling
+    the whole fact table and shuffling the 2% that can match."""
+    M_BITS = 65536  # 1024 longs; ~2% FP at ~1.5k keys, 8 KB broadcast
+
+    def _word_bit(df: DataFrame, key: str) -> DataFrame:
+        return df.withColumn(
+            "_pos", F.expr(f"pmod(xxhash64({key}), {M_BITS})")) \
+            .withColumn("w", F.expr("_pos div 64")) \
+            .withColumn("b", F.expr(
+                "shiftleft(1L, cast(pmod(_pos, 64) as int))")) \
+            .drop("_pos")
+
+    cust = read_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_acctbal") > 9000) \
+        .select("c_custkey", "c_name")
+    orders = read_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    bloom = (_word_bit(cust.select("c_custkey"), "c_custkey")
+             .groupBy("w").agg(F.bit_or("b").alias("mask")))
+    pre = (_word_bit(orders, "o_custkey")
+           .join(F.broadcast(bloom), "w", "inner")
+           .filter(F.col("mask").bitwiseAND(F.col("b")) != 0)
+           .select("o_orderkey", "o_custkey"))
+    return pre.join(F.broadcast(cust),
+                    pre.o_custkey == cust.c_custkey) \
+        .select("o_orderkey", "c_name")
+
+
+@query(
     "q_group_ols",
     oracle="""
     WITH v AS (

@@ -492,6 +492,37 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_topk",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: a complete-mode per-user running aggregate
+    maintained BY the state store across micro-batches, with the
+    top-20 cut taken on the final state (the leaderboard/heavy-user
+    dashboard shape). The stateful agg is the streaming part — the
+    top-k is a bounded post-pass on aggregate-sized data, exactly how
+    a sink-side dashboard would read it. Hash-verified against the
+    batch group+order oracle with a deterministic (n desc, user_id)
+    tie-break."""
+    from gasket_spark.streaming.core import run_to_completion
+
+    stream = _events_as_stream(spark, sf_dir)
+    agg = (stream.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .alias("total_cents")))
+    out = run_to_completion(agg, _unique_name("t_oracle_stream_topk"),
+                            output_mode="complete")
+    return out.orderBy(F.desc("n"), "user_id").limit(20)
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT event_id, user_id, event_type, value
