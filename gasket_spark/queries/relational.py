@@ -1815,6 +1815,74 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    acts AS (
+      SELECT e.user_id,
+             date_trunc('week', f.first_ts) AS cohort_week,
+             CAST(floor(date_diff('day', date_trunc('week', f.first_ts),
+                                  e.ts) / 7) AS INT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM acts WHERE week_offset <= 8
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by first-seen week, activity counted per (cohort,
+    week-offset) cell for the first 8 weeks. Two shuffles total: the
+    per-user MIN(ts) aggregate (tiny, broadcast back over the event
+    scan) and the distinct-user cell count; week arithmetic is
+    integer day-diffs so both engines bucket identically."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    acts = (ev.join(F.broadcast(firsts), "user_id")
+            .select(
+                "user_id",
+                F.date_trunc("week", "first_ts").alias("cohort_week"),
+                F.floor(F.datediff(
+                    F.col("ts"),
+                    F.date_trunc("week", "first_ts").cast("date")) / 7)
+                .cast("int").alias("week_offset")))
+    return (acts.filter(F.col("week_offset") <= 8)
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+@query(
+    "q_attribution_touch",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_id, ts) AS first_event,
+           arg_max(event_id, ts) AS last_event,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type
+    FROM events GROUP BY user_id
+    """,
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution per user via ``min_by``/``max_by``
+    (argmin/argmax aggregates): one hash aggregate, no window sort
+    over the full event stream — the shape that replaces the
+    'row_number = 1' anti-pattern with a two-phase (partial-final)
+    aggregate at a fraction of the shuffle. Determinism rests on
+    (user_id, ts) being unique in the fixture (verified at every SF;
+    a tie-bearing feed would order by a (ts, event_id) struct —
+    which DuckDB's arg_min can't replicate, so the fixture property
+    is load-bearing for the oracle)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", "ts").alias("first_event"),
+        F.max_by("event_id", "ts").alias("last_event"),
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"))
+
+
+@query(
     "q_scd2_history",
     oracle="""
     WITH changes AS (
