@@ -60,6 +60,11 @@ _DRIVER_GREEN_R01: tuple[str, ...] = (
     "q_join_cross", "q_agg_collect", "q_scalar_null_pack",
     "q_join_asof_nearest",
 )
+# The two RED rows of CORRECTNESS_r01 (q_scan_pysource harness conf,
+# q_agg_bool oracle cast), both fixed in r02: pinned FIRST so their
+# green rows are guaranteed whatever the driver's window is.
+_FIXED_REDS_R01: tuple[str, ...] = ("q_scan_pysource", "q_agg_bool")
+
 # Rows-only BY DESIGN (hash-family-specific outputs: SimHash Hamming
 # pairs, seeded-hyperplane ANN neighbor sets, external-command pipes):
 # a driver row for these is the weakest kind of check, so when the
@@ -100,8 +105,11 @@ def _load_all() -> None:
 
     green, judged = set(_DRIVER_GREEN_R01), set(_JUDGE_VERIFIED_R01)
     later = set(_UPGRADED_R02) | set(_ROWS_ONLY_DESIGN)
-    ordered = [n for n in QUERIES
-               if n not in green and n not in judged and n not in later]
+    first = set(_FIXED_REDS_R01)
+    ordered = list(_FIXED_REDS_R01)
+    ordered += [n for n in QUERIES
+                if n not in green and n not in judged and n not in later
+                and n not in first]
     ordered += [n for n in _ROWS_ONLY_DESIGN if n in QUERIES]
     ordered += [n for n in _UPGRADED_R02 if n in QUERIES]
     ordered += [n for n in _JUDGE_VERIFIED_R01 if n in QUERIES]
