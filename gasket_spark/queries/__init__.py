@@ -65,13 +65,15 @@ _DRIVER_GREEN_R01: tuple[str, ...] = (
 # green rows are guaranteed whatever the driver's window is.
 _FIXED_REDS_R01: tuple[str, ...] = ("q_scan_pysource", "q_agg_bool")
 
-# Rows-only BY DESIGN (hash-family-specific outputs: SimHash Hamming
-# pairs, seeded-hyperplane ANN neighbor sets, external-command pipes):
-# a driver row for these is the weakest kind of check, so when the
+# Weakest-signal rows: rows-only BY DESIGN (hash-family-specific
+# outputs: SimHash Hamming pairs, seeded-hyperplane ANN neighbor sets,
+# external-command pipes) plus the stub-backed multimodal decode
+# (oracle checks a deterministic fake decoder — plumbing, not media).
+# A driver row for these carries the least information, so when the
 # front group outgrows the driver's ~50-query window they are the
 # first to wait a round (their pytest property coverage is green).
 _ROWS_ONLY_DESIGN: tuple[str, ...] = (
-    "q_dedup_simhash", "q_sim_ann", "q_cmd_pipe",
+    "q_dedup_simhash", "q_sim_ann", "q_cmd_pipe", "q_multimodal_decode",
 )
 
 # Green (rows-only) in r01 but upgraded in r02 to hash-verified
