@@ -1815,6 +1815,36 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_variant_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) >= 20
+    GROUP BY 1
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over Spark 4's VARIANT type:
+    ``parse_json`` shreds the JSON once into the binary variant
+    encoding, ``variant_get`` extracts typed fields without
+    re-parsing — the open-schema telemetry shape where per-event
+    properties never fit a fixed struct. At 100 TB variant beats
+    ``get_json_object`` chains because each field access is a typed
+    binary probe, not a string re-parse per extraction."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (ev.select(k.alias("k"), "value")
+            .filter(F.col("k") >= 20)
+            .groupBy((F.col("k") % 10).alias("k_mod"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("total_cents")))
+
+
+@query(
     "q_retention_cohort",
     oracle="""
     WITH firsts AS (
