@@ -57,6 +57,13 @@ HEADLINE: dict[str, str] = {
     "q_pack_shards": "count",
     "q_agg_percentile_approx": "collect",
     "q_dedup_segments": "count",
+    # r2 additions: iterative graph, runtime-filter join, rule pack,
+    # recursive CTE, curation mix — the new hot paths
+    "q_pagerank": "collect",
+    "q_join_bloom": "count",
+    "q_quality_gopher": "count",
+    "q_recursive_cte": "count",
+    "q_sample_mix": "count",
 }
 
 

@@ -119,15 +119,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     just-materialized checkpoint. Returns (v, rank) with rank scaled
     back to doubles summing ≈ 1."""
     SCALE = 1_000_000_000_000
+    # Loop-invariant tables are pre-partitioned ON THEIR JOIN KEYS and
+    # persisted: a cached DataFrame keeps its hash partitioning, so
+    # every iteration's join shuffles only the vertex-sized rank table
+    # — the edge table (the big side at 100 TB) never moves again.
     out = (edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
-           .distinct())
+           .distinct().repartition("u"))
     deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # verts carries the out-degree (NULL = dangling) for the loop's
     # lifetime, so every rank table inherits it for free.
     verts = (out.select(F.col("u").alias("v"))
              .unionByName(out.select(F.col("w").alias("v")))
              .distinct()
-             .join(deg.select(F.col("u").alias("v"), "deg"), "v", "left"))
+             .join(deg.select(F.col("u").alias("v"), "deg"), "v", "left")
+             .repartition("v"))
     with persisted(out, verts):
         n = verts.count()
         d_num, d_den = int(damping * 100), 100
