@@ -1815,6 +1815,84 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem),
+    cum AS (
+      SELECT l_returnflag, price_cents, qty,
+             SUM(qty) OVER (PARTITION BY l_returnflag
+                            ORDER BY price_cents, qty
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(qty) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w)
+    SELECT l_returnflag,
+           MIN(price_cents) AS weighted_median_cents
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (here: price weighted by quantity) — the
+    robust-statistics aggregate Spark has no builtin for, composed
+    from a running-weight window: the weighted median is the first
+    value whose cumulative weight reaches half the total. All integer
+    space (cents × integral quantities) so the cut point is exact and
+    engine-independent; one window sort per group, the same shuffle
+    an exact percentile pays — and at 100 TB the same documented swap
+    to a mergeable sketch applies (cf. q_agg_percentile_approx)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("price_cents"),
+        F.round("l_quantity").cast("bigint").alias("qty"))
+    win = Window.partitionBy("l_returnflag") \
+        .orderBy("price_cents", "qty").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag", "price_cents",
+        F.sum("qty").over(win).alias("cw"),
+        F.sum("qty").over(tot).alias("tw"))
+    return (cum.filter(2 * F.col("cw") >= F.col("tw"))
+            .groupBy("l_returnflag")
+            .agg(F.min("price_cents").alias("weighted_median_cents")))
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (first-order Markov counts): for every
+    user-consecutive event pair, count (current → next) transitions —
+    the behavioral-model / anomalous-flow input. One window per user
+    (event_id tie-break) + one tiny aggregate; the |types|² output is
+    dashboard-sized no matter the corpus."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"))
+    return (seq.filter(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
     "q_variant_json",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
