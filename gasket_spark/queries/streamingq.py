@@ -492,6 +492,43 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_cdc_apply",
+    oracle="""
+    SELECT user_id, ts AS last_ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'purchase'
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply executed BY Structured Streaming: the
+    purchase stream is a change feed of per-user balance updates;
+    ``foreachBatch`` MERGES every micro-batch into a versioned
+    parquet table (latest-record-wins on (ts, event_id)) with an
+    atomically-flipped LATEST pointer — the maintain-a-queryable-
+    upsert-table-from-a-stream recipe. Confluence makes it
+    hash-verifiable: ANY batching of the same changes folds to the
+    same final table, which the batch QUALIFY oracle states
+    directly."""
+    import tempfile
+
+    from gasket_spark.streaming.core import stream_cdc_apply
+
+    changes = (_events_as_stream(spark, sf_dir)
+               .filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts", "event_id",
+                       F.round(F.col("value") * 100).cast("bigint")
+                       .alias("value_cents")))
+    table_dir = tempfile.mkdtemp(prefix="gasket_cdc_")
+    final = stream_cdc_apply(changes, table_dir,
+                             key_cols=["user_id"],
+                             order_cols=["ts", "event_id"])
+    return spark.read.parquet(final).select(
+        "user_id", F.col("ts").alias("last_ts"), "value_cents")
+
+
+@query(
     "q_stream_topk",
     oracle="""
     SELECT user_id, COUNT(*) AS n,

@@ -330,6 +330,64 @@ def dedup_then_windowed_counts(events: DataFrame,
     )
 
 
+def stream_cdc_apply(changes: DataFrame, table_dir: str,
+                     key_cols: list[str], order_cols: list[str],
+                     timeout: int = 300) -> str:
+    """Streaming CDC apply: materialize a change stream into a keyed
+    table by MERGING each micro-batch (latest-record-wins on
+    ``order_cols`` per ``key_cols``) into the table's previous
+    version — the ``foreachBatch`` + MERGE recipe that maintains a
+    queryable upsert table from a change feed, re-expressed on plain
+    parquet with explicit versioning:
+
+    * batch N merges into ``versions/v{N}`` (union previous + batch,
+      one window on the merge key — the same single-shuffle shape as
+      the batch MERGE operator);
+    * the ``LATEST`` pointer file flips only after the version is
+      fully written — readers never see a half-written table;
+    * a REPLAYED batch rewrites its own deterministic version dir and
+      re-flips the pointer to the same content: idempotent, because
+      incremental latest-wins is confluent — any batching of the same
+      changes folds to the same table.
+
+    Runs the stream to completion (availableNow) and returns the
+    final version's path. At scale the same loop writes to object
+    storage with the pointer in a transaction-capable store."""
+    import json
+    import os
+
+    base = os.path.join(table_dir, "versions")
+    pointer = os.path.join(table_dir, "LATEST")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = None
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                prev = json.load(fh)["path"]
+        cur = (spark.read.parquet(prev).unionByName(batch_df)
+               if prev else batch_df)
+        from pyspark.sql import Window as W
+        w = W.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols])
+        merged = (cur.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        vpath = os.path.join(base, f"v{batch_id:09d}")
+        merged.write.mode("overwrite").parquet(vpath)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"path": vpath, "batch": batch_id}, fh)
+        os.replace(tmp, pointer)
+
+    q = changes.writeStream.foreachBatch(_apply) \
+        .trigger(availableNow=True) \
+        .option("checkpointLocation", os.path.join(table_dir, "_cp")) \
+        .start()
+    q.awaitTermination(timeout)
+    with open(pointer) as fh:
+        return json.load(fh)["path"]
+
+
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
                       topic: str, schema,
                       starting_offsets: str = "earliest") -> DataFrame:
