@@ -2264,7 +2264,7 @@ def q_scalar_null_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
            SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS value_e4,
-           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+           epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
     FROM rows_ GROUP BY event_type
     """,
 )
@@ -2286,12 +2286,17 @@ def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(SyntheticEventsDataSource)
     src = spark.read.format("gasket_synthetic") \
         .option("rows", 1000).option("partitions", 8).load()
+    # timestamp extrema leave as UTC epoch-micros (bigint): the
+    # source emits instants, and an instant column rendered under a
+    # caller session's local timezone would wall-clock-shift against
+    # the oracle — integers are timezone-invariant by construction.
     return src.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.round(F.col("value") * 10000).cast("bigint"))
         .alias("value_e4"),
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"))
 
 
 @query(
