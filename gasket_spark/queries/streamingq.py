@@ -504,10 +504,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply executed BY Structured Streaming: the
     purchase stream is a change feed of per-user balance updates;
-    ``foreachBatch`` MERGES every micro-batch into a versioned
-    parquet table (latest-record-wins on (ts, event_id)) with an
-    atomically-flipped LATEST pointer — the maintain-a-queryable-
-    upsert-table-from-a-stream recipe. Confluence makes it
+    ``foreachBatch`` MERGES every micro-batch into a HASH-BUCKETED
+    parquet table, rewriting only the buckets the batch's keys touch
+    (manifest + atomic LATEST flip — the Delta/Hudi upsert shape,
+    latest-record-wins on (ts, event_id)). Confluence makes it
     hash-verifiable: ANY batching of the same changes folds to the
     same final table, which the batch QUALIFY oracle states
     directly."""
@@ -521,10 +521,10 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.col("value") * 100).cast("bigint")
                        .alias("value_cents")))
     table_dir = tempfile.mkdtemp(prefix="gasket_cdc_")
-    final = stream_cdc_apply(changes, table_dir,
-                             key_cols=["user_id"],
-                             order_cols=["ts", "event_id"])
-    return spark.read.parquet(final).select(
+    buckets = stream_cdc_apply(changes, table_dir,
+                               key_cols=["user_id"],
+                               order_cols=["ts", "event_id"])
+    return spark.read.parquet(*buckets).select(
         "user_id", F.col("ts").alias("last_ts"), "value_cents")
 
 

@@ -332,51 +332,68 @@ def dedup_then_windowed_counts(events: DataFrame,
 
 def stream_cdc_apply(changes: DataFrame, table_dir: str,
                      key_cols: list[str], order_cols: list[str],
-                     timeout: int = 300) -> str:
+                     n_buckets: int = 8,
+                     timeout: int = 300) -> list[str]:
     """Streaming CDC apply: materialize a change stream into a keyed
     table by MERGING each micro-batch (latest-record-wins on
-    ``order_cols`` per ``key_cols``) into the table's previous
-    version — the ``foreachBatch`` + MERGE recipe that maintains a
-    queryable upsert table from a change feed, re-expressed on plain
-    parquet with explicit versioning:
+    ``order_cols`` per ``key_cols``) into the table's previous state —
+    the ``foreachBatch`` + MERGE recipe that maintains a queryable
+    upsert table from a change feed, re-expressed on plain parquet
+    with a HASH-BUCKETED manifest (the Delta/Hudi upsert shape):
 
-    * batch N merges into ``versions/v{N}`` (union previous + batch,
-      one window on the merge key — the same single-shuffle shape as
-      the batch MERGE operator);
-    * the ``LATEST`` pointer file flips only after the version is
-      fully written — readers never see a half-written table;
-    * a REPLAYED batch rewrites its own deterministic version dir and
-      re-flips the pointer to the same content: idempotent, because
-      incremental latest-wins is confluent — any batching of the same
-      changes folds to the same table.
+    * the table is ``n_buckets`` hash buckets of the merge key; a
+      manifest maps bucket → the version directory currently holding
+      it;
+    * batch N computes the DISTINCT buckets its keys touch and merges
+      ONLY those (prev bucket data ∪ batch rows → one merge-key
+      window → ``versions/v{N}/b{i}``); untouched buckets keep their
+      old manifest entry with zero IO — at 100 TB a trickle of
+      changes rewrites a trickle of the table;
+    * the ``LATEST`` manifest file flips atomically after every
+      touched bucket is written — readers never see a half-merged
+      table;
+    * a REPLAYED batch rewrites its own deterministic version dirs
+      and re-flips to identical content: idempotent, because
+      incremental latest-wins is confluent — any batching of the
+      same changes folds to the same table.
 
     Runs the stream to completion (availableNow) and returns the
-    final version's path. At scale the same loop writes to object
-    storage with the pointer in a transaction-capable store."""
+    final manifest's bucket paths (read them as one parquet union).
+    At scale the same loop targets object storage with the manifest
+    in a transaction-capable store."""
     import json
     import os
 
     base = os.path.join(table_dir, "versions")
     pointer = os.path.join(table_dir, "LATEST")
+    bucket_expr = F.pmod(F.hash(*key_cols), F.lit(n_buckets))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev = None
+        manifest: dict[str, str] = {}
         if os.path.exists(pointer):
             with open(pointer) as fh:
-                prev = json.load(fh)["path"]
-        cur = (spark.read.parquet(prev).unionByName(batch_df)
-               if prev else batch_df)
+                manifest = json.load(fh)["buckets"]
+        batch_df = batch_df.withColumn("_b", bucket_expr).persist()
+        touched = sorted(r._b for r in
+                         batch_df.select("_b").distinct().collect())
         from pyspark.sql import Window as W
         w = W.partitionBy(*key_cols).orderBy(
             *[F.col(c).desc() for c in order_cols])
-        merged = (cur.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
-        vpath = os.path.join(base, f"v{batch_id:09d}")
-        merged.write.mode("overwrite").parquet(vpath)
+        for b in touched:
+            rows = batch_df.filter(F.col("_b") == b).drop("_b")
+            prev = manifest.get(str(b))
+            cur = (spark.read.parquet(prev).unionByName(rows)
+                   if prev else rows)
+            merged = (cur.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1).drop("_rn"))
+            bpath = os.path.join(base, f"v{batch_id:09d}", f"b{b:04d}")
+            merged.write.mode("overwrite").parquet(bpath)
+            manifest[str(b)] = bpath
+        batch_df.unpersist()
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"path": vpath, "batch": batch_id}, fh)
+            json.dump({"buckets": manifest, "batch": batch_id}, fh)
         os.replace(tmp, pointer)
 
     q = changes.writeStream.foreachBatch(_apply) \
@@ -385,7 +402,7 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         .start()
     q.awaitTermination(timeout)
     with open(pointer) as fh:
-        return json.load(fh)["path"]
+        return sorted(json.load(fh)["buckets"].values())
 
 
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,

@@ -309,3 +309,40 @@ class TestIdempotentSink:
         back = spark.read.parquet(out_dir)
         assert back.count() == 200
         assert back.select("value").distinct().count() == 200
+
+
+class TestStreamCdcApply:
+    def test_partial_bucket_rewrite_and_latest_wins(self, spark, tmp_path):
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from gasket_spark.streaming.core import stream_cdc_apply
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        f1, f2 = os.path.join(src, "a.json"), os.path.join(src, "b.json")
+        with open(f1, "w") as fh:
+            for k in range(8):
+                fh.write(json.dumps({"k": k, "o": 1, "v": 10 + k}) + "\n")
+        with open(f2, "w") as fh:
+            fh.write(json.dumps({"k": 0, "o": 2, "v": 99}) + "\n")
+        os.utime(f1, (1_600_000_000, 1_600_000_000))
+        os.utime(f2, (1_600_000_500, 1_600_000_500))
+        stream = spark.readStream.schema("k long, o long, v long") \
+            .option("maxFilesPerTrigger", 1).json(src)
+        tdir = str(tmp_path / "table")
+        buckets = stream_cdc_apply(stream, tdir, ["k"], ["o"],
+                                   n_buckets=8)
+        got = {r.k: r.v for r in spark.read.parquet(*buckets).collect()}
+        assert got == {0: 99, **{k: 10 + k for k in range(1, 8)}}
+        # batch 1 (single key) rewrote ONLY that key's bucket
+        versions = sorted(os.listdir(os.path.join(tdir, "versions")))
+        assert len(versions) == 2
+        v1 = os.path.join(tdir, "versions", versions[1])
+        v1_buckets = [d for d in os.listdir(v1) if d.startswith("b")]
+        assert len(v1_buckets) == 1
+        k0_bucket = spark.range(1).select(
+            F.pmod(F.hash(F.lit(0).cast("long")), F.lit(8))).first()[0]
+        assert v1_buckets[0] == f"b{k0_bucket:04d}"
