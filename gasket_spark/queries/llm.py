@@ -862,6 +862,90 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_chunks",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_DUP_SQL}),
+    splitted AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+    toks AS (
+      SELECT doc_id, t.i AS ord, words[t.i] AS w
+      FROM splitted, unnest(range(1, len(words) + 1)) AS t(i)),
+    flagged AS (
+      SELECT doc_id, ord, w,
+             CASE WHEN ord >= 3 AND substr(md5(
+                    lag(w, 2) OVER dw || ' ' || lag(w, 1) OVER dw
+                    || ' ' || w), 1, 1) IN ('0', '1')
+                  THEN 1 ELSE 0 END AS flag
+      FROM toks
+      WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+    chunked AS (
+      SELECT doc_id, ord, w,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY ord
+                             ROWS UNBOUNDED PRECEDING) AS chunk_no
+      FROM flagged),
+    chunks AS (
+      SELECT doc_id, chunk_no,
+             string_agg(w, ' ' ORDER BY ord) AS chunk
+      FROM chunked GROUP BY doc_id, chunk_no),
+    dup AS (
+      SELECT chunk FROM chunks GROUP BY chunk
+      HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE chunk IN (SELECT chunk FROM dup))
+             AS BIGINT) AS n_dup,
+           ROUND(COUNT(*) FILTER (WHERE chunk IN (SELECT chunk FROM dup))
+                 / COUNT(*), 4) AS dup_frac
+    FROM chunks GROUP BY doc_id
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the SHIFT-ROBUST sub-document
+    signal: chunk boundaries fall where a rolling 3-token md5 lands in
+    a 1/8 hex bucket (expected chunk ≈ 8 tokens), so an insertion or
+    deletion only perturbs the chunks that contain it, while
+    fixed-width segmentation (q_dedup_segments) re-frames everything
+    downstream of the edit. Boundaries are pure md5 arithmetic —
+    engine-identical, no seeds. Plan: one explode, two windows over
+    (doc, pos) — the SAME single doc-keyed shuffle serves both via
+    one sort — then chunk-group aggregation and a broadcast semi-join
+    on the (rare) cross-doc duplicate chunk set."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = toks.withColumn(
+        "flag",
+        ((F.col("pos") >= 2)
+         & F.substring(F.md5(F.concat_ws(
+             " ", F.lag("w", 2).over(dw), F.lag("w", 1).over(dw),
+             F.col("w"))), 1, 1).isin("0", "1")).cast("int"))
+    chunked = flagged.withColumn(
+        "chunk_no",
+        F.sum("flag").over(dw.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)))
+    chunks = (chunked.groupBy("doc_id", "chunk_no")
+              .agg(F.concat_ws(
+                  " ", F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("pos", "w"))),
+                      lambda s: s["w"])).alias("chunk")))
+    dup = (chunks.groupBy("chunk")
+           .agg(F.countDistinct("doc_id").alias("_nd"))
+           .filter(F.col("_nd") >= 2).select("chunk"))
+    marked = chunks.join(F.broadcast(dup), "chunk", "left_semi") \
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+        .join(marked, "doc_id", "left")
+        .select("doc_id", "n_chunks",
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                F.round(F.coalesce("n_dup", F.lit(0))
+                        / F.col("n_chunks").cast("double"), 4)
+                .alias("dup_frac"))
+    )
+
+
+@query(
     "q_quality_gopher",
     oracle="""
     WITH t AS (
