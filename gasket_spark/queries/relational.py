@@ -1815,6 +1815,71 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps — the
+    bitmap-index technique that replaces count-distinct's Expand with
+    two ordinary two-phase aggregates: bucket ids into 64-bit words
+    (word = id div 64), OR the bit masks per (group, word) — a
+    mergeable, associative state — then popcount-sum the words per
+    group. Dense-id domains at 100 TB count exactly in one pass with
+    map-side partial ORs; the same state unions across days for free
+    (bitmap rollup), which HLL can only approximate."""
+    ev = read_table(spark, sf_dir, "events")
+    words = (ev.select(
+        "event_type",
+        F.expr("user_id div 64").alias("word"),
+        F.expr("shiftleft(1L, cast(pmod(user_id, 64) as int))")
+        .alias("bit"))
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("mask")))
+    return (words.groupBy("event_type")
+            .agg(F.sum(F.bit_count("mask")).alias("n_users")))
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH freq AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+             MAX(n) AS max_n,
+             CAST(ROUND(AVG(n) * 100) AS BIGINT) AS mean_n_e2
+      FROM freq)
+    SELECT n_keys, n_rows, max_n, mean_n_e2,
+           CAST(ROUND(max_n * 10000.0 / n_rows) AS BIGINT)
+             AS top1_share_e4
+    FROM stats
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight check that decides
+    whether a join needs salting (operators/skew.py) BEFORE the
+    3-hour stage proves it did: per-key frequencies in one two-phase
+    agg, folded to key count, row count, hottest-key count and its
+    row share (fixed-point ×1e4, engine-exact). On a 100 TB fact
+    table this one cheap pass decides the physical plan for every
+    subsequent join on the key."""
+    od = read_table(spark, sf_dir, "orders")
+    freq = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n") * 100).cast("bigint").alias("mean_n_e2"),
+    ).select(
+        "n_keys", "n_rows", "max_n", "mean_n_e2",
+        F.round(F.col("max_n") * 10000.0 / F.col("n_rows"))
+        .cast("bigint").alias("top1_share_e4"))
+
+
+@query(
     "q_weighted_median",
     oracle="""
     WITH w AS (
