@@ -346,9 +346,10 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
       it;
     * batch N computes the DISTINCT buckets its keys touch and merges
       ONLY those (prev bucket data ∪ batch rows → one merge-key
-      window → ``versions/v{N}/b{i}``); untouched buckets keep their
-      old manifest entry with zero IO — at 100 TB a trickle of
-      changes rewrites a trickle of the table;
+      window → ONE dynamic-partitioned write to
+      ``versions/v{N}/_b=i``); untouched buckets keep their old
+      manifest entry with zero IO — at 100 TB a trickle of changes
+      rewrites a trickle of the table;
     * the ``LATEST`` manifest file flips atomically after every
       touched bucket is written — readers never see a half-merged
       table;
@@ -377,20 +378,27 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         batch_df = batch_df.withColumn("_b", bucket_expr).persist()
         touched = sorted(r._b for r in
                          batch_df.select("_b").distinct().collect())
+        # ONE read of every touched bucket's previous data + ONE
+        # dynamic-partitioned write per batch (not per bucket): the
+        # merge window partitions by key, so rows never cross buckets
+        # and each output dir v{N}/_b=i is a complete merged bucket.
+        prev_paths = [manifest[str(b)] for b in touched
+                      if str(b) in manifest]
+        cur = batch_df
+        if prev_paths:
+            prev = spark.read.parquet(*prev_paths) \
+                .withColumn("_b", bucket_expr)
+            cur = prev.unionByName(batch_df)
         from pyspark.sql import Window as W
         w = W.partitionBy(*key_cols).orderBy(
             *[F.col(c).desc() for c in order_cols])
-        for b in touched:
-            rows = batch_df.filter(F.col("_b") == b).drop("_b")
-            prev = manifest.get(str(b))
-            cur = (spark.read.parquet(prev).unionByName(rows)
-                   if prev else rows)
-            merged = (cur.withColumn("_rn", F.row_number().over(w))
-                      .filter(F.col("_rn") == 1).drop("_rn"))
-            bpath = os.path.join(base, f"v{batch_id:09d}", f"b{b:04d}")
-            merged.write.mode("overwrite").parquet(bpath)
-            manifest[str(b)] = bpath
+        merged = (cur.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        vpath = os.path.join(base, f"v{batch_id:09d}")
+        merged.write.mode("overwrite").partitionBy("_b").parquet(vpath)
         batch_df.unpersist()
+        for b in touched:
+            manifest[str(b)] = os.path.join(vpath, f"_b={b}")
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"buckets": manifest, "batch": batch_id}, fh)

@@ -341,8 +341,8 @@ class TestStreamCdcApply:
         versions = sorted(os.listdir(os.path.join(tdir, "versions")))
         assert len(versions) == 2
         v1 = os.path.join(tdir, "versions", versions[1])
-        v1_buckets = [d for d in os.listdir(v1) if d.startswith("b")]
+        v1_buckets = [d for d in os.listdir(v1) if d.startswith("_b=")]
         assert len(v1_buckets) == 1
         k0_bucket = spark.range(1).select(
             F.pmod(F.hash(F.lit(0).cast("long")), F.lit(8))).first()[0]
-        assert v1_buckets[0] == f"b{k0_bucket:04d}"
+        assert v1_buckets[0] == f"_b={k0_bucket}"
