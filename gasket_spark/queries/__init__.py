@@ -37,13 +37,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Queries with a green driver CORRECTNESS row in round 1
-# (CORRECTNESS_r01.json: hash pass or rows-only-by-design pass). The
-# driver verifies queries in registration order with a bounded window,
-# so never-yet-verified queries must register FIRST; proven-green ones
-# re-register behind them and rotate back into the window once the
-# whole inventory has at least one green row.
-_DRIVER_GREEN_R01: tuple[str, ...] = (
+# ---------------------------------------------------------------------------
+# Driver-signal manifest.
+#
+# The driver verifies queries in REGISTRATION ORDER with a bounded
+# window (~50 per round), so registration order is a verification
+# scheduler. Each query maps to the round of its most recent driver
+# CORRECTNESS row; _load_all() registers ascending by that signal —
+# never-verified queries (not in the map → 0) always land in the
+# window first, and the freshest greens rotate to the back. With 126
+# queries and a 50-window, every query gets a row within 3 rotations.
+#
+# UPDATE THIS MAP EVERY ROUND from CORRECTNESS_r{N}.json (NOTES.md
+# carries the same table): greens of round N → N; reds stay at the
+# PINNED_FIRST rank until their fix earns a fresh green row.
+# ---------------------------------------------------------------------------
+
+# Red in r2+r3, root-caused and fixed this round (NDJSON replay
+# micro-truncation; oracle HUGEINT cast) — pinned ahead of even the
+# never-verified group so the fixes are re-checked no matter what.
+_PINNED_FIRST: tuple[str, ...] = (
+    "q_scan_pysource", "q_stream_session", "q_stream_cdc_apply",
+)
+
+# r1 rows-only green, upgraded to exact oracles in r2; the upgraded
+# oracle has never been driver-run. Rank between the zero-signal group
+# and the r1 greens.
+_UPGRADED_R02: tuple[str, ...] = (
+    "q_agg_approx_distinct", "q_pagerank", "q_agg_qsketch", "q_agg_kmv",
+)
+
+# Hash-green (or rows-only-by-design pass) in the r1 driver window and
+# never re-verified since — staler than the r2/r3 greens.
+_GREEN_R01: tuple[str, ...] = (
     "q_scan_parquet", "q_scan_ndjson", "q_filter_project",
     "q_join_broadcast", "q_join_shuffle", "q_join_semi_anti",
     "q_join_outer", "q_join_asof", "q_join_asof_fwd", "q_agg_hash",
@@ -60,42 +86,36 @@ _DRIVER_GREEN_R01: tuple[str, ...] = (
     "q_join_cross", "q_agg_collect", "q_scalar_null_pack",
     "q_join_asof_nearest",
 )
-# The two RED rows of CORRECTNESS_r01 (q_scan_pysource harness conf,
-# q_agg_bool oracle cast), both fixed in r02: pinned FIRST so their
-# green rows are guaranteed whatever the driver's window is.
-_FIXED_REDS_R01: tuple[str, ...] = ("q_scan_pysource", "q_agg_bool")
 
-# Weakest-signal rows: rows-only BY DESIGN (hash-family-specific
-# outputs: SimHash Hamming pairs, seeded-hyperplane ANN neighbor sets,
-# external-command pipes) plus the stub-backed multimodal decode
-# (oracle checks a deterministic fake decoder — plumbing, not media).
-# A driver row for these carries the least information, so when the
-# front group outgrows the driver's ~50-query window they are the
-# first to wait a round (their pytest property coverage is green).
-_ROWS_ONLY_DESIGN: tuple[str, ...] = (
-    "q_dedup_simhash", "q_sim_ann", "q_cmd_pipe", "q_multimodal_decode",
+# Green rows in the r2/r3 driver windows (CORRECTNESS_r03.json minus
+# its three reds) — the freshest signal, so the back of the line.
+_GREEN_R03: tuple[str, ...] = (
+    "q_agg_bool", "q_text_stats", "q_lang_id", "q_fingerprint",
+    "q_dedup_ngram", "q_dedup_minhash", "q_dedup_embedding",
+    "q_sim_topk", "q_udf_module", "q_multimodal_meta",
+    "q_multimodal_frames", "q_sim_ivf", "q_udaf_grouped",
+    "q_pack_shards", "q_dedup_incremental", "q_dedup_segments",
+    "q_cap_per_source", "q_sample_mix", "q_dedup_chunks",
+    "q_quality_gopher", "q_text_normalize", "q_sample_stratified",
+    "q_embed_quantize", "q_pii_redact", "q_kmv_overlap", "q_cms_freq",
+    "q_collocations", "q_repetition", "q_window_sliding",
+    "q_window_session", "q_stream_sliding", "q_stream_stateful_totals",
+    "q_stream_stream_join", "q_stream_outer_join",
+    "q_stream_dedup_window", "q_stream_static_join", "q_stream_topk",
+    "q_pipe_compose", "q_run_concat", "q_map_broadcast",
+    "q_reduce_fanin", "q_scan_orc", "q_join_bucketed",
+    "q_agg_percentile_approx", "q_recursive_cte", "q_bitmap_distinct",
+    "q_skew_profile",
 )
 
-# Green (rows-only) in r01 but upgraded in r02 to hash-verified
-# outputs whose rows changed: these need a driver re-check, but rank
-# BEHIND the never-checked group (they carry an r01 green row + exact
-# pytest-proven laws) — so if the driver's window is ~50, every
-# zero-signal query still fits in front of them.
-_UPGRADED_R02: tuple[str, ...] = (
-    "q_agg_approx_distinct", "q_pagerank", "q_agg_qsketch", "q_agg_kmv",
-)
 
-# Driver-unchecked in round 1 but independently oracle-verified PASS by
-# the round-1 judge (VERDICT.md §2B) — some signal already, so they sit
-# at the BACK of the unchecked group: if the driver's window is tighter
-# than the unchecked count, the zero-signal queries still all fit.
-_JUDGE_VERIFIED_R01: tuple[str, ...] = (
-    "q_fork_union", "q_pipeline_curate", "q_text_quality",
-    "q_dedup_exact", "q_tfidf", "q_sample_hash", "q_dedup_components",
-    "q_heavy_hitters", "q_udtf_tokens", "q_decontaminate", "q_lm_score",
-    "q_vocab_build", "q_split_assign", "q_window_tumbling",
-    "q_stream_tumbling", "q_stream_dedup", "q_join_asof_tolerance",
-)
+def _signal_rank() -> dict[str, float]:
+    rank: dict[str, float] = {}
+    rank.update({n: 3.0 for n in _GREEN_R03})
+    rank.update({n: 1.0 for n in _GREEN_R01})
+    rank.update({n: 0.5 for n in _UPGRADED_R02})
+    rank.update({n: -1.0 for n in _PINNED_FIRST})
+    return rank
 
 
 def _load_all() -> None:
@@ -105,17 +125,9 @@ def _load_all() -> None:
     from gasket_spark.queries import pipelineq  # noqa: F401
     from gasket_spark.queries import relational  # noqa: F401
 
-    green, judged = set(_DRIVER_GREEN_R01), set(_JUDGE_VERIFIED_R01)
-    later = set(_UPGRADED_R02) | set(_ROWS_ONLY_DESIGN)
-    first = set(_FIXED_REDS_R01)
-    ordered = list(_FIXED_REDS_R01)
-    ordered += [n for n in QUERIES
-                if n not in green and n not in judged and n not in later
-                and n not in first]
-    ordered += [n for n in _ROWS_ONLY_DESIGN if n in QUERIES]
-    ordered += [n for n in _UPGRADED_R02 if n in QUERIES]
-    ordered += [n for n in _JUDGE_VERIFIED_R01 if n in QUERIES]
-    ordered += [n for n in _DRIVER_GREEN_R01 if n in QUERIES]
+    rank = _signal_rank()
+    idx = {n: i for i, n in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=lambda n: (rank.get(n, 0.0), idx[n]))
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
         reg.clear()

@@ -2328,7 +2328,8 @@ def q_scalar_null_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g)
     SELECT event_type, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS value_e4,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS value_e4,
            epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
     FROM rows_ GROUP BY event_type
     """,
@@ -2419,8 +2420,14 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_next", F.first("_o", ignorenulls=True).over(wf))
         .filter(F.col("side") == 1)
     )
-    dtp = F.unix_micros(F.col("t")) - F.unix_micros(F.col("_prev.ot"))
-    dtn = F.unix_micros(F.col("_next.ot")) - F.unix_micros(F.col("t"))
+    # unix_micros rejects TIMESTAMP_NTZ (what Spark 4 infers from the
+    # events parquet); with the session pinned UTC the cast is a pure
+    # type lift, identical wall-clock either way.
+    def _us(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    dtp = _us("t") - _us("_prev.ot")
+    dtn = _us("_next.ot") - _us("t")
     nearest = (
         F.when(F.col("_prev").isNull(), F.col("_next.ok"))
         .when(F.col("_next").isNull(), F.col("_prev.ok"))

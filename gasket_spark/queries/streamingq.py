@@ -148,7 +148,7 @@ def _events_as_stream(spark: SparkSession, sf_dir: str,
     import os
     import tempfile
 
-    from gasket_spark.streaming.core import TS_FORMAT_US, read_events_stream
+    from gasket_spark.streaming.core import read_events_stream, to_ndjson_lines
 
     key = (os.path.normpath(sf_dir), copies)
     out = _STREAM_DIRS.get(key)
@@ -157,8 +157,7 @@ def _events_as_stream(spark: SparkSession, sf_dir: str,
         rep = functools.reduce(lambda a, _: a.unionByName(ev),
                                range(copies - 1), ev)
         out = tempfile.mkdtemp(prefix="gasket_stream_")
-        rep.select(F.to_json(F.struct(*ev.columns),
-                             {"timestampFormat": TS_FORMAT_US}).alias("value")) \
+        to_ndjson_lines(rep) \
             .repartition(8).write.mode("overwrite").text(out)
         _STREAM_DIRS[key] = out
     return read_events_stream(spark, out, max_files_per_trigger=2)
@@ -196,7 +195,7 @@ def _events_as_ordered_stream(spark: SparkSession, sf_dir: str,
     import os
     import tempfile
 
-    from gasket_spark.streaming.core import TS_FORMAT_US, read_events_stream
+    from gasket_spark.streaming.core import read_events_stream, to_ndjson_lines
 
     key = (os.path.normpath(sf_dir), dup)
     out = _ORDERED_DIRS.get(key)
@@ -204,9 +203,8 @@ def _events_as_ordered_stream(spark: SparkSession, sf_dir: str,
         ev = read_table(spark, sf_dir, "events")
         body = ev.unionByName(ev) if dup else ev
         out = tempfile.mkdtemp(prefix="gasket_stream_ord_")
-        (body.repartitionByRange(8, "ts").sortWithinPartitions("ts")
-         .select(F.to_json(F.struct(*ev.columns),
-                           {"timestampFormat": TS_FORMAT_US}).alias("value"))
+        (to_ndjson_lines(
+            body.repartitionByRange(8, "ts").sortWithinPartitions("ts"))
          .write.mode("overwrite").text(out))
         max_ts = ev.agg(F.max("ts")).first()[0]
         sent = spark.createDataFrame(
@@ -220,9 +218,7 @@ def _events_as_ordered_stream(spark: SparkSession, sf_dir: str,
             .alias("props"))
         import shutil
         sent_tmp = tempfile.mkdtemp(prefix="gasket_sentinel_")
-        (sent.coalesce(1)
-         .select(F.to_json(F.struct(*ev.columns),
-                           {"timestampFormat": TS_FORMAT_US}).alias("value"))
+        (to_ndjson_lines(sent.coalesce(1))
          .write.mode("overwrite").text(sent_tmp))
         sent_part = next(os.path.join(sent_tmp, f)
                          for f in os.listdir(sent_tmp)

@@ -42,6 +42,23 @@ EVENTS_SCHEMA = StructType([
 TS_FORMAT_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
+def to_ndjson_lines(df: DataFrame) -> DataFrame:
+    """Render typed rows to NDJSON ``value`` lines with FULL
+    microsecond event time — the one sanctioned serializer for stream
+    replay dirs. Spark 4 reads parquet timestamps as TIMESTAMP_NTZ
+    (``inferTimestampNTZ``), and ``to_json`` formats NTZ columns with
+    ``timestampNTZFormat`` (default: milliseconds) no matter what
+    ``timestampFormat`` says — so NTZ columns are first cast to
+    TIMESTAMP (a pure type lift under the UTC-pinned session) and the
+    microsecond format then actually applies."""
+    cols = [F.col(c).cast("timestamp").alias(c) if t == "timestamp_ntz"
+            else F.col(c) for c, t in df.dtypes]
+    lifted = df.select(*cols)
+    return lifted.select(
+        F.to_json(F.struct(*lifted.columns),
+                  {"timestampFormat": TS_FORMAT_US}).alias("value"))
+
+
 def read_events_stream(spark: SparkSession, path: str,
                        schema: StructType = EVENTS_SCHEMA,
                        max_files_per_trigger: int | None = None) -> DataFrame:

@@ -27,11 +27,9 @@ def events_json_dir(spark, tmp_path_factory):
     """events table serialized to NDJSON files — the streaming on-ramp."""
     out = str(tmp_path_factory.mktemp("events_stream"))
     ev = read_table(spark, SF_SMALL, "events")
-    from gasket_spark.streaming.core import TS_FORMAT_US
+    from gasket_spark.streaming.core import to_ndjson_lines
 
-    ev.select(F.to_json(F.struct(*ev.columns),
-                        {"timestampFormat": TS_FORMAT_US}).alias("value")) \
-        .repartition(4).write.mode("overwrite").text(out)
+    to_ndjson_lines(ev).repartition(4).write.mode("overwrite").text(out)
     return out
 
 
