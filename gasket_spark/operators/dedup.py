@@ -171,12 +171,20 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.3,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = 256) -> DataFrame:
     """Exact n-gram Jaccard over an inverted index: explode distinct
     shingles → self-join on the shingle (docs sharing ≥1 shingle) →
     common-shingle counts → |A∩B| / (|A|+|B|−|A∩B|). The inverted-index
-    join is the scalable exact counterpart to MinHash's approximation;
-    cap hot shingles with ``max_doc_freq`` at scale."""
+    join is the scalable exact counterpart to MinHash's approximation.
+
+    ``max_doc_freq`` caps each shingle's document frequency BEFORE the
+    self-join — the join's fan-out is Σ df² over shingles, so one
+    boilerplate shingle in a million docs is 5·10¹¹ pairs uncapped.
+    The default (256 ⇒ ≤ ~33k pairs/shingle) is the production
+    posture: shingles that common carry no near-dup signal (two docs
+    that are REAL near-dups still share many rare shingles). Pass
+    ``None`` only for small/curated corpora where exact Jaccard over
+    the full shingle space is the point."""
     # 64-bit hashed shingle sets: set sizes and intersection counts —
     # hence Jaccard — are identical to string shingles unless two
     # distinct shingles collide in 64 bits (P ≈ |shingles|²/2⁶⁴; the

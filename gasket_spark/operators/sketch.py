@@ -192,6 +192,93 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, group_cols: list[str],
 
 
 # ---------------------------------------------------------------------------
+# Theta sketch: KMV generalized to COMPOSABLE set algebra
+# ---------------------------------------------------------------------------
+#
+# kmv_jaccard answers overlap questions with SCALAR estimates; a theta
+# sketch makes intersection and difference first-class SKETCH→SKETCH
+# operations, so expressions compose: (A ∩ B) \ C, (A \ B) ∪ (C ∩ D)…
+# each intermediate is again a (theta, retained-hash-set) pair that can
+# be stored, shipped, and further combined — the standard
+# theta-sketch design (Dalvi et al. / Apache DataSketches semantics,
+# re-expressed as DataFrame array algebra).
+#
+# State per group: ``theta_h`` (a raw signed-64 hash threshold; NULL
+# means θ = 1.0, the exact regime) + ``hashes`` (the retained distinct
+# hash values < theta_h). Every retained hash is a uniform sample of
+# the underlying set at rate θ, so |set| ≈ |hashes| / θ with relative
+# error ~1/√|hashes|. Op laws (result is always a valid sketch):
+#
+# * union:     θ = min(θa, θb); retained = (Ha ∪ Hb) < θ
+# * intersect: θ = min(θa, θb); retained = (Ha ∩ Hb) < θ
+# * a_not_b:   θ = min(θa, θb); retained = (Ha \ Hb) < θ
+#
+# Group counts are small after sketching (the sketch IS the
+# reduction), so the per-group array algebra below is JVM higher-order
+# functions over ≤k-long arrays — no shuffle beyond the outer join on
+# the group keys.
+
+
+def theta_from_kmv(sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Lift a :func:`kmv_sketch` table into theta form. Saturated
+    groups (n_seen == k): θ is the k-th smallest hash (exclusive
+    threshold) and the first k−1 hashes are retained. Unsaturated
+    groups hold their ENTIRE distinct hash set: θ = 1.0 (NULL).
+    Returns (group_cols…, theta_h: long|null, hashes: array<long>)."""
+    sat = F.col("n_seen") >= k
+    return sketches.select(
+        *[c for c in sketches.columns if c not in ("sketch", "n_seen")],
+        F.when(sat, F.element_at("sketch", k)).alias("theta_h"),
+        F.when(sat, F.slice("sketch", 1, k - 1))
+        .otherwise(F.col("sketch")).alias("hashes"))
+
+
+def _theta_filter(hashes, theta_h):
+    return F.when(theta_h.isNull(), hashes).otherwise(
+        F.filter(hashes, lambda h: h < theta_h))
+
+
+def theta_op(a: DataFrame, b: DataFrame, group_cols: list[str],
+             op: str) -> DataFrame:
+    """Binary theta-sketch set operation (``union`` | ``intersect`` |
+    ``a_not_b``) per group; groups present on one side only follow the
+    op's identity (union: pass through; intersect: empty; a_not_b: A
+    passes, B-only drops). Output is again a theta sketch table."""
+    if op not in ("union", "intersect", "a_not_b"):
+        raise ValueError(f"unknown theta op: {op}")
+    aa = a.select(*group_cols, F.col("theta_h").alias("_ta"),
+                  F.col("hashes").alias("_ha"))
+    bb = b.select(*group_cols, F.col("theta_h").alias("_tb"),
+                  F.col("hashes").alias("_hb"))
+    j = aa.join(bb, group_cols, "full" if op != "a_not_b" else "left")
+    # least() skips NULLs, which is exactly "NULL means θ=1.0 = +∞"
+    theta = F.least("_ta", "_tb")
+    ha = F.coalesce("_ha", F.array().cast("array<long>"))
+    hb = F.coalesce("_hb", F.array().cast("array<long>"))
+    if op == "union":
+        merged = F.array_distinct(F.concat(ha, hb))
+    elif op == "intersect":
+        merged = F.array_intersect(ha, hb)
+    else:
+        merged = F.array_except(ha, hb)
+    return j.select(
+        *group_cols, theta.alias("theta_h"),
+        F.sort_array(_theta_filter(merged, theta)).alias("hashes"))
+
+
+def theta_estimate(sketches: DataFrame) -> DataFrame:
+    """Cardinality estimate per sketch row: exact (|hashes|) in the
+    θ=1 regime, else |hashes| / θ."""
+    theta = (F.col("theta_h").cast("double") + F.lit(_OFFSET)) \
+        / F.lit(_RANGE)
+    return sketches.withColumn(
+        "distinct_est",
+        F.when(F.col("theta_h").isNull(),
+               F.size("hashes").cast("double"))
+        .otherwise(F.size("hashes").cast("double") / theta))
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch: mergeable per-item frequency estimates
 # ---------------------------------------------------------------------------
 #

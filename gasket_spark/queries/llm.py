@@ -1391,6 +1391,85 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_theta_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+               WHERE l_orderkey % 2 = 0),
+    b AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+          WHERE l_orderkey % 2 = 1),
+    na AS (SELECT l_returnflag, COUNT(*) AS n_a FROM a GROUP BY 1),
+    i AS (SELECT l_returnflag, COUNT(*) AS n_intersect
+          FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+          GROUP BY l_returnflag)
+    SELECT na.l_returnflag, n_a, n_intersect,
+           CAST(n_a - n_intersect AS BIGINT) AS n_a_not_b,
+           TRUE AS intersect_ok, TRUE AS a_not_b_ok, TRUE AS recombine_ok
+    FROM na JOIN i USING (l_returnflag)
+    """,
+)
+def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (operators/sketch.py theta_*): where
+    q_kmv_overlap emits SCALAR overlap estimates, here intersection
+    and difference are SKETCH→SKETCH operations whose outputs compose
+    — the query builds A∩B and A\\B sketches from the two lineitem
+    halves' part-key sketches, then re-unions THOSE RESULTS into a
+    sketch of A, exercising the closure law end-to-end.
+
+    Hash-verified like q_kmv_overlap: exact |A| / |A∩B| / |A\\B| come
+    from one presence-flag pass (oracle-matched), and each sketch
+    estimate must land within ±10% of |A| (θ ≈ k/|distinct| ≈ 0.5 at
+    sf0.01 ⇒ sd ≈ √(n(1−θ)/θ) ≲ 45 ≪ bound ≈ 180; deterministic
+    xxhash64, so the margin is belt-and-braces, not flakiness)."""
+    from gasket_spark.operators.sketch import (
+        kmv_sketch, theta_estimate, theta_from_kmv, theta_op)
+
+    li = read_table(spark, sf_dir, "lineitem")
+    g = ["l_returnflag"]
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    ta = theta_from_kmv(kmv_sketch(a, g, "l_partkey", 1024))
+    tb = theta_from_kmv(kmv_sketch(b, g, "l_partkey", 1024))
+    inter = theta_op(ta, tb, g, "intersect")
+    anb = theta_op(ta, tb, g, "a_not_b")
+    recomb = theta_op(inter, anb, g, "union")  # (A∩B) ∪ (A\\B) = A
+
+    def _est(df: DataFrame, name: str) -> DataFrame:
+        return theta_estimate(df).select(
+            *g, F.col("distinct_est").alias(name))
+
+    # exact counterparts in ONE presence-flag pass (cf. q_kmv_overlap:
+    # no distinct-join chain, two shuffles total)
+    pres = (
+        li.select("l_returnflag", "l_partkey",
+                  (F.col("l_orderkey") % 2 == 0).alias("_a"))
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(F.max(F.col("_a").cast("int")).alias("_ha"),
+             F.max((~F.col("_a")).cast("int")).alias("_hb"))
+    )
+    exact = pres.groupBy("l_returnflag").agg(
+        F.count_if(F.col("_ha") == 1).alias("n_a"),
+        F.count_if((F.col("_ha") == 1) & (F.col("_hb") == 1))
+        .alias("n_intersect"))
+    out = (
+        exact.withColumn("n_a_not_b",
+                         F.col("n_a") - F.col("n_intersect"))
+        .join(_est(inter, "_ei"), g)
+        .join(_est(anb, "_ed"), g)
+        .join(_est(recomb, "_er"), g)
+    )
+    tol = F.col("n_a").cast("double") * 0.10
+    return out.select(
+        "l_returnflag", "n_a", "n_intersect",
+        F.col("n_a_not_b").cast("bigint").alias("n_a_not_b"),
+        (F.abs(F.col("_ei") - F.col("n_intersect")) <= tol)
+        .alias("intersect_ok"),
+        (F.abs(F.col("_ed") - F.col("n_a_not_b")) <= tol)
+        .alias("a_not_b_ok"),
+        (F.abs(F.col("_er") - F.col("n_a")) <= tol)
+        .alias("recombine_ok"))
+
+
+@query(
     "q_cms_freq",
     oracle=r"""
     WITH toks AS (

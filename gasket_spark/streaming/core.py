@@ -350,72 +350,119 @@ def dedup_then_windowed_counts(events: DataFrame,
 def stream_cdc_apply(changes: DataFrame, table_dir: str,
                      key_cols: list[str], order_cols: list[str],
                      n_buckets: int = 8,
+                     target_file_rows: int = 1_000_000,
                      timeout: int = 300) -> list[str]:
     """Streaming CDC apply: materialize a change stream into a keyed
     table by MERGING each micro-batch (latest-record-wins on
     ``order_cols`` per ``key_cols``) into the table's previous state —
     the ``foreachBatch`` + MERGE recipe that maintains a queryable
     upsert table from a change feed, re-expressed on plain parquet
-    with a HASH-BUCKETED manifest (the Delta/Hudi upsert shape):
+    with a HASH-BUCKETED, FILE-GROUP manifest (the Delta/Hudi upsert
+    shape, down to file-level pruning):
 
-    * the table is ``n_buckets`` hash buckets of the merge key; a
-      manifest maps bucket → the version directory currently holding
-      it;
-    * batch N computes the DISTINCT buckets its keys touch and merges
-      ONLY those (prev bucket data ∪ batch rows → one merge-key
-      window → ONE dynamic-partitioned write to
-      ``versions/v{N}/_b=i``); untouched buckets keep their old
-      manifest entry with zero IO — at 100 TB a trickle of changes
-      rewrites a trickle of the table;
+    * the table is ``n_buckets`` hash buckets of the merge key; each
+      bucket is a list of FILE GROUPS — key-sorted slices of ≈
+      ``target_file_rows`` rows whose [kmin, kmax] range the manifest
+      records (parquet min/max stats, surfaced to the planner);
+    * batch N computes per-bucket key ranges (one bounded collect of
+      ≤ n_buckets rows) and reads ONLY the file groups whose range
+      overlaps — a hot bucket that has grown to hundreds of file
+      groups rewrites just the few a trickle of changes lands in,
+      the rest carry forward in the manifest with ZERO IO. Pruning
+      is sound because any file containing one of the batch's keys
+      necessarily range-overlaps the batch;
+    * merge + re-split share ONE exchange: rows shuffle by bucket,
+      sort by (key asc, order desc); latest-wins falls out of a lag()
+      run-boundary test on that sort, and the file-group assignment
+      reuses the same distribution+sort (Catalyst plans no second
+      exchange), so each batch is one shuffle + one
+      dynamic-partitioned write to ``versions/v{N}/_b=i/_f=j``;
     * the ``LATEST`` manifest file flips atomically after every
-      touched bucket is written — readers never see a half-merged
-      table;
+      touched file group is written — readers never see a
+      half-merged table;
     * a REPLAYED batch rewrites its own deterministic version dirs
       and re-flips to identical content: idempotent, because
       incremental latest-wins is confluent — any batching of the
       same changes folds to the same table.
 
-    Runs the stream to completion (availableNow) and returns the
-    final manifest's bucket paths (read them as one parquet union).
-    At scale the same loop targets object storage with the manifest
-    in a transaction-capable store."""
+    Range stats use ``key_cols[0]`` (the leading merge key — the
+    standard clustering choice). Runs the stream to completion
+    (availableNow) and returns the final manifest's file-group paths
+    (read them as one parquet union). At scale the same loop targets
+    object storage with the manifest in a transaction-capable
+    store."""
     import json
     import os
 
     base = os.path.join(table_dir, "versions")
     pointer = os.path.join(table_dir, "LATEST")
     bucket_expr = F.pmod(F.hash(*key_cols), F.lit(n_buckets))
+    stat_col = key_cols[0]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        manifest: dict[str, str] = {}
+        manifest: dict[str, list[dict]] = {}
         if os.path.exists(pointer):
             with open(pointer) as fh:
                 manifest = json.load(fh)["buckets"]
         batch_df = batch_df.withColumn("_b", bucket_expr).persist()
-        touched = sorted(r._b for r in
-                         batch_df.select("_b").distinct().collect())
-        # ONE read of every touched bucket's previous data + ONE
-        # dynamic-partitioned write per batch (not per bucket): the
-        # merge window partitions by key, so rows never cross buckets
-        # and each output dir v{N}/_b=i is a complete merged bucket.
-        prev_paths = [manifest[str(b)] for b in touched
-                      if str(b) in manifest]
+        # per-bucket batch key ranges: bounded collect (≤ n_buckets rows)
+        rng = {r["_b"]: (r["kmin"], r["kmax"]) for r in
+               batch_df.groupBy("_b").agg(
+                   F.min(stat_col).alias("kmin"),
+                   F.max(stat_col).alias("kmax")).collect()}
+        touched = sorted(rng)
+        carried: dict[int, list[dict]] = {}
+        read_paths: list[str] = []
+        for b in touched:
+            bmin, bmax = rng[b]
+            carried[b] = []
+            for ent in manifest.get(str(b), []):
+                if ent["kmax"] < bmin or ent["kmin"] > bmax:
+                    carried[b].append(ent)     # no overlap: zero IO
+                else:
+                    read_paths.append(ent["path"])
         cur = batch_df
-        if prev_paths:
-            prev = spark.read.parquet(*prev_paths) \
+        if read_paths:
+            prev = spark.read.parquet(*read_paths) \
                 .withColumn("_b", bucket_expr)
             cur = prev.unionByName(batch_df)
         from pyspark.sql import Window as W
-        w = W.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols])
-        merged = (cur.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
+        sort_cols = [F.col(c).asc() for c in key_cols] + \
+            [F.col(c).desc() for c in order_cols]
+        wb = W.partitionBy("_b").orderBy(*sort_cols)
+        # latest-wins on the bucket-partitioned sort: a key's first row
+        # in (key asc, order desc) IS its latest record, detected by
+        # the lag() run boundary — no per-key window partitioning, so
+        # the file-group split below reuses this exchange+sort.
+        prev_key = F.lag(F.struct(*key_cols)).over(wb)
+        merged = (
+            cur.withColumn(
+                "_keep",
+                prev_key.isNull() | (prev_key != F.struct(*key_cols)))
+            .filter(F.col("_keep")).drop("_keep")
+            .withColumn(
+                "_f",
+                F.floor((F.row_number().over(wb) - 1)
+                        / F.lit(target_file_rows)))
+            .persist()
+        )
         vpath = os.path.join(base, f"v{batch_id:09d}")
-        merged.write.mode("overwrite").partitionBy("_b").parquet(vpath)
+        merged.write.mode("overwrite").partitionBy("_b", "_f") \
+            .parquet(vpath)
+        # per-file-group stats: bounded collect (one row per file group)
+        stats = merged.groupBy("_b", "_f").agg(
+            F.min(stat_col).alias("kmin"),
+            F.max(stat_col).alias("kmax")).collect()
+        merged.unpersist()
         batch_df.unpersist()
         for b in touched:
-            manifest[str(b)] = os.path.join(vpath, f"_b={b}")
+            manifest[str(b)] = carried[b]
+        for r in sorted(stats, key=lambda r: (r["_b"], r["_f"])):
+            manifest[str(r["_b"])].append({
+                "path": os.path.join(vpath, f"_b={r['_b']}",
+                                     f"_f={r['_f']}"),
+                "kmin": r["kmin"], "kmax": r["kmax"]})
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"buckets": manifest, "batch": batch_id}, fh)
@@ -427,7 +474,9 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         .start()
     q.awaitTermination(timeout)
     with open(pointer) as fh:
-        return sorted(json.load(fh)["buckets"].values())
+        return sorted(ent["path"]
+                      for ents in json.load(fh)["buckets"].values()
+                      for ent in ents)
 
 
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,

@@ -331,6 +331,19 @@ class TestHotShingleCap:
                                    max_doc_freq=1).count() == 0
         assert D.ngram_jaccard_pairs(df, threshold=0.1,
                                      max_doc_freq=1).count() == 0
-        # uncapped, the pair is found by both
+        # default caps (minhash: uncapped; ngram: 256) leave rare
+        # shingles intact — the pair is found by both
         assert D.minhash_lsh_pairs(df, threshold=0.1).count() == 1
         assert D.ngram_jaccard_pairs(df, threshold=0.1).count() == 1
+
+    def test_ngram_default_cap_engaged(self, spark):
+        """ngram_jaccard_pairs defaults to the skew-safe posture: a
+        shingle shared by more docs than the default cap (256) is
+        dropped from the inverted index, so a boilerplate-only corpus
+        yields no pairs unless the caller opts out with None."""
+        df = spark.createDataFrame(
+            [(i, "common boilerplate shingle") for i in range(300)],
+            "doc_id long, text string")
+        assert D.ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+        assert D.ngram_jaccard_pairs(df, threshold=0.1,
+                                     max_doc_freq=None).count() > 0

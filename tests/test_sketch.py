@@ -171,3 +171,103 @@ class TestCountMinSketch:
                     for r in df.collect()}
 
         assert canon(merged) == canon(full)
+
+
+class TestThetaSketch:
+    """Theta set algebra: exactness in the θ=1 regime, estimator
+    accuracy when saturated, and the closure law (op outputs are
+    themselves sketches that compose)."""
+
+    def _halves(self, lineitem, k):
+        from gasket_spark.operators.sketch import kmv_sketch, theta_from_kmv
+
+        g = ["l_returnflag"]
+        a = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+        b = lineitem.filter(F.col("l_orderkey") % 2 == 1)
+        return (theta_from_kmv(kmv_sketch(a, g, "l_partkey", k), k),
+                theta_from_kmv(kmv_sketch(b, g, "l_partkey", k), k))
+
+    def test_exact_regime_all_ops(self, spark):
+        """Below k every op is EXACT set arithmetic: the sketch holds
+        the whole distinct hash set and θ stays 1.0 (NULL)."""
+        from gasket_spark.operators.sketch import (
+            kmv_sketch, theta_estimate, theta_from_kmv, theta_op)
+
+        a = spark.range(60).select(
+            F.lit("g").alias("g"), F.col("id").alias("v"))       # 0..59
+        b = spark.range(40, 100).select(
+            F.lit("g").alias("g"), F.col("id").alias("v"))       # 40..99
+        ta = theta_from_kmv(kmv_sketch(a, ["g"], "v", 1024), 1024)
+        tb = theta_from_kmv(kmv_sketch(b, ["g"], "v", 1024), 1024)
+        expect = {"union": 100.0, "intersect": 20.0, "a_not_b": 40.0}
+        for op, want in expect.items():
+            row = theta_estimate(
+                theta_op(ta, tb, ["g"], op)).collect()[0]
+            assert row.theta_h is None, op
+            assert row.distinct_est == want, op
+
+    def test_saturated_estimates_within_bound(self, spark, lineitem):
+        from gasket_spark.operators.sketch import theta_estimate, theta_op
+
+        k = 1024
+        ta, tb = self._halves(lineitem, k)
+        exact = (
+            lineitem.select(
+                "l_returnflag", "l_partkey",
+                (F.col("l_orderkey") % 2 == 0).alias("_a"))
+            .groupBy("l_returnflag", "l_partkey")
+            .agg(F.max(F.col("_a").cast("int")).alias("_ha"),
+                 F.max((~F.col("_a")).cast("int")).alias("_hb"))
+            .groupBy("l_returnflag")
+            .agg(F.count_if(F.col("_ha") == 1).alias("n_a"),
+                 F.count_if((F.col("_ha") == 1) & (F.col("_hb") == 1))
+                 .alias("n_int"))
+            .collect())
+        want = {r.l_returnflag: (r.n_a, r.n_int) for r in exact}
+        ints = {r.l_returnflag: r.distinct_est for r in theta_estimate(
+            theta_op(ta, tb, ["l_returnflag"], "intersect")).collect()}
+        anbs = {r.l_returnflag: r.distinct_est for r in theta_estimate(
+            theta_op(ta, tb, ["l_returnflag"], "a_not_b")).collect()}
+        assert set(ints) == set(want) and len(want) == 3
+        for flag, (n_a, n_int) in want.items():
+            assert abs(ints[flag] - n_int) <= 0.10 * n_a, flag
+            assert abs(anbs[flag] - (n_a - n_int)) <= 0.10 * n_a, flag
+
+    def test_closure_recombination(self, spark, lineitem):
+        """(A∩B) ∪ (A\\B) — a union of two op RESULTS — must estimate
+        |A|: the outputs really are sketches, not just numbers."""
+        from gasket_spark.operators.sketch import theta_estimate, theta_op
+
+        k = 1024
+        g = ["l_returnflag"]
+        ta, tb = self._halves(lineitem, k)
+        recomb = theta_op(theta_op(ta, tb, g, "intersect"),
+                          theta_op(ta, tb, g, "a_not_b"), g, "union")
+        n_a = {r.l_returnflag: r.n_a for r in (
+            lineitem.filter(F.col("l_orderkey") % 2 == 0)
+            .groupBy("l_returnflag")
+            .agg(F.count_distinct("l_partkey").alias("n_a")).collect())}
+        for r in theta_estimate(recomb).collect():
+            assert abs(r.distinct_est - n_a[r.l_returnflag]) \
+                <= 0.10 * n_a[r.l_returnflag], r.l_returnflag
+
+    def test_one_sided_groups(self, spark):
+        """Groups missing on one side follow each op's identity."""
+        from gasket_spark.operators.sketch import (
+            kmv_sketch, theta_estimate, theta_from_kmv, theta_op)
+
+        a = spark.createDataFrame(
+            [("only_a", i) for i in range(10)], "g string, v long")
+        b = spark.createDataFrame(
+            [("only_b", i) for i in range(7)], "g string, v long")
+        ta = theta_from_kmv(kmv_sketch(a, ["g"], "v", 64), 64)
+        tb = theta_from_kmv(kmv_sketch(b, ["g"], "v", 64), 64)
+        uni = {r.g: r.distinct_est for r in theta_estimate(
+            theta_op(ta, tb, ["g"], "union")).collect()}
+        assert uni == {"only_a": 10.0, "only_b": 7.0}
+        inter = {r.g: r.distinct_est for r in theta_estimate(
+            theta_op(ta, tb, ["g"], "intersect")).collect()}
+        assert inter == {"only_a": 0.0, "only_b": 0.0}
+        anb = {r.g: r.distinct_est for r in theta_estimate(
+            theta_op(ta, tb, ["g"], "a_not_b")).collect()}
+        assert anb == {"only_a": 10.0}

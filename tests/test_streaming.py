@@ -344,3 +344,43 @@ class TestStreamCdcApply:
         k0_bucket = spark.range(1).select(
             F.pmod(F.hash(F.lit(0).cast("long")), F.lit(8))).first()[0]
         assert v1_buckets[0] == f"_b={k0_bucket}"
+
+    def test_file_group_pruning_within_bucket(self, spark, tmp_path):
+        """A hot bucket splits into key-sorted file groups with range
+        stats; a later batch touching a narrow key range rewrites only
+        the overlapping file groups — the rest carry forward in the
+        manifest pointing at the OLD version dir (zero IO)."""
+        import json
+        import os
+
+        from gasket_spark.streaming.core import stream_cdc_apply
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        f1, f2 = os.path.join(src, "a.json"), os.path.join(src, "b.json")
+        with open(f1, "w") as fh:
+            for k in range(100):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k}) + "\n")
+        with open(f2, "w") as fh:
+            fh.write(json.dumps({"k": 5, "o": 2, "v": 555}) + "\n")
+        os.utime(f1, (1_600_000_000, 1_600_000_000))
+        os.utime(f2, (1_600_000_500, 1_600_000_500))
+        stream = spark.readStream.schema("k long, o long, v long") \
+            .option("maxFilesPerTrigger", 1).json(src)
+        tdir = str(tmp_path / "table")
+        files = stream_cdc_apply(stream, tdir, ["k"], ["o"],
+                                 n_buckets=1, target_file_rows=10)
+        got = {r.k: r.v for r in spark.read.parquet(*files).collect()}
+        assert got == {5: 555, **{k: k for k in range(100) if k != 5}}
+        with open(os.path.join(tdir, "LATEST")) as fh:
+            man = json.load(fh)["buckets"]
+        ents = man["0"]
+        v0 = [e for e in ents if "/v000000000/" in e["path"]]
+        v1 = [e for e in ents if "/v000000001/" in e["path"]]
+        # batch 0 split the bucket into 10 file groups; batch 1 (one
+        # key) re-read and rewrote exactly the one group covering k=5
+        assert len(v0) == 9 and len(v1) == 1
+        assert v1[0]["kmin"] <= 5 <= v1[0]["kmax"]
+        # stats are disjoint, ordered, and cover every key
+        spans = sorted((e["kmin"], e["kmax"]) for e in ents)
+        assert all(a1 > b2 for (_, b2), (a1, _) in zip(spans, spans[1:]))
