@@ -64,6 +64,8 @@ HEADLINE: dict[str, str] = {
     "q_quality_gopher": "count",
     "q_recursive_cte": "count",
     "q_sample_mix": "count",
+    # r4 addition: composable sketch set algebra
+    "q_theta_setops": "collect",
 }
 
 

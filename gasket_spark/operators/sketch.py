@@ -27,16 +27,28 @@ def kmv_sketch(df: DataFrame, group_cols: list[str], value_col: str,
     """Per-group KMV sketch: the ``k`` smallest distinct hash values of
     ``value_col``, plus ``n_seen`` (how many distinct hashes the group
     actually had, capped at k — needed for the exact-below-k case).
-    Returns (group_cols…, sketch: array<long>, n_seen: long)."""
-    hashed = df.select(
-        *group_cols, F.xxhash64(F.col(value_col)).alias("_h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
-    topk = hashed.withColumn("_rk", F.row_number().over(w)) \
-                 .filter(F.col("_rk") <= k)
+    Returns (group_cols…, sketch: array<long>, n_seen: long).
+
+    Built as a TWO-PHASE aggregate (per-input-partition bottom-k →
+    merge of ≤ P·k hashes), because bottom-k is mergeable: a per-group
+    sort window would funnel every distinct hash of a group through
+    ONE task — with few groups (the common sketching shape) that's a
+    single-reducer bottleneck at scale, and it's also why there is no
+    ``.distinct()`` pre-pass (the partial phase dedups in place; a
+    distinct would be a second corpus-wide shuffle)."""
+    part = (
+        df.select(*group_cols, F.xxhash64(F.col(value_col)).alias("_h"))
+        .groupBy(*group_cols, F.spark_partition_id().alias("_p"))
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k)
+             .alias("_pk"))
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_pk")))),
+        1, k)
     return (
-        topk.groupBy(*group_cols)
-        .agg(F.sort_array(F.collect_list("_h")).alias("sketch"),
-             F.count(F.lit(1)).alias("n_seen"))
+        part.groupBy(*group_cols)
+        .agg(merged.alias("sketch"))
+        .withColumn("n_seen", F.size("sketch").cast("long"))
     )
 
 
@@ -97,18 +109,26 @@ def qsketch(df: DataFrame, group_cols: list[str], value_col: str,
     by ``xxhash64(id_col)``; ``id_col`` must be row-unique for the
     sample to be uniform over rows). Returns
     (group_cols…, sample: array<struct<h:long, v:long>>, n_rows)."""
+    # two-phase bottom-k, for the same single-reducer reason as
+    # kmv_sketch (structs sort by h first, so slice-after-sort is the
+    # per-partition bottom-k by hash)
     hashed = df.select(
         *group_cols,
         F.xxhash64(F.col(id_col)).alias("_h"),
         F.col(value_col).cast("long").alias("_v"))
-    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
-    topk = hashed.withColumn("_rk", F.row_number().over(w)) \
-                 .filter(F.col("_rk") <= k)
-    n = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
-    sk = topk.groupBy(*group_cols).agg(
-        F.sort_array(F.collect_list(F.struct(
-            F.col("_h").alias("h"), F.col("_v").alias("v")))).alias("sample"))
-    return sk.join(n, group_cols)
+    part = (
+        hashed
+        .groupBy(*group_cols, F.spark_partition_id().alias("_p"))
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct(
+            F.col("_h").alias("h"), F.col("_v").alias("v")))), 1, k)
+            .alias("_pk"),
+            F.count(F.lit(1)).alias("_n"))
+    )
+    sk = part.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_pk"))), 1, k)
+        .alias("sample"),
+        F.sum("_n").alias("n_rows"))
+    return sk
 
 
 def qsketch_merge(a: DataFrame, b: DataFrame, group_cols: list[str],
@@ -250,7 +270,16 @@ def theta_op(a: DataFrame, b: DataFrame, group_cols: list[str],
                   F.col("hashes").alias("_ha"))
     bb = b.select(*group_cols, F.col("theta_h").alias("_tb"),
                   F.col("hashes").alias("_hb"))
-    j = aa.join(bb, group_cols, "full" if op != "a_not_b" else "left")
+    # a sketch table is ≤k longs per group BY CONSTRUCTION — always
+    # broadcastable. a_not_b's left join takes the hint; union and
+    # intersect need the full group universe (B-only groups pass
+    # through / emit empty sketches) and Spark can't broadcast a
+    # full-outer side — but that exchange is on sketch-sized data
+    # (#groups rows), not the underlying corpus.
+    if op == "a_not_b":
+        j = aa.join(F.broadcast(bb), group_cols, "left")
+    else:
+        j = aa.join(bb, group_cols, "full")
     # least() skips NULLs, which is exactly "NULL means θ=1.0 = +∞"
     theta = F.least("_ta", "_tb")
     ha = F.coalesce("_ha", F.array().cast("array<long>"))

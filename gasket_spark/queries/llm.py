@@ -1427,8 +1427,10 @@ def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ["l_returnflag"]
     a = li.filter(F.col("l_orderkey") % 2 == 0)
     b = li.filter(F.col("l_orderkey") % 2 == 1)
-    ta = theta_from_kmv(kmv_sketch(a, g, "l_partkey", 1024))
-    tb = theta_from_kmv(kmv_sketch(b, g, "l_partkey", 1024))
+    # each base sketch feeds two ops — persist so the scan + sketch
+    # window runs once per side (sketch tables are group-count rows)
+    ta = theta_from_kmv(kmv_sketch(a, g, "l_partkey", 1024)).persist()
+    tb = theta_from_kmv(kmv_sketch(b, g, "l_partkey", 1024)).persist()
     inter = theta_op(ta, tb, g, "intersect")
     anb = theta_op(ta, tb, g, "a_not_b")
     recomb = theta_op(inter, anb, g, "union")  # (A∩B) ∪ (A\\B) = A
@@ -1453,9 +1455,9 @@ def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         exact.withColumn("n_a_not_b",
                          F.col("n_a") - F.col("n_intersect"))
-        .join(_est(inter, "_ei"), g)
-        .join(_est(anb, "_ed"), g)
-        .join(_est(recomb, "_er"), g)
+        .join(F.broadcast(_est(inter, "_ei")), g)
+        .join(F.broadcast(_est(anb, "_ed")), g)
+        .join(F.broadcast(_est(recomb, "_er")), g)
     )
     tol = F.col("n_a").cast("double") * 0.10
     return out.select(

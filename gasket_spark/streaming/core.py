@@ -179,6 +179,32 @@ def stateful_user_totals(events: DataFrame,
     )
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark: SparkSession,
+                      bounded_memory_mb: int | None = None) -> None:
+    """Switch stateful streaming to the RocksDB state store (built into
+    Spark since 3.2 — no extra jar). The default HDFS-backed provider
+    keeps every key in executor HEAP; at 100 TB/day a stream-stream
+    join or wide session state OOMs long before the watermark reclaims
+    it. RocksDB spills state to local disk with changelog
+    checkpointing, bounding heap at the block-cache size —
+    ``bounded_memory_mb`` pins that cap across ALL RocksDB instances
+    on an executor (the production guard against per-partition cache
+    multiplication). Applies to queries STARTED after the call."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    if bounded_memory_mb is not None:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+            "true")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "maxMemoryUsageMB", str(bounded_memory_mb))
+
+
 def run_to_completion(df: DataFrame, table_name: str,
                       output_mode: str = "append",
                       shuffle_partitions: int = 8) -> DataFrame:
@@ -465,7 +491,8 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                 "kmin": r["kmin"], "kmax": r["kmax"]})
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"buckets": manifest, "batch": batch_id}, fh)
+            json.dump({"buckets": manifest, "batch": batch_id,
+                       "n_buckets": n_buckets}, fh)
         os.replace(tmp, pointer)
 
     q = changes.writeStream.foreachBatch(_apply) \
@@ -477,6 +504,64 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         return sorted(ent["path"]
                       for ents in json.load(fh)["buckets"].values()
                       for ent in ents)
+
+
+def compact_cdc_table(spark: SparkSession, table_dir: str,
+                      key_cols: list[str],
+                      target_file_rows: int = 1_000_000) -> list[str]:
+    """CDC table maintenance (the quiet-batch compaction completing
+    the Hudi shape): incremental merges leave hot buckets with many
+    under-target file groups — more listings, footers, and manifest
+    entries per read. Re-split every multi-group bucket's rows into
+    fresh key-sorted groups of ≈ ``target_file_rows``.
+
+    Content-preserving with NO re-merge: a bucket's live file groups
+    always hold pairwise-disjoint key sets (each batch consumes every
+    group its key range overlaps, and overlapping-range groups can
+    never coexist — see stream_cdc_apply), so compaction is a pure
+    re-layout. Single-group buckets are untouched; the manifest flips
+    atomically; superseded version dirs become garbage for a separate
+    GC pass. Returns the post-compaction file-group paths."""
+    import json
+    import os
+
+    pointer = os.path.join(table_dir, "LATEST")
+    with open(pointer) as fh:
+        man = json.load(fh)
+    manifest: dict[str, list[dict]] = man["buckets"]
+    todo = {b for b, ents in manifest.items() if len(ents) > 1}
+    if todo:
+        bucket_expr = F.pmod(F.hash(*key_cols), F.lit(man["n_buckets"]))
+        stat_col = key_cols[0]
+        paths = [e["path"] for b in todo for e in manifest[b]]
+        rows = spark.read.parquet(*paths).withColumn("_b", bucket_expr)
+        from pyspark.sql import Window as W
+        wb = W.partitionBy("_b").orderBy(*[F.col(c).asc()
+                                           for c in key_cols])
+        packed = rows.withColumn(
+            "_f", F.floor((F.row_number().over(wb) - 1)
+                          / F.lit(target_file_rows))).persist()
+        cpath = os.path.join(table_dir, "versions",
+                             f"c{man['batch']:09d}")
+        packed.write.mode("overwrite").partitionBy("_b", "_f") \
+            .parquet(cpath)
+        stats = packed.groupBy("_b", "_f").agg(
+            F.min(stat_col).alias("kmin"),
+            F.max(stat_col).alias("kmax")).collect()
+        packed.unpersist()
+        for b in todo:
+            manifest[b] = []
+        for r in sorted(stats, key=lambda r: (r["_b"], r["_f"])):
+            manifest[str(r["_b"])].append({
+                "path": os.path.join(cpath, f"_b={r['_b']}",
+                                     f"_f={r['_f']}"),
+                "kmin": r["kmin"], "kmax": r["kmax"]})
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            man["buckets"] = manifest
+            json.dump(man, fh)
+        os.replace(tmp, pointer)
+    return sorted(e["path"] for ents in manifest.values() for e in ents)
 
 
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,

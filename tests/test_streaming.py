@@ -111,6 +111,37 @@ class TestLateData:
         assert 12 in got and 2 not in got
 
 
+class TestRocksDBState:
+    def test_stateful_query_matches_default_provider(self, spark,
+                                                     events_json_dir):
+        """The RocksDB state store (off-heap state — the 100 TB
+        posture) must produce the same windowed result as the default
+        heap-backed provider."""
+        from gasket_spark.streaming.core import (
+            ROCKSDB_PROVIDER, use_rocksdb_state)
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", "")
+        use_rocksdb_state(spark, bounded_memory_mb=256)
+        try:
+            assert spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass"
+            ) == ROCKSDB_PROVIDER
+            stream = read_events_stream(spark, events_json_dir)
+            got = run_to_completion(windowed_counts(stream), "t_rocks",
+                                    output_mode="complete")
+            batch = windowed_counts(read_table(spark, SF_SMALL, "events"))
+            cols = ["w_start", "event_type", "n", "total_value"]
+            assert _rows(got, cols) == _rows(batch, cols)
+        finally:
+            if prev:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev)
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass")
+
+
 class TestBackground:
     def test_lifecycle(self, spark, events_json_dir):
         """Side query runs beside the main action and is stopped after
@@ -384,3 +415,11 @@ class TestStreamCdcApply:
         # stats are disjoint, ordered, and cover every key
         spans = sorted((e["kmin"], e["kmax"]) for e in ents)
         assert all(a1 > b2 for (_, b2), (a1, _) in zip(spans, spans[1:]))
+        # quiet-batch compaction: the 10 accumulated groups re-pack
+        # into fresh target-sized groups, content byte-identical
+        from gasket_spark.streaming.core import compact_cdc_table
+        cfiles = compact_cdc_table(spark, tdir, ["k"],
+                                   target_file_rows=25)
+        got2 = {r.k: r.v for r in spark.read.parquet(*cfiles).collect()}
+        assert got2 == got
+        assert len(cfiles) == 4 and all("/c" in p for p in cfiles)
