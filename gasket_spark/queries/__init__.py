@@ -42,15 +42,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # The driver verifies queries in REGISTRATION ORDER with a bounded
 # window (~50 per round), so registration order is a verification
-# scheduler. Each query maps to the round of its most recent driver
-# CORRECTNESS row; _load_all() registers ascending by that signal —
-# never-verified queries (not in the map → 0) always land in the
-# window first, and the freshest greens rotate to the back. With 126
-# queries and a 50-window, every query gets a row within 3 rotations.
+# scheduler. Each query ranks by the round of its most recent driver
+# CORRECTNESS green; _load_all() registers ascending by that signal —
+# never-verified queries (rank 0) always land in the window first,
+# and the freshest greens rotate to the back. With ~127 queries and a
+# 50-window, every query gets a row within 3 rotations.
 #
-# UPDATE THIS MAP EVERY ROUND from CORRECTNESS_r{N}.json (NOTES.md
-# carries the same table): greens of round N → N; reds stay at the
-# PINNED_FIRST rank until their fix earns a fresh green row.
+# Ranks are parsed from the committed CORRECTNESS_r{N}.json artifacts
+# at import time (see _signal_rank) — no per-round bookkeeping. The
+# static tuples below are only the round-4 fallback snapshot for
+# environments without the repo root.
 # ---------------------------------------------------------------------------
 
 # Red in r2+r3, root-caused and fixed this round (NDJSON replay
@@ -110,7 +111,57 @@ _GREEN_R03: tuple[str, ...] = (
 
 
 def _signal_rank() -> dict[str, float]:
+    """Rank each query by its most recent driver verification signal,
+    read DIRECTLY from the committed CORRECTNESS_r{N}.json artifacts —
+    self-maintaining: when round N's results land, the next import
+    rotates the window with no manual bookkeeping (the failure mode
+    that froze the window between rounds 2 and 3). A hash-green row in
+    round N ranks N; a rows-only pass ranks N−0.5 (weaker signal →
+    re-verified sooner); a red or absent row contributes nothing, so
+    broken and never-checked queries always sort to the front. Falls
+    back to the static round-4 snapshot below if no artifacts are
+    readable (e.g. an installed package without the repo root)."""
+    import json
+    import os
+    import re
+
     rank: dict[str, float] = {}
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    found = False
+    try:
+        entries = sorted(os.listdir(root))
+    except OSError:
+        entries = []
+    for p in entries:
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(root, p)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        found = True
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                sig = float(rnd)
+            elif (row.get("err") == "no_oracle"
+                  and (row.get("spark_rows") or 0) > 0):
+                sig = rnd - 0.5
+            else:
+                continue
+            rank[name] = max(rank.get(name, 0.0), sig)
+    if found:
+        for n in _PINNED_FIRST:
+            # hand-pinned reds re-verify first until a NEWER green row
+            # supersedes the pin (max green round at pin time below)
+            if rank.get(n, 0.0) <= 3.0:
+                rank[n] = -1.0
+        return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})
     rank.update({n: 0.5 for n in _UPGRADED_R02})

@@ -32,6 +32,25 @@ def test_entry_contract(spark):
     assert len(qs) >= 15
 
 
+def test_verification_window_rotation():
+    """Registration order is the driver's verification scheduler: every
+    query with NO green CORRECTNESS row (rank 0, incl. new queries) and
+    every hand-pinned red must sort inside the first 50 registered
+    names, ahead of anything already verified — otherwise the bounded
+    driver window stops rotating (the round-3 failure mode)."""
+    from gasket_spark.queries import QUERIES, _signal_rank
+
+    names = list(QUERIES)
+    rank = _signal_rank()
+    unverified = [n for n in names if rank.get(n, 0.0) <= 0.0]
+    front = set(names[:50])
+    # empty only once every registered query has a green row
+    assert set(unverified) <= front
+    # ranks are non-decreasing along the registration order
+    sigs = [rank.get(n, 0.0) for n in names]
+    assert sigs == sorted(sigs)
+
+
 class TestCsvRoundTrip:
     def test_csv_source_sink(self, spark, tmp_path):
         from gasket_spark.io import read_csv, read_table, write_csv
