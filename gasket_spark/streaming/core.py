@@ -564,6 +564,35 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
     return sorted(e["path"] for ents in manifest.values() for e in ents)
 
 
+def gc_cdc_table(table_dir: str) -> list[str]:
+    """Garbage-collect CDC version directories with NO file group
+    referenced by the LATEST manifest (rewrites and compaction leave
+    them behind). A dir is kept while even one carried-forward group
+    inside it is still live. Returns the removed dir paths.
+
+    Safe ordering: the manifest flip happens strictly before any GC,
+    and readers resolve paths through LATEST — at scale, add a grace
+    period (don't collect dirs younger than the longest running read)
+    instead of deleting eagerly."""
+    import json
+    import os
+    import shutil
+
+    pointer = os.path.join(table_dir, "LATEST")
+    base = os.path.join(table_dir, "versions")
+    with open(pointer) as fh:
+        manifest = json.load(fh)["buckets"]
+    live = {os.path.relpath(e["path"], base).split(os.sep)[0]
+            for ents in manifest.values() for e in ents}
+    removed = []
+    for d in sorted(os.listdir(base)):
+        if d not in live:
+            path = os.path.join(base, d)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed
+
+
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
                       topic: str, schema,
                       starting_offsets: str = "earliest") -> DataFrame:

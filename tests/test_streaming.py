@@ -423,3 +423,11 @@ class TestStreamCdcApply:
         got2 = {r.k: r.v for r in spark.read.parquet(*cfiles).collect()}
         assert got2 == got
         assert len(cfiles) == 4 and all("/c" in p for p in cfiles)
+        # GC: compaction left v0/v1 wholly unreferenced — collect them,
+        # keep the live compacted dir, table still reads identically
+        from gasket_spark.streaming.core import gc_cdc_table
+        removed = gc_cdc_table(tdir)
+        assert len(removed) == 2 and all("/v0" in p for p in removed)
+        assert {r.k: r.v
+                for r in spark.read.parquet(*cfiles).collect()} == got
+        assert gc_cdc_table(tdir) == []
