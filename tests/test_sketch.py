@@ -251,6 +251,36 @@ class TestThetaSketch:
             assert abs(r.distinct_est - n_a[r.l_returnflag]) \
                 <= 0.10 * n_a[r.l_returnflag], r.l_returnflag
 
+    def test_union_and_intersect_algebra_laws(self, spark, lineitem):
+        """union/intersect are commutative AND associative as EXACT
+        sketch identities (θ = min composes associatively; the final
+        θ-filter subsumes intermediate ones) — the property that makes
+        a sketch tree from any rollup order equivalent."""
+        from gasket_spark.operators.sketch import (
+            kmv_sketch, theta_from_kmv, theta_op)
+
+        k, g = 256, ["l_returnflag"]
+        thirds = [
+            theta_from_kmv(kmv_sketch(
+                lineitem.filter(F.col("l_orderkey") % 3 == i),
+                g, "l_partkey", k), k)
+            for i in range(3)
+        ]
+
+        def rows(df):
+            return sorted(
+                (r.l_returnflag, r.theta_h, tuple(r.hashes))
+                for r in df.collect())
+
+        a, b, c = thirds
+        for op in ("union", "intersect"):
+            ab = theta_op(a, b, g, op)
+            ba = theta_op(b, a, g, op)
+            assert rows(ab) == rows(ba), f"{op} not commutative"
+            left = theta_op(ab, c, g, op)
+            right = theta_op(a, theta_op(b, c, g, op), g, op)
+            assert rows(left) == rows(right), f"{op} not associative"
+
     def test_one_sided_groups(self, spark):
         """Groups missing on one side follow each op's identity."""
         from gasket_spark.operators.sketch import (
