@@ -146,22 +146,27 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                         .cast("long").alias("c"))
                 .groupBy("w").agg(F.sum("c").alias("in_mass"))
             )
-            # scalar pass over the materialized checkpoint (no join):
-            # total mass + mass on nodes with out-links
-            total, linked = (
+            # dangling-mass scalar as a BROADCAST 1-row aggregate
+            # inside the same plan — no driver collect, so each
+            # iteration is ONE job (the checkpoint) instead of two.
+            # SQL `div` = Python `//` on the non-negative longs here,
+            # keeping the fixed point bit-identical to the unrolled
+            # oracle.
+            base_df = (
                 ranks.agg(
-                    F.sum("r"),
+                    F.sum("r").alias("_t"),
                     F.sum(F.when(F.col("deg").isNotNull(), F.col("r"))
-                          .otherwise(F.lit(0))))
-                .collect()[0]
+                          .otherwise(F.lit(0))).alias("_l"))
+                .select(F.expr(
+                    f"(_t - _t * {d_num} div {d_den}"
+                    f" + (_t - _l) * {d_num} div {d_den}) div {n}")
+                    .alias("_base"))
             )
-            dangling = total - (linked or 0)
-            base = (total - total * d_num // d_den
-                    + dangling * d_num // d_den) // n
             ranks = (
                 verts.join(contrib.withColumnRenamed("w", "v"), "v", "left")
+                .crossJoin(F.broadcast(base_df))
                 .select("v", "deg",
-                        (F.lit(base) + F.coalesce("in_mass", F.lit(0))
+                        (F.col("_base") + F.coalesce("in_mass", F.lit(0))
                          * d_num / d_den)
                         .cast("long").alias("r"))
                 .localCheckpoint()
