@@ -49,37 +49,42 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # sym is re-joined every round; labels are localCheckpoint'ed
     # (materialized) each round, so sym's cache can be released the
     # moment the loop exits — scope-bound, not LRU-bound.
+    from pyspark.sql import Observation
+
+    # Convergence check without a join OR a second job: labels only
+    # ever DECREASE, so Σ label is strictly monotone until the
+    # fixpoint — and an Observation attached under the checkpoint
+    # computes it DURING the materialization job (verified: metrics
+    # fire on localCheckpoint), so each round is exactly one job.
+    def _checkpoint_with_sum(df):
+        obs = Observation()
+        out = df.observe(obs, F.sum("label").alias("s")) \
+            .localCheckpoint()
+        return out, obs.get["s"]
+
     with persisted(sym):
         # Round 1 needs NO join: the neighbor-min of the identity seed
         # (label(v) = v) is min(v, min of v's neighbors), which reads
         # straight off the edge list — neighbor candidates from
         # sym(v ← u), self candidates from sym(u ← u). One shuffle
         # replaces seed-distinct + join.
-        labels = (
+        labels, label_sum = _checkpoint_with_sum(
             sym.select("v", F.col("u").alias("label"))
             .unionByName(sym.select(F.col("u").alias("v"),
                                     F.col("u").alias("label")))
             .groupBy("v").agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
-        # Convergence check without a join: labels only ever DECREASE,
-        # so Σ label is strictly monotone until the fixpoint — one
-        # scalar agg on the just-materialized checkpoint (cheap; no
-        # recompute) replaces an old-vs-new join+count job.
-        label_sum = labels.agg(F.sum("label")).first()[0]
         for _ in range(max_iter - 1):
             # one hop of min-label propagation in TWO shuffles: push
             # every neighbor's label to v (join on u), union v's own
             # label row, take the min per v. (The previous three-
             # shuffle form did groupBy then re-joined onto labels.)
-            labels = (
+            labels, new_sum = _checkpoint_with_sum(
                 sym.join(labels.select(F.col("v").alias("u"), "label"), "u")
                 .select("v", "label")
                 .unionByName(labels)
                 .groupBy("v").agg(F.min("label").alias("label"))
-                .localCheckpoint()  # truncate lineage each round
             )
-            new_sum = labels.agg(F.sum("label")).first()[0]
             if new_sum == label_sum:
                 break
             label_sum = new_sum
