@@ -528,6 +528,56 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_hll_sketch",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY o_orderpriority),
+    g AS (SELECT COUNT(DISTINCT o_custkey) AS g_exact FROM orders)
+    SELECT o_orderpriority, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(g_exact AS BIGINT) AS g_exact,
+           TRUE AS est_ok, TRUE AS merged_ok
+    FROM per CROSS JOIN g
+    """,
+)
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED mergeable HLL sketches via Spark's native Datasketches
+    functions (``hll_sketch_agg`` / ``hll_union_agg``, JVM-side):
+    where q_agg_approx_distinct answers one-shot cardinality, here
+    each group's sketch is a first-class value that UNION-MERGES into
+    a global estimate WITHOUT rescanning — the per-day → per-month
+    rollup shape (the native twin of operators/sketch.py's KMV/theta
+    family). In-plan verification, oracle pins it: each per-group
+    estimate within ±6% of its exact count and the merged global
+    estimate within ±6% of the exact global (default lgConfigK=12 →
+    rsd ≈ 1.6%, so ≈ 4σ; Datasketches hashing is deterministic)."""
+    od = read_table(spark, sf_dir, "orders")
+    per = od.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("_sk"),
+        F.countDistinct("o_custkey").alias("n_exact"))
+    glob = (
+        per.agg(F.expr("hll_sketch_estimate(hll_union_agg(_sk))")
+                .alias("_g_est"))
+        .crossJoin(F.broadcast(
+            od.agg(F.countDistinct("o_custkey").alias("g_exact"))))
+    )
+    per_err = (F.abs(F.expr("hll_sketch_estimate(_sk)")
+                     - F.col("n_exact"))
+               / F.col("n_exact").cast("double"))
+    g_err = (F.abs(F.col("_g_est") - F.col("g_exact"))
+             / F.col("g_exact").cast("double"))
+    return (
+        per.select("o_orderpriority", "n_exact",
+                   (per_err <= 0.06).alias("est_ok"))
+        .crossJoin(F.broadcast(
+            glob.select("g_exact", (g_err <= 0.06).alias("merged_ok"))))
+        .select("o_orderpriority", "n_exact", "g_exact",
+                "est_ok", "merged_ok")
+    )
+
+
+@query(
     "q_agg_rollup_cube",
     oracle="""
     SELECT 'rollup' AS op, l_returnflag, l_linestatus,
