@@ -564,6 +564,33 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
     return sorted(e["path"] for ents in manifest.values() for e in ents)
 
 
+def read_stream_state(spark: SparkSession, checkpoint_dir: str,
+                      batch_id: int | None = None,
+                      operator_id: int | None = None,
+                      store_name: str | None = None,
+                      join_side: str | None = None) -> DataFrame:
+    """Read a Structured Streaming checkpoint's STATE STORE as a
+    DataFrame (Spark 4's ``statestore`` data source) — the operational
+    window a production stateful stream needs: audit which keys are
+    buffered, measure state size per partition, debug a stuck
+    watermark or an unbounded-state join, and validate state after a
+    code change, all WITHOUT touching the running query. Returns rows
+    of (key: struct, value: struct, partition_id); pass ``batch_id``
+    to time-travel to an earlier micro-batch's state, ``operator_id``
+    / ``store_name`` / ``join_side`` to pick a store in multi-operator
+    or join queries."""
+    reader = spark.read.format("statestore")
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    if operator_id is not None:
+        reader = reader.option("operatorId", operator_id)
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    if join_side is not None:
+        reader = reader.option("joinSide", join_side)
+    return reader.load(checkpoint_dir)
+
+
 def gc_cdc_table(table_dir: str) -> list[str]:
     """Garbage-collect CDC version directories with NO file group
     referenced by the LATEST manifest (rewrites and compaction leave

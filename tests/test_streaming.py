@@ -111,6 +111,30 @@ class TestLateData:
         assert 12 in got and 2 not in got
 
 
+class TestStateStoreReader:
+    def test_state_matches_aggregate(self, spark, events_json_dir,
+                                     tmp_path):
+        """The statestore data source must expose exactly the per-key
+        state the stateful agg holds — the audit/debug surface for
+        production streams."""
+        from gasket_spark.streaming.core import read_stream_state
+
+        cp = str(tmp_path / "cp")
+        stream = read_events_stream(spark, events_json_dir)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"))
+        q = (agg.writeStream.format("memory").queryName("t_ss_probe")
+             .outputMode("complete").option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        state = read_stream_state(spark, cp).select("key.*", "value.*")
+        got = {tuple(r)[0]: tuple(r)[1] for r in state.collect()}
+        batch = read_table(spark, SF_SMALL, "events") \
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        want = {r.event_type: r.n for r in batch.collect()}
+        assert got == want
+
+
 class TestRocksDBState:
     def test_stateful_query_matches_default_provider(self, spark,
                                                      events_json_dir):
