@@ -1033,6 +1033,67 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_encoding",
+    oracle="""
+    WITH corrupted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN replace(text, 'e', 'Ã©')
+                       || chr(65533) || chr(7)
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           (length(text) - length(replace(text, 'Ã©', ''))) // 2
+             AS n_mojibake,
+           length(text) - length(replace(text, chr(65533), ''))
+             AS n_replacement,
+           length(text) - length(replace(text, chr(7), '')) AS n_ctrl,
+           (length(text) - length(replace(text, 'Ã©', ''))) // 2 = 0
+             AND length(text) = length(replace(text, chr(65533), ''))
+             AND length(text) = length(replace(text, chr(7), ''))
+             AS is_clean
+    FROM corrupted
+    """,
+)
+def q_text_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact detection (the CCNet/RefinedWeb cleanup gate):
+    flag UTF-8 double-encode mojibake ('Ã©'), replacement characters
+    (U+FFFD — a decoder already lost bytes), and stray control chars.
+    The fixture corpus is clean, so every 7th doc is DETERMINISTICALLY
+    corrupted first (plain column algebra the oracle mirrors verbatim)
+    — the detector provably fires, not just returns zeros. Counts use
+    codepoint-length string algebra instead of regex so Java (Spark)
+    and RE2 (DuckDB) can't disagree on a character class; a production
+    pass would widen the control-char set the same map-side way."""
+    MOJI, REPL, CTRL = "\u00c3\u00a9", "\ufffd", "\x07"
+    docs = read_table(spark, sf_dir, "documents")
+    corrupted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.replace(F.col("text"), F.lit("e"),
+                                  F.lit(MOJI)),
+                        F.lit(REPL + CTRL)))
+        .otherwise(F.col("text")).alias("text"))
+
+    def _count(needle: str, width: int):
+        diff = F.length("text") - F.length(
+            F.replace(F.col("text"), F.lit(needle)))
+        return (diff / width).cast("bigint") if width > 1 \
+            else diff.cast("bigint")
+
+    n_moji = _count(MOJI, 2)
+    n_repl = _count(REPL, 1)
+    n_ctrl = _count(CTRL, 1)
+    return corrupted.select(
+        "doc_id",
+        n_moji.alias("n_mojibake"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_ctrl"),
+        ((n_moji == 0) & (n_repl == 0) & (n_ctrl == 0))
+        .alias("is_clean"))
+
+
+@query(
     "q_heavy_hitters",
     oracle="""
     WITH toks AS (
