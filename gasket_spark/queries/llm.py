@@ -1094,6 +1094,52 @@ def q_text_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    counts AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+    totals AS (
+      SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id)
+    SELECT counts.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(SUM(-(c / CAST(n AS DOUBLE))
+                     * ln(c / CAST(n AS DOUBLE))), 6) AS entropy
+    FROM counts JOIN totals USING (doc_id)
+    GROUP BY counts.doc_id, n
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-level Shannon entropy — the
+    information-theoretic gibberish gate (near-zero entropy = one
+    token repeated; anomalously high = random noise; real prose sits
+    in a band). Shape: token-count aggregate then per-doc entropy
+    fold — two shuffles whose volume is (doc, distinct-word) pairs,
+    not the corpus, the same scalable skeleton as TF-IDF. Entropy is
+    rounded to 6 dp so Spark's and DuckDB's libm ln() cannot diverge
+    in the hash (the q_lm_score precedent)."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id",
+                    F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        counts
+        .withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("n_distinct"),
+             F.round(F.sum(-p * F.log(p)), 6).alias("entropy"))
+        .select("doc_id", F.col("n").alias("n_tokens"),
+                "n_distinct", "entropy")
+    )
+
+
+@query(
     "q_heavy_hitters",
     oracle="""
     WITH toks AS (
