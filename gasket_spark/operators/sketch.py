@@ -270,16 +270,16 @@ def theta_op(a: DataFrame, b: DataFrame, group_cols: list[str],
                   F.col("hashes").alias("_ha"))
     bb = b.select(*group_cols, F.col("theta_h").alias("_tb"),
                   F.col("hashes").alias("_hb"))
-    # a sketch table is ≤k longs per group BY CONSTRUCTION — always
-    # broadcastable. a_not_b's left join takes the hint; union and
-    # intersect need the full group universe (B-only groups pass
-    # through / emit empty sketches) and Spark can't broadcast a
-    # full-outer side — but that exchange is on sketch-sized data
-    # (#groups rows), not the underlying corpus.
-    if op == "a_not_b":
-        j = aa.join(F.broadcast(bb), group_cols, "left")
-    else:
-        j = aa.join(bb, group_cols, "full")
+    # NO broadcast hint: a sketch row is ≤k longs, but the GROUP COUNT
+    # is unbounded (per-domain / per-doc sketching = millions of
+    # groups), so a forced broadcast would OOM exactly at scale.
+    # Below the autoBroadcastJoinThreshold Spark picks BHJ for the
+    # left join on its own; union/intersect need the full group
+    # universe (B-only groups pass through / emit empty sketches) and
+    # a full-outer join shuffles — on sketch-sized data, not the
+    # underlying corpus.
+    j = aa.join(bb, group_cols,
+                "left" if op == "a_not_b" else "full")
     # least() skips NULLs, which is exactly "NULL means θ=1.0 = +∞"
     theta = F.least("_ta", "_tb")
     ha = F.coalesce("_ha", F.array().cast("array<long>"))

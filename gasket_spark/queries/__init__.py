@@ -129,15 +129,19 @@ def _signal_rank() -> dict[str, float]:
     root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     found = False
+    rounds: list[tuple[int, str]] = []
     try:
-        entries = sorted(os.listdir(root))
+        for p in os.listdir(root):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p)
+            if m:
+                rounds.append((int(m.group(1)), p))
     except OSError:
-        entries = []
-    for p in entries:
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        pass
+    # ascending, so the LATEST round's verdict wins — including a red
+    # row DEMOTING a previously-green query back to rank 0 (a
+    # regression must re-enter the window immediately, not hide
+    # behind its stale green).
+    for rnd, p in sorted(rounds):
         try:
             with open(os.path.join(root, p)) as fh:
                 data = json.load(fh)
@@ -148,13 +152,12 @@ def _signal_rank() -> dict[str, float]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                sig = float(rnd)
+                rank[name] = float(rnd)
             elif (row.get("err") == "no_oracle"
                   and (row.get("spark_rows") or 0) > 0):
-                sig = rnd - 0.5
+                rank[name] = rnd - 0.5
             else:
-                continue
-            rank[name] = max(rank.get(name, 0.0), sig)
+                rank[name] = 0.0
     if found:
         for n in _PINNED_FIRST:
             # hand-pinned reds re-verify first until a NEWER green row

@@ -1508,10 +1508,11 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     i AS (SELECT l_returnflag, COUNT(*) AS n_intersect
           FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
           GROUP BY l_returnflag)
-    SELECT na.l_returnflag, n_a, n_intersect,
-           CAST(n_a - n_intersect AS BIGINT) AS n_a_not_b,
+    SELECT na.l_returnflag, n_a,
+           CAST(COALESCE(n_intersect, 0) AS BIGINT) AS n_intersect,
+           CAST(n_a - COALESCE(n_intersect, 0) AS BIGINT) AS n_a_not_b,
            TRUE AS intersect_ok, TRUE AS a_not_b_ok, TRUE AS recombine_ok
-    FROM na JOIN i USING (l_returnflag)
+    FROM na LEFT JOIN i USING (l_returnflag)
     """,
 )
 def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1534,10 +1535,14 @@ def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ["l_returnflag"]
     a = li.filter(F.col("l_orderkey") % 2 == 0)
     b = li.filter(F.col("l_orderkey") % 2 == 1)
-    # each base sketch feeds two ops — persist so the scan + sketch
-    # window runs once per side (sketch tables are group-count rows)
-    ta = theta_from_kmv(kmv_sketch(a, g, "l_partkey", 1024)).persist()
-    tb = theta_from_kmv(kmv_sketch(b, g, "l_partkey", 1024)).persist()
+    # NOT persisted: a query function's result is consumed after it
+    # returns, so an in-function persist can never be scope-unpersisted
+    # and would leak cache for the session lifetime — and measured at
+    # sf0.01 the recompute is cheaper than the cache round-trip. In a
+    # real pipeline the sketch TABLE is stored once and re-read, which
+    # is the durable version of the same sharing.
+    ta = theta_from_kmv(kmv_sketch(a, g, "l_partkey", 1024))
+    tb = theta_from_kmv(kmv_sketch(b, g, "l_partkey", 1024))
     inter = theta_op(ta, tb, g, "intersect")
     anb = theta_op(ta, tb, g, "a_not_b")
     recomb = theta_op(inter, anb, g, "union")  # (A∩B) ∪ (A\\B) = A

@@ -552,6 +552,12 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate within ±6% of its exact count and the merged global
     estimate within ±6% of the exact global (default lgConfigK=12 →
     rsd ≈ 1.6%, so ≈ 4σ; Datasketches hashing is deterministic)."""
+    # `per` is referenced twice and the global exact needs its own
+    # distinct — three column-pruned scans of the (2-column) orders
+    # projection. Deliberate: a query function can't scope-unpersist a
+    # cache its caller consumes later, and in production the sketch
+    # table is STORED, not recomputed, so the sharing happens at the
+    # storage layer.
     od = read_table(spark, sf_dir, "orders")
     per = od.groupBy("o_orderpriority").agg(
         F.expr("hll_sketch_agg(o_custkey)").alias("_sk"),

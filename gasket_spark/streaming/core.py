@@ -179,6 +179,31 @@ def stateful_user_totals(events: DataFrame,
     )
 
 
+def _stat_val(v):
+    """Normalize a min/max key stat for the JSON CDC manifest.
+    Numbers and strings pass through; date/datetime become ISO strings
+    (lexicographic order == chronological, and the batch side goes
+    through the SAME conversion, so comparisons stay consistent); any
+    other type (Decimal, bytes, …) returns None = "no stat", which
+    :func:`_disjoint` treats as always-overlapping — pruning degrades
+    to reading the file, never to skipping one that matters."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _disjoint(kmin, kmax, bmin, bmax) -> bool:
+    """File-group range vs batch range, CONSERVATIVELY: any missing
+    stat (NULL keys, un-serializable type) counts as overlapping."""
+    if None in (kmin, kmax, bmin, bmax):
+        return False
+    return kmax < bmin or kmin > bmax
+
+
 ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
                     "RocksDBStateStoreProvider")
 
@@ -430,11 +455,19 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         manifest: dict[str, list[dict]] = {}
         if os.path.exists(pointer):
             with open(pointer) as fh:
-                manifest = json.load(fh)["buckets"]
+                committed = json.load(fh)
+            # idempotency guard: the manifest flip IS the commit point.
+            # If batch N already flipped but the engine's checkpoint
+            # didn't record it (crash in between), the replay must
+            # NO-OP — re-running would read file groups inside v{N}
+            # while overwriting v{N}, destroying the batch's own data.
+            if committed.get("batch", -1) >= batch_id:
+                return
+            manifest = committed["buckets"]
         batch_df = batch_df.withColumn("_b", bucket_expr).persist()
         # per-bucket batch key ranges: bounded collect (≤ n_buckets rows)
-        rng = {r["_b"]: (r["kmin"], r["kmax"]) for r in
-               batch_df.groupBy("_b").agg(
+        rng = {r["_b"]: (_stat_val(r["kmin"]), _stat_val(r["kmax"]))
+               for r in batch_df.groupBy("_b").agg(
                    F.min(stat_col).alias("kmin"),
                    F.max(stat_col).alias("kmax")).collect()}
         touched = sorted(rng)
@@ -444,7 +477,7 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
             bmin, bmax = rng[b]
             carried[b] = []
             for ent in manifest.get(str(b), []):
-                if ent["kmax"] < bmin or ent["kmin"] > bmax:
+                if _disjoint(ent["kmin"], ent["kmax"], bmin, bmax):
                     carried[b].append(ent)     # no overlap: zero IO
                 else:
                     read_paths.append(ent["path"])
@@ -488,7 +521,8 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
             manifest[str(r["_b"])].append({
                 "path": os.path.join(vpath, f"_b={r['_b']}",
                                      f"_f={r['_f']}"),
-                "kmin": r["kmin"], "kmax": r["kmax"]})
+                "kmin": _stat_val(r["kmin"]),
+                "kmax": _stat_val(r["kmax"])})
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"buckets": manifest, "batch": batch_id,
@@ -541,8 +575,12 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
         packed = rows.withColumn(
             "_f", F.floor((F.row_number().over(wb) - 1)
                           / F.lit(target_file_rows))).persist()
+        # generation counter, NOT the batch id: a re-run without an
+        # intervening batch must write a FRESH dir — reusing the name
+        # would overwrite the very files this compaction is reading.
+        gen = int(man.get("gen", 0)) + 1
         cpath = os.path.join(table_dir, "versions",
-                             f"c{man['batch']:09d}")
+                             f"c{man['batch']:09d}g{gen:04d}")
         packed.write.mode("overwrite").partitionBy("_b", "_f") \
             .parquet(cpath)
         stats = packed.groupBy("_b", "_f").agg(
@@ -555,10 +593,12 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
             manifest[str(r["_b"])].append({
                 "path": os.path.join(cpath, f"_b={r['_b']}",
                                      f"_f={r['_f']}"),
-                "kmin": r["kmin"], "kmax": r["kmax"]})
+                "kmin": _stat_val(r["kmin"]),
+                "kmax": _stat_val(r["kmax"])})
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
             man["buckets"] = manifest
+            man["gen"] = gen
             json.dump(man, fh)
         os.replace(tmp, pointer)
     return sorted(e["path"] for ents in manifest.values() for e in ents)

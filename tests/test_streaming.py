@@ -455,3 +455,52 @@ class TestStreamCdcApply:
         assert {r.k: r.v
                 for r in spark.read.parquet(*cfiles).collect()} == got
         assert gc_cdc_table(tdir) == []
+        # compaction RE-RUN with no intervening batch must write a
+        # fresh generation dir (never overwrite the one it reads)
+        cfiles2 = compact_cdc_table(spark, tdir, ["k"],
+                                    target_file_rows=25)
+        assert cfiles2 != cfiles
+        assert {r.k: r.v
+                for r in spark.read.parquet(*cfiles2).collect()} == got
+
+    def test_replay_after_checkpoint_loss_is_idempotent(self, spark,
+                                                        tmp_path):
+        """The manifest flip is the commit point: if the engine's
+        checkpoint is lost (crash between flip and checkpoint commit),
+        replayed batches must NO-OP against an already-committed
+        manifest instead of re-merging — re-running would read file
+        groups inside the version dir it overwrites."""
+        import json
+        import os
+        import shutil
+
+        from gasket_spark.streaming.core import stream_cdc_apply
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        f1, f2 = os.path.join(src, "a.json"), os.path.join(src, "b.json")
+        with open(f1, "w") as fh:
+            for k in range(20):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k}) + "\n")
+        with open(f2, "w") as fh:
+            fh.write(json.dumps({"k": 3, "o": 2, "v": 333}) + "\n")
+        os.utime(f1, (1_600_000_000, 1_600_000_000))
+        os.utime(f2, (1_600_000_500, 1_600_000_500))
+        tdir = str(tmp_path / "table")
+
+        def run():
+            stream = spark.readStream.schema("k long, o long, v long") \
+                .option("maxFilesPerTrigger", 1).json(src)
+            return stream_cdc_apply(stream, tdir, ["k"], ["o"],
+                                    n_buckets=2)
+
+        files = run()
+        want = {r.k: r.v for r in spark.read.parquet(*files).collect()}
+        assert want[3] == 333
+        # lose the checkpoint, keep the table: the rerun replays every
+        # batch from 0 — all must hit the idempotency guard
+        shutil.rmtree(os.path.join(tdir, "_cp"))
+        files2 = run()
+        assert files2 == files
+        got = {r.k: r.v for r in spark.read.parquet(*files2).collect()}
+        assert got == want
