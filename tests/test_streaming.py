@@ -463,6 +463,38 @@ class TestStreamCdcApply:
         assert {r.k: r.v
                 for r in spark.read.parquet(*cfiles2).collect()} == got
 
+    def test_timestamp_merge_key(self, spark, tmp_path):
+        """A datetime leading merge key must serialize into the JSON
+        manifest (ISO strings; lexicographic == chronological) and
+        prune consistently — the stat path that raw collected
+        datetimes would crash."""
+        import json
+        import os
+
+        from gasket_spark.streaming.core import stream_cdc_apply
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        f1 = os.path.join(src, "a.json")
+        with open(f1, "w") as fh:
+            for h in range(6):
+                fh.write(json.dumps(
+                    {"ts": f"2024-01-01T0{h}:00:00", "o": 1,
+                     "v": h}) + "\n")
+        stream = spark.readStream \
+            .schema("ts timestamp, o long, v long").json(src)
+        tdir = str(tmp_path / "table")
+        files = stream_cdc_apply(stream, tdir, ["ts"], ["o"],
+                                 n_buckets=2, target_file_rows=2)
+        got = sorted(r.v for r in spark.read.parquet(*files).collect())
+        assert got == [0, 1, 2, 3, 4, 5]
+        with open(os.path.join(tdir, "LATEST")) as fh:
+            ents = [e for es in json.load(fh)["buckets"].values()
+                    for e in es]
+        assert ents and all(
+            isinstance(e["kmin"], str) and e["kmin"] <= e["kmax"]
+            for e in ents)
+
     def test_replay_after_checkpoint_loss_is_idempotent(self, spark,
                                                         tmp_path):
         """The manifest flip is the commit point: if the engine's
