@@ -64,8 +64,12 @@ HEADLINE: dict[str, str] = {
     "q_quality_gopher": "count",
     "q_recursive_cte": "count",
     "q_sample_mix": "count",
-    # r4 addition: composable sketch set algebra
+    # r4 additions: composable sketch set algebra, native HLL rollup,
+    # encoding + entropy text gates
     "q_theta_setops": "collect",
+    "q_agg_hll_sketch": "collect",
+    "q_text_encoding": "count",
+    "q_text_entropy": "count",
 }
 
 
