@@ -198,10 +198,88 @@ def _stat_val(v):
 
 def _disjoint(kmin, kmax, bmin, bmax) -> bool:
     """File-group range vs batch range, CONSERVATIVELY: any missing
-    stat (NULL keys, un-serializable type) counts as overlapping."""
+    stat (all-NULL keys, un-serializable type) counts as overlapping.
+
+    NULL-key soundness lives one level up (see ``stream_cdc_apply``):
+    ``min``/``max`` skip NULLs, so a range says nothing about NULL-key
+    rows — a file group that HOLDS a NULL-key row (``knull``) must be
+    read whenever the batch CONTAINS one (``bnull``), regardless of
+    how the non-null ranges compare."""
     if None in (kmin, kmax, bmin, bmax):
         return False
     return kmax < bmin or kmin > bmax
+
+
+MANIFEST_SCHEMA_VERSION = 2
+
+
+def _write_manifest(pointer: str, man: dict) -> None:
+    """Atomic CDC manifest flip with integrity metadata:
+    ``schema_version`` pins the layout this writer produced, and
+    ``checksum`` (md5 of the canonical sans-checksum JSON) lets a
+    reader DETECT a truncated, hand-edited, or foreign LATEST instead
+    of trusting it. The ``os.replace`` flip is atomic on a POSIX
+    filesystem; at scale the same record goes through a CAS/put-if-
+    absent on a transactional store."""
+    import hashlib
+    import json
+    import os
+
+    man = dict(man)
+    man.pop("checksum", None)
+    man["schema_version"] = MANIFEST_SCHEMA_VERSION
+    payload = json.dumps(man, sort_keys=True)
+    man["checksum"] = hashlib.md5(payload.encode()).hexdigest()
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, pointer)
+
+
+def _load_manifest(pointer: str) -> dict:
+    """Read and VALIDATE the LATEST manifest. Raises ``ValueError`` on
+    non-JSON content (half-written file), a checksum mismatch
+    (tampered/corrupted payload), or a schema_version newer than this
+    reader understands (foreign writer) — a CDC table must fail loudly
+    on an untrustworthy pointer, never serve rows from it. Version-1
+    manifests (pre-checksum) load without integrity verification."""
+    import hashlib
+    import json
+
+    with open(pointer) as fh:
+        try:
+            man = json.load(fh)
+        except ValueError as e:
+            raise ValueError(
+                f"corrupted CDC manifest {pointer}: not valid JSON ({e})")
+    ver = man.get("schema_version", 1)
+    if ver > MANIFEST_SCHEMA_VERSION:
+        raise ValueError(
+            f"CDC manifest {pointer} has schema_version {ver}, newer than "
+            f"this reader ({MANIFEST_SCHEMA_VERSION}) — refusing to guess")
+    if "checksum" in man:
+        expect = man.pop("checksum")
+        payload = json.dumps(man, sort_keys=True)
+        got = hashlib.md5(payload.encode()).hexdigest()
+        if got != expect:
+            raise ValueError(
+                f"corrupted CDC manifest {pointer}: checksum mismatch "
+                f"(expected {expect}, computed {got})")
+    return man
+
+
+def _await_or_raise(query, timeout: int) -> None:
+    """``awaitTermination(timeout)`` returns ``False`` on timeout
+    WITHOUT raising; code falling through would then read a possibly
+    stale LATEST as if the run had committed. Stop the hung query and
+    raise instead."""
+    if not query.awaitTermination(timeout):
+        try:
+            query.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {query.name or query.id} did not "
+                f"terminate within {timeout}s")
 
 
 ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
@@ -221,6 +299,13 @@ def use_rocksdb_state(spark: SparkSession,
     multiplication). Applies to queries STARTED after the call."""
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
                    ROCKSDB_PROVIDER)
+    # changelog checkpointing is OFF by default: without it every
+    # commit uploads a full RocksDB snapshot to the checkpoint dir —
+    # the changelog uploads only the delta (the posture the docstring
+    # promises). Applies to queries started after this call.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled", "true")
     if bounded_memory_mb is not None:
         spark.conf.set(
             "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
@@ -442,7 +527,6 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
     (read them as one parquet union). At scale the same loop targets
     object storage with the manifest in a transaction-capable
     store."""
-    import json
     import os
 
     base = os.path.join(table_dir, "versions")
@@ -452,32 +536,71 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        src_cols = list(batch_df.columns)
+        # order/partition-independent content fingerprint of the batch
+        # (sum of per-row xxhash64, folded to 31 bits so the sum can't
+        # overflow ANSI-mode long arithmetic): recorded per committed
+        # batch so a replay can be TOLD APART from a checkpoint-reset
+        # stream that happens to reuse a committed batch id.
+        fp_expr = F.coalesce(
+            F.sum(F.pmod(F.xxhash64(*src_cols), F.lit(2**31))), F.lit(0))
         manifest: dict[str, list[dict]] = {}
+        fps: dict[str, int] = {}
+        committed: dict = {}
         if os.path.exists(pointer):
-            with open(pointer) as fh:
-                committed = json.load(fh)
+            committed = _load_manifest(pointer)
             # idempotency guard: the manifest flip IS the commit point.
             # If batch N already flipped but the engine's checkpoint
             # didn't record it (crash in between), the replay must
             # NO-OP — re-running would read file groups inside v{N}
             # while overwriting v{N}, destroying the batch's own data.
+            # But ONLY a true replay may no-op: if the checkpoint was
+            # reset while the table's LATEST survived, a fresh stream
+            # restarts batch ids at 0 carrying NEW data — silently
+            # dropping those batches would lose changes. The recorded
+            # content fingerprint tells the two apart.
+            fps = dict(committed.get("fps") or {})
             if committed.get("batch", -1) >= batch_id:
-                return
+                fp = batch_df.agg(fp_expr).first()[0]
+                if fps.get(str(batch_id)) == fp:
+                    return      # true replay of an already-committed batch
+                raise ValueError(
+                    f"CDC batch-id regression: incoming batch {batch_id} "
+                    f"<= committed batch {committed.get('batch')} but its "
+                    f"content does not match the recorded fingerprint — "
+                    f"this stream is not a replay of the committed one "
+                    f"(checkpoint reset with new/rebatched data?). "
+                    f"Refusing to silently drop changes; restore the "
+                    f"checkpoint or rebuild the table.")
             manifest = committed["buckets"]
         batch_df = batch_df.withColumn("_b", bucket_expr).persist()
-        # per-bucket batch key ranges: bounded collect (≤ n_buckets rows)
-        rng = {r["_b"]: (_stat_val(r["kmin"]), _stat_val(r["kmax"]))
-               for r in batch_df.groupBy("_b").agg(
-                   F.min(stat_col).alias("kmin"),
-                   F.max(stat_col).alias("kmax")).collect()}
+        # per-bucket batch key ranges + null flag + fingerprint shard:
+        # ONE bounded collect (≤ n_buckets rows) feeds pruning AND the
+        # idempotency record
+        brows = batch_df.groupBy("_b").agg(
+            F.min(stat_col).alias("kmin"),
+            F.max(stat_col).alias("kmax"),
+            F.max(F.col(stat_col).isNull().cast("int")).alias("bnull"),
+            fp_expr.alias("fp")).collect()
+        rng = {r["_b"]: (_stat_val(r["kmin"]), _stat_val(r["kmax"]),
+                         bool(r["bnull"]))
+               for r in brows}
+        fps[str(batch_id)] = sum(r["fp"] for r in brows)
         touched = sorted(rng)
         carried: dict[int, list[dict]] = {}
         read_paths: list[str] = []
         for b in touched:
-            bmin, bmax = rng[b]
+            bmin, bmax, bnull = rng[b]
             carried[b] = []
             for ent in manifest.get(str(b), []):
-                if _disjoint(ent["kmin"], ent["kmax"], bmin, bmax):
+                # min/max skip NULLs, so the range test is blind to
+                # NULL-key rows: a group holding one (knull; absent on
+                # v1 manifests → assume it might) must be read whenever
+                # the batch carries a NULL key (bnull), or its stale
+                # NULL-key version would survive next to the new one.
+                null_hit = bnull and ent.get("knull", True)
+                if not null_hit and _disjoint(ent["kmin"], ent["kmax"],
+                                              bmin, bmax):
                     carried[b].append(ent)     # no overlap: zero IO
                 else:
                     read_paths.append(ent["path"])
@@ -512,7 +635,9 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         # per-file-group stats: bounded collect (one row per file group)
         stats = merged.groupBy("_b", "_f").agg(
             F.min(stat_col).alias("kmin"),
-            F.max(stat_col).alias("kmax")).collect()
+            F.max(stat_col).alias("kmax"),
+            F.max(F.col(stat_col).isNull().cast("int")).alias("knull")
+        ).collect()
         merged.unpersist()
         batch_df.unpersist()
         for b in touched:
@@ -522,22 +647,20 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                 "path": os.path.join(vpath, f"_b={r['_b']}",
                                      f"_f={r['_f']}"),
                 "kmin": _stat_val(r["kmin"]),
-                "kmax": _stat_val(r["kmax"])})
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"buckets": manifest, "batch": batch_id,
-                       "n_buckets": n_buckets}, fh)
-        os.replace(tmp, pointer)
+                "kmax": _stat_val(r["kmax"]),
+                "knull": bool(r["knull"])})
+        committed.update({"buckets": manifest, "batch": batch_id,
+                          "n_buckets": n_buckets, "fps": fps})
+        _write_manifest(pointer, committed)
 
     q = changes.writeStream.foreachBatch(_apply) \
         .trigger(availableNow=True) \
         .option("checkpointLocation", os.path.join(table_dir, "_cp")) \
         .start()
-    q.awaitTermination(timeout)
-    with open(pointer) as fh:
-        return sorted(ent["path"]
-                      for ents in json.load(fh)["buckets"].values()
-                      for ent in ents)
+    _await_or_raise(q, timeout)
+    return sorted(ent["path"]
+                  for ents in _load_manifest(pointer)["buckets"].values()
+                  for ent in ents)
 
 
 def compact_cdc_table(spark: SparkSession, table_dir: str,
@@ -556,12 +679,10 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
     re-layout. Single-group buckets are untouched; the manifest flips
     atomically; superseded version dirs become garbage for a separate
     GC pass. Returns the post-compaction file-group paths."""
-    import json
     import os
 
     pointer = os.path.join(table_dir, "LATEST")
-    with open(pointer) as fh:
-        man = json.load(fh)
+    man = _load_manifest(pointer)
     manifest: dict[str, list[dict]] = man["buckets"]
     todo = {b for b, ents in manifest.items() if len(ents) > 1}
     if todo:
@@ -585,7 +706,9 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
             .parquet(cpath)
         stats = packed.groupBy("_b", "_f").agg(
             F.min(stat_col).alias("kmin"),
-            F.max(stat_col).alias("kmax")).collect()
+            F.max(stat_col).alias("kmax"),
+            F.max(F.col(stat_col).isNull().cast("int")).alias("knull")
+        ).collect()
         packed.unpersist()
         for b in todo:
             manifest[b] = []
@@ -594,13 +717,11 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
                 "path": os.path.join(cpath, f"_b={r['_b']}",
                                      f"_f={r['_f']}"),
                 "kmin": _stat_val(r["kmin"]),
-                "kmax": _stat_val(r["kmax"])})
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            man["buckets"] = manifest
-            man["gen"] = gen
-            json.dump(man, fh)
-        os.replace(tmp, pointer)
+                "kmax": _stat_val(r["kmax"]),
+                "knull": bool(r["knull"])})
+        man["buckets"] = manifest
+        man["gen"] = gen
+        _write_manifest(pointer, man)
     return sorted(e["path"] for ents in manifest.values() for e in ents)
 
 
@@ -637,23 +758,40 @@ def gc_cdc_table(table_dir: str) -> list[str]:
     them behind). A dir is kept while even one carried-forward group
     inside it is still live. Returns the removed dir paths.
 
-    Safe ordering: the manifest flip happens strictly before any GC,
-    and readers resolve paths through LATEST — at scale, add a grace
-    period (don't collect dirs younger than the longest running read)
-    instead of deleting eagerly."""
-    import json
+    Writer race: an in-flight batch/compaction writes its version dir
+    BEFORE flipping LATEST, so an unreferenced dir encoding a batch id
+    (``v{N}``) or generation (``c{B}g{G}``) NEWER than the committed
+    manifest belongs to a write about to commit — deleting it would
+    destroy the data the imminent flip references. Those dirs are
+    skipped (as are unparseable names, conservatively). Reader safety
+    is separate: at scale, add a grace period (don't collect dirs
+    younger than the longest running read) instead of deleting
+    eagerly."""
     import os
+    import re
     import shutil
 
     pointer = os.path.join(table_dir, "LATEST")
     base = os.path.join(table_dir, "versions")
-    with open(pointer) as fh:
-        manifest = json.load(fh)["buckets"]
+    man = _load_manifest(pointer)
+    committed_batch = int(man.get("batch", -1))
+    committed_gen = int(man.get("gen", 0))
     live = {os.path.relpath(e["path"], base).split(os.sep)[0]
-            for ents in manifest.values() for e in ents}
+            for ents in man["buckets"].values() for e in ents}
+
+    def _in_flight(d: str) -> bool:
+        m = re.fullmatch(r"v(\d+)", d)
+        if m:
+            return int(m.group(1)) > committed_batch
+        m = re.fullmatch(r"c(\d+)g(\d+)", d)
+        if m:
+            return (int(m.group(1)) > committed_batch
+                    or int(m.group(2)) > committed_gen)
+        return True      # unknown layout: never collect
+
     removed = []
     for d in sorted(os.listdir(base)):
-        if d not in live:
+        if d not in live and not _in_flight(d):
             path = os.path.join(base, d)
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)

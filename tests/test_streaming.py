@@ -536,3 +536,158 @@ class TestStreamCdcApply:
         assert files2 == files
         got = {r.k: r.v for r in spark.read.parquet(*files2).collect()}
         assert got == want
+
+    def test_null_merge_key_update_is_not_pruned(self, spark, tmp_path):
+        """min/max stats skip NULLs, so range pruning is blind to
+        NULL-key rows: a file group holding one must be re-read
+        whenever a batch carries a NULL key, or the stale NULL-key
+        version survives next to the new one (the unsound-pruning bug
+        this knull/bnull flag pair fixes)."""
+        from gasket_spark.streaming.core import stream_cdc_apply
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        f1, f2 = os.path.join(src, "a.json"), os.path.join(src, "b.json")
+        with open(f1, "w") as fh:
+            fh.write(json.dumps({"k": None, "o": 1, "v": 7}) + "\n")
+            for k in range(1, 11):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k}) + "\n")
+        with open(f2, "w") as fh:
+            # NULL-key update plus a key far outside the first group's
+            # non-null range — without the null flags the group holding
+            # the NULL row range-prunes and the stale v=7 row survives
+            fh.write(json.dumps({"k": None, "o": 2, "v": 777}) + "\n")
+            fh.write(json.dumps({"k": 50, "o": 2, "v": 50}) + "\n")
+        os.utime(f1, (1_600_000_000, 1_600_000_000))
+        os.utime(f2, (1_600_000_500, 1_600_000_500))
+        stream = spark.readStream.schema("k long, o long, v long") \
+            .option("maxFilesPerTrigger", 1).json(src)
+        tdir = str(tmp_path / "table")
+        files = stream_cdc_apply(stream, tdir, ["k"], ["o"],
+                                 n_buckets=1, target_file_rows=3)
+        rows = spark.read.parquet(*files).collect()
+        null_rows = [r for r in rows if r.k is None]
+        assert [(r.o, r.v) for r in null_rows] == [(2, 777)]
+        assert {r.k: r.v for r in rows if r.k is not None} == {
+            50: 50, **{k: k for k in range(1, 11)}}
+
+    def test_checkpoint_reset_with_new_data_raises(self, spark, tmp_path):
+        """A fresh checkpoint restarts batch ids at 0; if the replayed
+        content does NOT match the committed batches' fingerprints the
+        apply must fail loudly instead of silently dropping the new
+        changes (the guard only no-ops on a true replay)."""
+        from gasket_spark.streaming.core import stream_cdc_apply
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        f1, f2 = os.path.join(src, "a.json"), os.path.join(src, "b.json")
+        with open(f1, "w") as fh:
+            for k in range(10):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k}) + "\n")
+        with open(f2, "w") as fh:
+            fh.write(json.dumps({"k": 2, "o": 2, "v": 222}) + "\n")
+        os.utime(f1, (1_600_000_000, 1_600_000_000))
+        os.utime(f2, (1_600_000_500, 1_600_000_500))
+        tdir = str(tmp_path / "table")
+        stream = spark.readStream.schema("k long, o long, v long") \
+            .option("maxFilesPerTrigger", 1).json(src)
+        stream_cdc_apply(stream, tdir, ["k"], ["o"], n_buckets=2)
+        # reset the checkpoint AND add new data: the rerun (no
+        # maxFilesPerTrigger) lumps all three files into batch 0 <=
+        # committed batch 1 with different content
+        import shutil
+
+        shutil.rmtree(os.path.join(tdir, "_cp"))
+        f3 = os.path.join(src, "c.json")
+        with open(f3, "w") as fh:
+            fh.write(json.dumps({"k": 7, "o": 3, "v": 999}) + "\n")
+        stream2 = spark.readStream.schema("k long, o long, v long") \
+            .json(src)
+        with pytest.raises(Exception, match="batch-id regression"):
+            stream_cdc_apply(stream2, tdir, ["k"], ["o"], n_buckets=2)
+
+    def test_corrupted_manifest_raises(self, spark, tmp_path):
+        """A truncated or tampered LATEST must raise, not serve rows."""
+        from gasket_spark.streaming.core import (
+            _load_manifest, compact_cdc_table, stream_cdc_apply,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as fh:
+            for k in range(5):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k}) + "\n")
+        tdir = str(tmp_path / "table")
+        stream = spark.readStream.schema("k long, o long, v long").json(src)
+        stream_cdc_apply(stream, tdir, ["k"], ["o"], n_buckets=1)
+        pointer = os.path.join(tdir, "LATEST")
+        good = open(pointer).read()
+        # half-written file (not valid JSON)
+        with open(pointer, "w") as fh:
+            fh.write(good[: len(good) // 2])
+        with pytest.raises(ValueError, match="not valid JSON"):
+            _load_manifest(pointer)
+        # valid JSON, tampered payload (checksum no longer matches)
+        man = json.loads(good)
+        man["batch"] = 99
+        with open(pointer, "w") as fh:
+            json.dump(man, fh)
+        with pytest.raises(ValueError, match="checksum mismatch"):
+            compact_cdc_table(spark, tdir, ["k"])
+        # future schema_version (foreign writer) refuses too
+        man = json.loads(good)
+        del man["checksum"]
+        man["schema_version"] = 99
+        with open(pointer, "w") as fh:
+            json.dump(man, fh)
+        with pytest.raises(ValueError, match="schema_version"):
+            _load_manifest(pointer)
+
+    def test_gc_skips_in_flight_version_dirs(self, spark, tmp_path):
+        """An unreferenced dir encoding a NEWER batch/gen than the
+        committed manifest belongs to an in-flight write — GC must
+        leave it for the imminent flip (and never touch unparseable
+        names)."""
+        from gasket_spark.streaming.core import gc_cdc_table, stream_cdc_apply
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as fh:
+            for k in range(5):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k}) + "\n")
+        tdir = str(tmp_path / "table")
+        stream = spark.readStream.schema("k long, o long, v long").json(src)
+        stream_cdc_apply(stream, tdir, ["k"], ["o"], n_buckets=1)
+        vbase = os.path.join(tdir, "versions")
+        # simulate: an in-flight batch 7 has written but not flipped;
+        # an unknown dir name; and a stale superseded dir (batch <=
+        # committed, unreferenced) that IS collectable
+        os.makedirs(os.path.join(vbase, "v000000007", "_b=0"))
+        os.makedirs(os.path.join(vbase, "mystery"))
+        stale = os.path.join(vbase, "x")  # unparseable => kept
+        os.makedirs(stale, exist_ok=True)
+        removed = gc_cdc_table(tdir)
+        assert removed == []
+        assert os.path.isdir(os.path.join(vbase, "v000000007"))
+        assert os.path.isdir(os.path.join(vbase, "mystery"))
+
+    def test_await_or_raise_on_timeout(self):
+        """awaitTermination(timeout) returning False must STOP the
+        query and raise — falling through would read a stale LATEST as
+        if the run committed."""
+        from gasket_spark.streaming.core import _await_or_raise
+
+        class HungQuery:
+            name, id = "hung", "qid"
+            stopped = False
+
+            def awaitTermination(self, timeout=None):
+                return False
+
+            def stop(self):
+                self.stopped = True
+
+        q = HungQuery()
+        with pytest.raises(TimeoutError, match="did not terminate"):
+            _await_or_raise(q, 1)
+        assert q.stopped
