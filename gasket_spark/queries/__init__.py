@@ -68,6 +68,17 @@ _UPGRADED_R02: tuple[str, ...] = (
     "q_agg_approx_distinct", "q_pagerank", "q_agg_qsketch", "q_agg_kmv",
 )
 
+# Queries whose implementation or oracle was EDITED in round 5 (new
+# oracles for formerly rows-only checks; real WAV decode; scaled-int
+# LSH buckets; CDC runtime hardening): their pre-r5 driver greens no
+# longer certify the current code, so cap their rank just behind the
+# never/stale groups until a round-5+ driver row lands (the <= 4.0
+# guard makes the demotion self-expiring).
+_EDITED_R05: tuple[str, ...] = (
+    "q_cmd_pipe", "q_dedup_simhash", "q_sim_ann", "q_multimodal_decode",
+    "q_multimodal_meta", "q_dedup_embedding", "q_stream_cdc_apply",
+)
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -164,6 +175,13 @@ def _signal_rank() -> dict[str, float]:
             # supersedes the pin (max green round at pin time below)
             if rank.get(n, 0.0) <= 3.0:
                 rank[n] = -1.0
+        for n in _EDITED_R05:
+            # r5-edited queries: any pre-r5 signal is stale — pull them
+            # into the window right behind the never/stale groups. A
+            # red (rank 0) stays at the very front; an r5+ green
+            # (rank > 4) ends the demotion.
+            if 0 < rank.get(n, 0.0) <= 4.0:
+                rank[n] = 1.25
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

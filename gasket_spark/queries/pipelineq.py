@@ -141,18 +141,27 @@ def q_reduce_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda d: d.groupBy("nk").agg(F.count(F.lit(1)).alias("n")))
 
 
-@query("q_cmd_pipe")  # rows-only: external processes aren't SQL-expressible
+@query(
+    "q_cmd_pipe",
+    oracle="""
+    SELECT r_name AS line FROM region
+    """,
+)
 def q_cmd_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gasket command stage (index.js:14-27): region rows serialized to
-    NDJSON lines, piped through an external ``tr`` child process per
-    partition (RDD.pipe, checkCode=True), counted back. Rows-only
-    check — the observable contract is "the child ran and its output
-    came back"."""
+    """gasket command stage (index.js:14-27): a line stream piped
+    through an external ``tr a-z A-Z`` child process per partition
+    (RDD.pipe, checkCode=True), read back as lines. HASH-checked, not
+    just rows-only: the input is one lowercase-only line column (a
+    single string column rides the line-stream convention untouched),
+    so the child's observable output is a pure string function of the
+    row that the SQL oracle regenerates literally — region names are
+    [A-Z ]-only, so ``lower`` then ``tr`` round-trips to the
+    original."""
     eng = Engine({"shout": ["tr a-z A-Z"]}, spark=spark)
-    src = read_table(spark, sf_dir, "region")
+    src = read_table(spark, sf_dir, "region").select(
+        F.lower(F.col("r_name")).alias("name"))
     out = eng.pipe("shout", input_df=src)
-    return out.select(F.col("value").alias("line")).filter(
-        F.col("line").contains("R_NAME"))
+    return out.select(F.col("value").alias("line"))
 
 
 # ---------------------------------------------------------------------------
