@@ -241,19 +241,45 @@ def simhash_from_token_hashes(hashed_col: Column, bits: int = 64) -> Column:
     return _simhash(hashed_col)
 
 
-def simhash64(col: Column | str, bits: int = 64) -> Column:
+def md5_prefix_hash(col: Column, hex_chars: int = 15) -> Column:
+    """60-bit md5-prefix hash of a string — an ORACLE-REPLICABLE hash
+    family: Spark's ``conv(substr(md5(t),1,15),16,10)`` and DuckDB's
+    ``('0x' || substr(md5(t),1,15))::BIGINT`` compute the identical
+    value (unlike xxhash64, whose seed/flavor is Spark-specific). 15
+    hex chars = 60 bits keeps the value inside a signed long on both
+    engines. JVM-side end to end (md5 + conv are codegen
+    expressions)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, hex_chars),
+                  16, 10).cast("long")
+
+
+def simhash64(col: Column | str, bits: int = 64,
+              token_hash: str = "xxhash64") -> Column:
     """Charikar SimHash packed into ONE 64-bit long.
 
     Term-frequency weighted: each distinct token's ±1 bit
     contributions are weighted by its in-document count (essential on
     small-vocabulary corpora, where distinct-token SimHash
     degenerates — every doc shares the vocab, so unweighted signatures
-    collide en masse). Tokens are xxhash64'd once JVM-side; the
+    collide en masse). Tokens are hashed once JVM-side; the
     unpack/weight/sum/pack runs vectorized per Arrow batch. Hamming
     distance between two signatures is then pure codegen:
     ``bit_count(a ^ b)``.
+
+    ``token_hash`` picks the base hash family: ``"xxhash64"`` (the
+    fast production default) or ``"md5_60"`` (:func:`md5_prefix_hash`
+    with ``bits=60`` — bit-replicable in ANSI SQL, which is what lets
+    q_dedup_simhash be verified against a DuckDB twin instead of
+    rows-only).
     """
-    hashed = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    if token_hash == "xxhash64":
+        hashed = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    elif token_hash == "md5_60":
+        if bits > 60:
+            raise ValueError("md5_60 provides 60 hash bits; pass bits<=60")
+        hashed = F.transform(tokens(col), lambda t: md5_prefix_hash(t))
+    else:
+        raise ValueError(f"unknown token_hash family: {token_hash!r}")
     shifts = np.arange(bits, dtype=np.uint64)
     weights = (np.uint64(1) << shifts)
 

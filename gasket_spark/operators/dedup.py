@@ -129,7 +129,8 @@ def dedup_by_pairs(df: DataFrame, pairs: DataFrame,
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 64,
-                  blocks: int = 4, max_hamming: int = 3) -> DataFrame:
+                  blocks: int = 4, max_hamming: int = 3,
+                  token_hash: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs over packed 64-bit signatures.
 
     TF-weighted SimHash (one long per doc) → split into ``blocks``
@@ -139,6 +140,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     arrays anywhere). 4 × 16-bit blocks give 65536 join buckets, so
     candidate volume stays near-linear even on homogeneous corpora.
     Returns (id_a, id_b, hamming).
+
+    Because the pigeonhole block join has PERFECT recall, the output
+    is exactly {pairs : hamming(sig_a, sig_b) <= max_hamming} —
+    independent of the blocking. With ``token_hash="md5_60"`` (and
+    ``bits<=60``) the signature itself is replicable in ANSI SQL, so
+    that whole set is oracle-checkable.
     """
     if max_hamming >= blocks:
         raise ValueError(
@@ -146,7 +153,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             f"{blocks}")
     block_size = bits // blocks
     mask = (1 << block_size) - 1
-    sig = df.select(id_col, T.simhash64(text_col, bits).alias("sig"))
+    sig = df.select(id_col,
+                    T.simhash64(text_col, bits, token_hash).alias("sig"))
     blk = sig.select(id_col, "sig", F.explode(F.array(*[
         F.struct(
             F.lit(i).alias("block_idx"),

@@ -130,17 +130,28 @@ def lsh_bucket_hof(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Vectorized sign-bit bucket id: one (batch × dim) @ (dim ×
-    n_planes) matmul per Arrow batch. Deterministic for fixed planes;
-    every caller (corpus side and probe side) uses this same kernel so
-    bucket ids always agree."""
+    """Vectorized sign-bit bucket id, one pass per Arrow batch.
+    Deterministic for fixed planes; every caller (corpus side and
+    probe side) uses this same kernel so bucket ids always agree.
+
+    Each sign decision is made on the INTEGER-SCALED dot product
+    (HALF_UP-rounded per-element products summed as int64 — the same
+    arithmetic as :func:`_dot_scaled`), not on a float accumulation:
+    float sums depend on summation order (numpy pairwise vs a SQL
+    engine's sequential fold), and a sign that flips across engines
+    would silently change bucket membership. Integer sums are
+    order-independent and bit-identical in Spark, numpy, and DuckDB —
+    which is what lets q_sim_ann's oracle re-derive the buckets in
+    ANSI SQL."""
     P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
     weights = (1 << np.arange(P.shape[1])).astype(np.int64)
 
     @pandas_udf(LongType())
     def _bucket(v: pd.Series) -> pd.Series:
         V = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (V @ P > 0).astype(np.int64)
+        bits = np.empty((V.shape[0], P.shape[1]), dtype=np.int64)
+        for j in range(P.shape[1]):
+            bits[:, j] = (_scaled_int_sum(V * P[:, j]) > 0).astype(np.int64)
         return pd.Series(bits @ weights)
 
     return _bucket(vec)

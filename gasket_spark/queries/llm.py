@@ -9,10 +9,12 @@ column algebra, reproduced verbatim in the SQL oracles, so even the
 "fuzzy" operators get exact cross-engine verification where the
 algorithm allows (n-gram Jaccard). Hash-family ops are hash-verified
 too wherever recall is provably 1.0 on this corpus (MinHash ≥-0.8-J
-pairs, identical-vector embedding clones — see those docstrings);
-only ops whose OUTPUT is genuinely hash-family-specific (SimHash
-Hamming pairs, ANN neighbor sets at low recall) stay rows-only by
-design.
+pairs, identical-vector embedding clones — see those docstrings).
+SimHash and hyperplane-LSH ANN are hash-verified by RE-DERIVING the
+hash family in the oracle (md5-prefix token hashes; seeded plane
+constants + integer-scaled sign decisions), so even the approximate
+structures are exact-checked; only q_sim_ivf (k-means quantizer)
+remains rows-only by design.
 """
 
 from __future__ import annotations
@@ -266,12 +268,49 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(corpus, threshold=0.5)
 
 
-@query("q_dedup_simhash")  # rows-only: hash-family specific
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_DUP_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h,
+             COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, t),
+    bitsum AS (
+      SELECT doc_id, b.bit,
+             CAST(SUM(tf * (CASE WHEN (h >> b.bit) & 1 = 1
+                                 THEN 1 ELSE -1 END)) AS BIGINT) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+      GROUP BY doc_id, b.bit),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit)
+                           ELSE 0::BIGINT END) AS BIGINT) AS sig
+      FROM bitsum GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs via 8-block pigeonhole join,
-    Hamming ≤ 3, on the injected-dup corpus."""
+    """SimHash near-dup pairs via 4-block pigeonhole join, Hamming ≤ 3,
+    on the injected-dup corpus.
+
+    HASH-verified, not rows-only: the pigeonhole block join has
+    perfect recall (hamming ≤ 3 < 4 blocks ⇒ some 15-bit block matches
+    exactly), so the output is EXACTLY the set of pairs at signature
+    Hamming ≤ 3 — independent of the blocking. Run over the
+    ``md5_60`` token-hash family (60-bit md5 prefixes — replicable in
+    DuckDB, unlike Spark's xxhash64) the full TF-weighted SimHash
+    construction is re-derived in the oracle SQL and the pair set is
+    compared exactly. The xxhash64 family remains the production
+    default in :func:`gasket_spark.operators.dedup.simhash_pairs`."""
     corpus = _docs_with_near_dups(spark, sf_dir)
-    return D.simhash_pairs(corpus, max_hamming=3)
+    return D.simhash_pairs(corpus, bits=60, max_hamming=3,
+                           token_hash="md5_60")
 
 
 @query(
@@ -350,11 +389,68 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5)
 
 
-@query("q_sim_ann")  # rows-only: bucket membership is seed/engine-specific
+def _ann_bucket_sql(planes: list[list[float]]) -> str:
+    """SQL twin of :func:`gasket_spark.operators.similarity.lsh_bucket`
+    for a FIXED seeded plane set: the hyperplane constants are embedded
+    as list literals (``repr`` of a float64 is shortest-round-trip, so
+    DuckDB parses back the identical double), and each sign decision
+    uses the same HALF_UP integer-scaled dot product as the Spark
+    kernel — bucket ids agree bit for bit."""
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN CAST(list_sum(list_transform(range(1, 65), i -> "
+            f"CAST(round(CAST(embedding[i] AS DOUBLE) * ([{lits}])[i] * 1e15)"
+            f" AS BIGINT))) AS BIGINT) > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    """Integer-scaled cosine between two aliased embedding rows (the
+    q_sim_topk oracle arithmetic, parameterized by alias)."""
+
+    def dot(x: str, y: str) -> str:
+        return (f"CAST(list_sum(list_transform(range(1, 65), i -> "
+                f"CAST(round(CAST({x}.embedding[i] AS DOUBLE) * "
+                f"CAST({y}.embedding[i] AS DOUBLE) * 1e15) AS BIGINT))) "
+                f"AS BIGINT) / 1e15")
+
+    return (f"({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))")
+
+
+@query(
+    "q_sim_ann",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_ann_bucket_sql(S._hyperplanes(64, 8, 42))}
+               AS bucket
+      FROM embeddings),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos_expr('q', 'c')} AS cos_sim
+      FROM b q JOIN b c
+        ON q.vec_id < 10 AND c.vec_id != q.vec_id
+       AND bit_count(xor(q.bucket, c.bucket)) <= 1)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM cand)
+    WHERE rnk <= 5
+    """,
+)
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (8 planes, Hamming-1
     multiprobe) — the sublinear scale path for the same question
-    q_sim_topk answers exactly."""
+    q_sim_topk answers exactly.
+
+    HASH-verified, not rows-only: the seeded hyperplanes are constants,
+    every sign decision is an order-independent integer-scaled dot
+    product (see ``lsh_bucket``), and the Hamming-1 multiprobe makes
+    the candidate set exactly {c : hamming(bucket_q, bucket_c) <= 1} —
+    so the oracle re-derives buckets, candidates, exact-rerank cosines,
+    and the top-5 in ANSI SQL and the outputs match bit for bit. The
+    approximation vs exact search is unchanged; what's pinned is that
+    BOTH engines compute the same approximation."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_lsh_topk(emb, queries, k=5)
