@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The Spark-side machinery here is real and tested — schemas, Arrow-
-batched ``mapInPandas`` UDF signatures, partition sizing — while the
-actual media decoding is stubbed behind :func:`register_decoder`
-(image/audio libs aren't in this container; a deterministic fake
-decoder stands in so the plumbing is exercised end-to-end). Swapping in
-a real decoder is a one-function change.
+batched ``mapInPandas`` UDF signatures, partition sizing. AUDIO decode
+is real too: :func:`decode_wav` is a strict pure-numpy RIFF/WAVE
+(PCM16) parser — container magic, chunk walk, fmt validation, sample
+extraction, amplitude features — exercised over genuine WAV bytes
+(:func:`make_wav` builds them; the fixture lift synthesizes a
+deterministic waveform per document). Image/video decoding stays
+stubbed behind :func:`register_decoder` (the compressed-codec libs
+aren't in this container); swapping in a real decoder is a
+one-function change, exactly like ``decode_wav`` plugs in for audio.
 
 At scale: binary payloads ride as parquet binary columns (or
 ``spark.read.format('binaryFile')`` over object storage); decode /
@@ -16,14 +20,19 @@ per-task memory (payload bytes dominate row width).
 
 from __future__ import annotations
 
+import math
+import struct
 from collections.abc import Callable, Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 MEDIA_SCHEMA = StructType([
@@ -45,9 +54,87 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType()),
     StructField("checksum", StringType()),
     StructField("feature", StringType()),
+    StructField("metric", DoubleType()),   # numeric feature (e.g. RMS)
 ])
 
+WAV_RATE = 8000
+
+
+def make_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """Build a canonical RIFF/WAVE container (PCM16 mono, 44-byte
+    header) around an int16 sample array — the writer twin of
+    :func:`decode_wav`."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes, fmt: str = "wav") -> dict[str, Any]:
+    """REAL audio decode, pure numpy/stdlib: strict RIFF/WAVE (PCM16
+    mono) parser. Validates the container magic, the declared RIFF
+    size, every chunk boundary, and the fmt chunk's encoding before
+    touching a sample; raises ``ValueError`` on anything corrupt or
+    unsupported (a malformed payload must fail the row loudly, not
+    fake a feature).
+
+    Returns feature ``wav:<rate>:<n_samples>``, ``metric`` = RMS
+    amplitude (HALF_UP-rounded to 1e-6 — the repo's cross-engine float
+    convention), and ``content`` = the comma-joined sample values (the
+    decode-invariant canonical form the checksum hashes: the same
+    audio re-containered hashes identically)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if declared + 8 != len(payload):
+        raise ValueError(f"truncated WAV: RIFF declares {declared + 8} "
+                         f"bytes, payload has {len(payload)}")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"chunk {cid!r} overruns the container")
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+    if fmt_chunk is None or len(fmt_chunk) < 16 or data is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_fmt, channels, rate, _rate_b, _align, bits = struct.unpack(
+        "<HHIIHH", fmt_chunk[:16])
+    if audio_fmt != 1 or bits != 16 or channels != 1:
+        raise ValueError(f"unsupported WAV encoding: fmt={audio_fmt} "
+                         f"bits={bits} channels={channels}")
+    if len(data) % 2:
+        raise ValueError("odd PCM16 data size")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n = int(samples.size)
+    if n:
+        # integer sum of squares (exact), then one float div + sqrt:
+        # order-independent, bit-identical to the SQL oracle's
+        # list_sum-of-BIGINT arithmetic
+        rms = math.sqrt(int((samples * samples).sum()) / n)
+        metric = math.floor(rms * 1e6 + 0.5) / 1e6
+    else:
+        metric = 0.0
+    return {"feature": f"wav:{rate}:{n}",
+            "metric": metric,
+            "content": ",".join(str(int(s)) for s in samples)}
+
+
 _DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {}
+
+# Built-in real decoders (separate from the user-registration table so
+# clearing/overriding registrations can't lose them): audio is real;
+# image/video fall back to the stub until a codec decoder is plugged in.
+_DEFAULT_DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
+    "audio": decode_wav,
+}
 
 
 def register_decoder(modality: str,
@@ -57,20 +144,42 @@ def register_decoder(modality: str,
 
 
 def _stub_decode(payload: bytes, fmt: str) -> dict[str, Any]:
-    """Deterministic fake decoder (REPLACE via register_decoder): real
-    image/audio decoding needs libs not present in this container."""
-    # NotImplementedError semantics, but deterministic so plumbing tests
-    # can assert on it:
+    """Deterministic fake decoder for the modalities whose codec libs
+    aren't in this container (image/video — REPLACE via
+    register_decoder; audio already has the real :func:`decode_wav`)."""
     return {"feature": f"stub:{fmt}:{len(payload)}"}
+
+
+def _wave_samples(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic per-document waveform: sample_i = (doc_id*31 +
+    i*7) % 256 − 128. Chosen to be replicable in closed-form SQL so
+    the decoded features can be oracle-verified end to end."""
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + i * 7) % 256 - 128).astype(np.int16)
+
+
+@pandas_udf(BinaryType())
+def _synth_wav(doc_id: pd.Series, n_samples: pd.Series) -> pd.Series:
+    """Arrow-batched WAV synthesis: real RIFF/PCM16 bytes per row."""
+    return pd.Series([
+        make_wav(_wave_samples(int(d), int(k)), WAV_RATE)
+        for d, k in zip(doc_id, n_samples)])
 
 
 def attach_media(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Fixture lift: derive a deterministic binary payload + metadata
-    struct from a text table (the documents fixture has no real media;
-    payload = utf-8 bytes, metadata from its length). Production path:
-    the payload column arrives from parquet/binaryFile already."""
-    payload = F.encode(F.col(text_col), "utf-8")
+    struct from a text table (the documents fixture has no real media).
+    AUDIO rows carry a genuine RIFF/WAVE payload (PCM16 mono, 8 kHz,
+    one sample per character of text, waveform a closed-form function
+    of the id) for the real decoder; image/video rows keep utf-8 bytes
+    as stand-ins for their stubbed decoders. Production path: the
+    payload column arrives from parquet/binaryFile already."""
+    text_payload = F.encode(F.col(text_col), "utf-8")
+    payload: Column = F.when(
+        F.col(id_col) % 3 == 1,
+        _synth_wav(F.col(id_col), F.length(F.col(text_col)))
+    ).otherwise(text_payload)
     return df.select(
         F.col(id_col).alias("media_id"),
         (F.when(F.col(id_col) % 3 == 0, "image")
@@ -107,17 +216,27 @@ def extract_features(media: DataFrame,
             for payload, modality, fmt in zip(pdf["payload"], pdf["modality"],
                                               pdf["format"]):
                 raw = bytes(payload) if payload is not None else b""
-                decoder = _DECODERS.get(modality, _stub_decode)
+                decoder = _DECODERS.get(modality) \
+                    or _DEFAULT_DECODERS.get(modality, _stub_decode)
                 d = decoder(raw, fmt)
-                feats.append((len(raw),
-                              hashlib.md5(raw).hexdigest(),
-                              str(d.get("feature"))))
+                # checksum the decoder's canonical content when it
+                # provides one (decode-invariant: the same media
+                # re-containered hashes identically), raw bytes
+                # otherwise
+                content = d.get("content")
+                digest = hashlib.md5(
+                    content.encode() if content is not None else raw
+                ).hexdigest()
+                metric = d.get("metric")
+                feats.append((len(raw), digest, str(d.get("feature")),
+                              None if metric is None else float(metric)))
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
                 "n_bytes": [f[0] for f in feats],
                 "checksum": [f[1] for f in feats],
                 "feature": [f[2] for f in feats],
+                "metric": [f[3] for f in feats],
             })
             yield out
 

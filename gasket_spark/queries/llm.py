@@ -504,15 +504,22 @@ def q_udf_module(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
            CASE WHEN doc_id % 3 = 0 THEN 'png'
                 WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 1920 AS INT) AS width
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(44 + 2 * length(text) AS BIGINT)
+                ELSE CAST(octet_length(encode(text)) AS BIGINT)
+           END AS n_bytes,
+           CAST((CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * length(text)
+                      ELSE octet_length(encode(text)) END) % 1920 AS INT)
+             AS width
     FROM documents
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: opaque binary payload + typed
-    metadata struct (payload derived deterministically from the text
-    fixture; production payloads arrive as parquet binary)."""
+    metadata struct (audio rows carry a real RIFF/WAVE payload — 44
+    header bytes + 2 per PCM16 sample, one sample per character —
+    image/video keep utf-8 stand-ins; production payloads arrive as
+    parquet binary)."""
     docs = read_table(spark, sf_dir, "documents")
     media = M.attach_media(docs)
     return media.select(
@@ -528,22 +535,45 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS checksum,
-           'stub:' || CASE WHEN doc_id % 3 = 0 THEN 'png'
-                WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END
-             || ':' || octet_length(encode(text)) AS feature
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(44 + 2 * length(text) AS BIGINT)
+                ELSE CAST(octet_length(encode(text)) AS BIGINT)
+           END AS n_bytes,
+           CASE WHEN doc_id % 3 = 1
+                THEN md5(array_to_string(list_transform(
+                       range(0, length(text)),
+                       i -> (doc_id * 31 + i * 7) % 256 - 128), ','))
+                ELSE md5(text)
+           END AS checksum,
+           CASE WHEN doc_id % 3 = 1
+                THEN 'wav:8000:' || length(text)
+                WHEN doc_id % 3 = 0
+                THEN 'stub:png:' || octet_length(encode(text))
+                ELSE 'stub:mp4:' || octet_length(encode(text))
+           END AS feature,
+           CASE WHEN doc_id % 3 = 1
+                THEN round(sqrt(CAST(list_sum(list_transform(
+                       range(0, length(text)),
+                       i -> ((doc_id * 31 + i * 7) % 256 - 128)
+                          * ((doc_id * 31 + i * 7) % 256 - 128)))
+                     AS DOUBLE) / length(text)), 6)
+                ELSE NULL
+           END AS metric
     FROM documents
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode path (stub decoder — media libs
-    absent by design; see operators.multimodal). The checksum and the
-    deterministic stub feature ARE oracle-verified, so the whole
-    pandas-UDF plumbing is exact-checked even though decode is fake."""
+    """Arrow-batched mapInPandas decode path. Audio rows decode REAL
+    RIFF/WAVE bytes with the strict pure-numpy parser
+    (operators.multimodal.decode_wav): sample rate and count come from
+    the container, the metric is the RMS amplitude of the decoded
+    PCM16 samples, and the checksum hashes the decoded sample values —
+    all re-derived in closed form by the oracle, so the real decode is
+    exact-checked cross-engine. Image/video rows exercise the stub
+    path (codec libs absent by design)."""
     docs = read_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_media(docs)).select(
-        "media_id", "modality", "n_bytes", "checksum", "feature")
+        "media_id", "modality", "n_bytes", "checksum", "feature", "metric")
 
 
 @query(
