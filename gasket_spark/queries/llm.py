@@ -1653,7 +1653,13 @@ def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one presence-flag pass (oracle-matched), and each sketch
     estimate must land within ±10% of |A| (θ ≈ k/|distinct| ≈ 0.5 at
     sf0.01 ⇒ sd ≈ √(n(1−θ)/θ) ≲ 45 ≪ bound ≈ 180; deterministic
-    xxhash64, so the margin is belt-and-braces, not flakiness)."""
+    xxhash64, so the margin is belt-and-braces, not flakiness).
+
+    Plan note: PLANS.md records 12 exchanges here — every one of them
+    moves SKETCH rows (≤ k=1024 hashes per group, a few KB), not
+    corpus rows; the corpus is scanned once per half and immediately
+    collapses to per-group sketch state, so the exchange count is
+    composition depth, not data volume (pinned in test_plans.py)."""
     from gasket_spark.operators.sketch import (
         kmv_sketch, theta_estimate, theta_from_kmv, theta_op)
 

@@ -73,6 +73,41 @@ class TestPlanContracts:
         plan = _plan(QUERIES["q_sample_stratified"](spark, SF_SMALL))
         assert "Exchange" not in plan
 
+    def test_text_encoding_is_map_side_codegen(self, spark):
+        """Encoding-artifact detection is pure string algebra: zero
+        exchanges, whole-stage codegen all the way."""
+        plan = _plan(QUERIES["q_text_encoding"](spark, SF_SMALL))
+        assert "Exchange" not in plan
+        assert "codegen id" in plan
+
+    def test_text_entropy_is_two_phase_bounded_shuffle(self, spark):
+        """Per-doc word entropy shuffles (doc, distinct-word) pairs
+        through exactly two aggregations — a third exchange appearing
+        means the token explosion started reshuffling."""
+        plan = _plan(QUERIES["q_text_entropy"](spark, SF_SMALL))
+        assert plan.count("HashAggregate") >= 2
+        # formatted mode mentions each node ~4x (tree + details):
+        # 2 logical exchanges == 4 mentions at this writing
+        assert plan.count("Exchange") <= 4
+
+    def test_hll_sketch_agg_is_object_hash_two_phase(self, spark):
+        """Stored-HLL rollup must run as partial+merge ObjectHashAgg
+        (mergeable sketch state), never a sort-based fallback or a
+        sort-merge join of raw rows."""
+        plan = _plan(QUERIES["q_agg_hll_sketch"](spark, SF_SMALL))
+        assert "ObjectHashAggregate" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange") <= 16
+
+    def test_theta_setops_exchanges_stay_sketch_sized(self, spark):
+        """12 exchanges is the composition depth of the sketch algebra
+        (each moves <= k-hash sketch rows, a few KB); a count above the
+        pinned ceiling means a sketch stage started moving corpus
+        rows."""
+        plan = _plan(QUERIES["q_theta_setops"](spark, SF_SMALL))
+        assert plan.count("Exchange") <= 48   # 12 logical, ~4 mentions each
+        assert "BroadcastHashJoin" in plan
+
 
 class TestBucketedJoin:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
