@@ -525,6 +525,49 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cdc_read_pruned",
+    oracle="""
+    SELECT user_id, ts AS last_ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'purchase' AND user_id < 60
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_cdc_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ side of the CDC table as a Python DataSource
+    (sources/cdc.py): the same change feed as q_stream_cdc_apply is
+    materialized by ``stream_cdc_apply``, then scanned back through
+    ``format("gasket_cdc")`` — a snapshot-isolated scan that resolves
+    LATEST once at plan time, prunes file groups by the manifest's
+    [kmin, kmax] stats against the pushed ``user_id < 60`` filter
+    (zero IO for groups above the cut), and fans out one input
+    partition per surviving group. The whole connector path — manifest
+    → pruning → per-group Arrow reads → Spark re-applied filter — is
+    hash-verified against the batch QUALIFY oracle."""
+    import tempfile
+
+    from gasket_spark.sources.cdc import read_cdc_table
+    from gasket_spark.streaming.core import stream_cdc_apply
+
+    changes = (_events_as_stream(spark, sf_dir)
+               .filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts", "event_id",
+                       F.round(F.col("value") * 100).cast("bigint")
+                       .alias("value_cents")))
+    table_dir = tempfile.mkdtemp(prefix="gasket_cdc_r_")
+    stream_cdc_apply(changes, table_dir, key_cols=["user_id"],
+                     order_cols=["ts", "event_id"],
+                     n_buckets=4, target_file_rows=64)
+    # PySpark 4 requires this conf to plan a pushFilters reader; the
+    # engine session sets it, a caller-provided one may not
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    t = read_cdc_table(spark, table_dir)
+    return t.filter(F.col("user_id") < 60).select(
+        "user_id", F.col("ts").alias("last_ts"), "value_cents")
+
+
+@query(
     "q_stream_topk",
     oracle="""
     SELECT user_id, COUNT(*) AS n,

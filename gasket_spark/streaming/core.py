@@ -650,7 +650,9 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                 "kmax": _stat_val(r["kmax"]),
                 "knull": bool(r["knull"])})
         committed.update({"buckets": manifest, "batch": batch_id,
-                          "n_buckets": n_buckets, "fps": fps})
+                          "n_buckets": n_buckets, "fps": fps,
+                          "key_cols": list(key_cols),
+                          "order_cols": list(order_cols)})
         _write_manifest(pointer, committed)
 
     q = changes.writeStream.foreachBatch(_apply) \

@@ -141,3 +141,105 @@ class TestNdjsonStreamSink:
         # overwrite rather than duplicate — the exactly-once lift
         self._run_stream(spark, src, out, str(tmp_path / "cp2"))
         assert spark.read.json(out).count() == 40
+
+
+class TestCdcReader:
+    def _build_table(self, spark, tmp_path, n_keys=100):
+        import json
+        import os
+
+        from gasket_spark.streaming.core import stream_cdc_apply
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as fh:
+            for k in range(n_keys):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k * 10}) + "\n")
+        stream = spark.readStream.schema("k long, o long, v long").json(src)
+        tdir = str(tmp_path / "table")
+        files = stream_cdc_apply(stream, tdir, ["k"], ["o"],
+                                 n_buckets=1, target_file_rows=10)
+        return tdir, files
+
+    def test_snapshot_scan_matches_parquet_union(self, spark, tmp_path):
+        from gasket_spark.sources.cdc import read_cdc_table
+
+        tdir, files = self._build_table(spark, tmp_path)
+        got = {(r.k, r.o, r.v) for r in read_cdc_table(spark, tdir).collect()}
+        want = {(r.k, r.o, r.v)
+                for r in spark.read.parquet(*files).collect()}
+        assert got == want and len(got) == 100
+
+    def test_filter_prunes_file_groups_before_io(self, spark, tmp_path):
+        """The reader's plan-time pruning must skip file groups whose
+        manifest range can't match the pushed filter — observable on
+        the reader object itself (partitions() after pushFilters)."""
+        import os
+
+        from pyspark.sql.datasource import GreaterThan, LessThan
+
+        from gasket_spark.sources.cdc import (
+            CdcSnapshotReader, read_cdc_table,
+        )
+        from gasket_spark.streaming.core import _load_manifest
+
+        tdir, files = self._build_table(spark, tmp_path)
+        man = _load_manifest(os.path.join(tdir, "LATEST"))
+        n_groups = sum(len(v) for v in man["buckets"].values())
+        assert n_groups == 10
+
+        schema = read_cdc_table(spark, tdir).schema
+        r = CdcSnapshotReader(tdir, schema)
+        assert len(r.partitions()) == 10           # unfiltered: all groups
+        r2 = CdcSnapshotReader(tdir, schema)
+        returned = list(r2.pushFilters([GreaterThan(("k",), 40),
+                                        LessThan(("k",), 60)]))
+        assert len(returned) == 2                  # inexact: all re-applied
+        kept = r2.partitions()
+        assert 1 <= len(kept) <= 3                 # ~2 of 10 groups survive
+
+        # and end-to-end through Spark the filtered result is right
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        got = sorted(r.k for r in read_cdc_table(spark, tdir)
+                     .filter((F.col("k") > 40) & (F.col("k") < 60))
+                     .collect())
+        assert got == list(range(41, 60))
+
+    def test_scan_is_snapshot_isolated(self, spark, tmp_path):
+        """The manifest is resolved ONCE when the reader is planned:
+        a LATEST flip between planning and (or during) execution
+        cannot tear the read — the pinned reader keeps serving the
+        version it planned against, while a fresh plan sees the new
+        version atomically."""
+        import json
+        import os
+
+        from gasket_spark.sources.cdc import (
+            CdcSnapshotReader, read_cdc_table,
+        )
+        from gasket_spark.streaming.core import stream_cdc_apply
+
+        tdir, _ = self._build_table(spark, tmp_path)
+        schema = read_cdc_table(spark, tdir).schema
+        pinned = CdcSnapshotReader(tdir, schema)    # plan-time pin
+        parts = pinned.partitions()
+        # the SAME stream continues (same source dir + checkpoint):
+        # a new batch updates every key's value and flips LATEST
+        src = str(tmp_path / "src")
+        with open(os.path.join(src, "b.json"), "w") as fh:
+            for k in range(100):
+                fh.write(json.dumps({"k": k, "o": 2, "v": 1}) + "\n")
+        stream2 = spark.readStream.schema("k long, o long, v long") \
+            .json(src)
+        stream_cdc_apply(stream2, tdir, ["k"], ["o"], n_buckets=1,
+                         target_file_rows=10)
+        # the pinned reader still lists and reads the ORIGINAL
+        # version's file groups (old dirs remain until GC)
+        assert [p.path for p in pinned.partitions()] \
+            == [p.path for p in parts]
+        vals = {v.as_py() for p in parts
+                for b in pinned.read(p) for v in b.column(2)}
+        assert 1 not in vals and len(vals) == 100
+        # a fresh plan sees the new version atomically: ALL rows
+        # updated, never a blend of versions
+        assert {r.v for r in read_cdc_table(spark, tdir).collect()} == {1}

@@ -1,0 +1,95 @@
+"""Scale-validate the two iterative heavies (q_pagerank,
+q_dedup_components) at ~sf1 (10x the bench scale).
+
+Usage: python tools/scale_probe.py [base_sf_dir] [out_dir]
+
+Builds a 10x corpus from sf0.1 by writing 10 key-shifted replicas:
+
+* ``lineitem``: (l_partkey, l_suppkey) shifted per replica — ten
+  disjoint copies of the co-purchase graph (10x vertices, 10x edges).
+* ``documents``: doc_id shifted AND every token suffixed with the
+  replica id, so replicas share no shingles — the near-dup pair graph
+  is exactly ten independent copies of the sf0.1 one (a faithful 10x
+  of the same problem, not a 100x pair explosion from cross-replica
+  duplicates).
+
+Then times both queries at the base SF and at 10x on the same session
+and prints a markdown table. Both queries are job-overhead-bound at
+sf0.1 (fixed per-iteration scheduling cost dominates), so the
+expectation at 10x data is a wall-time ratio well under 10x.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_10x(spark, base: str, out: str, replicas: int = 10) -> None:
+    from gasket_spark.io import read_table
+
+    li = read_table(spark, base, "lineitem").select("l_partkey", "l_suppkey")
+    parts = []
+    for i in range(replicas):
+        parts.append(li.select(
+            (F.col("l_partkey") + i * 10_000_000).alias("l_partkey"),
+            (F.col("l_suppkey") + i * 1_000_000).alias("l_suppkey")))
+    big_li = parts[0]
+    for p in parts[1:]:
+        big_li = big_li.unionByName(p)
+    big_li.write.mode("overwrite").parquet(os.path.join(out,
+                                                        "lineitem.parquet"))
+
+    docs = read_table(spark, base, "documents").select("doc_id", "text")
+    dparts = []
+    for i in range(replicas):
+        # suffix every token with the replica id: replicas share no
+        # shingles, so the pair graph is 10 independent copies
+        perturbed = F.array_join(
+            F.transform(F.split("text", " "),
+                        lambda t, i=i: F.concat(t, F.lit(f"~{i}"))), " ")
+        dparts.append(docs.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            perturbed.alias("text")))
+    big_docs = dparts[0]
+    for p in dparts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.write.mode("overwrite").parquet(os.path.join(out,
+                                                          "documents.parquet"))
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else \
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scratch", "sf1")
+    os.makedirs(out, exist_ok=True)
+
+    from gasket_spark.session import get_spark
+    spark = get_spark()
+
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        t0 = time.time()
+        build_10x(spark, base, out)
+        print(f"built 10x corpus in {time.time() - t0:.1f}s -> {out}")
+
+    from gasket_spark.queries import QUERIES
+
+    print("| query | sf | rows | wall (s) | per-iteration (s) |")
+    print("|---|---|---|---|---|")
+    for qname, iters in [("q_pagerank", 8), ("q_dedup_components", None)]:
+        for label, d in [("sf0.1", base), ("sf1 (10x)", out)]:
+            t0 = time.time()
+            n = QUERIES[qname](spark, d).count()
+            dt = time.time() - t0
+            per = f"{dt / iters:.2f}" if iters else "—"
+            print(f"| {qname} | {label} | {n} | {dt:.1f} | {per} |")
+
+
+if __name__ == "__main__":
+    main()
