@@ -70,6 +70,10 @@ HEADLINE: dict[str, str] = {
     "q_agg_hll_sketch": "collect",
     "q_text_encoding": "count",
     "q_text_entropy": "count",
+    # r5 additions: real WAV decode through mapInPandas, CDC write +
+    # pruned DataSource read-back
+    "q_multimodal_decode": "count",
+    "q_cdc_read_pruned": "count",
 }
 
 

@@ -37,7 +37,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual, InputPartition, IsNull, LessThan, LessThanOrEqual,
 )
 
-from gasket_spark.streaming.core import _disjoint, _load_manifest, _stat_val
+from gasket_spark.streaming.core import _disjoint, _stat_val, resolve_manifest
 
 
 @dataclass
@@ -46,17 +46,24 @@ class CdcFilePartition(InputPartition):
 
 
 class CdcTableDataSource(DataSource):
-    """``spark.read.format("gasket_cdc").option("path", table_dir)``."""
+    """``spark.read.format("gasket_cdc").option("path", table_dir)``;
+    pass ``.option("version", N)`` to TIME-TRAVEL to the table as of
+    batch N (served from the immutable per-version manifest snapshot —
+    bounded by GC, like Delta VACUUM)."""
 
     @classmethod
     def name(cls) -> str:
         return "gasket_cdc"
 
+    def _version(self):
+        v = self.options.get("version")
+        return None if v is None else int(v)
+
     def schema(self):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        man = _load_manifest(os.path.join(self.options["path"], "LATEST"))
+        man = resolve_manifest(self.options["path"], self._version())
         ents = [e for ents in man["buckets"].values() for e in ents]
         if not ents:
             raise ValueError("empty CDC table: no live file groups")
@@ -66,14 +73,15 @@ class CdcTableDataSource(DataSource):
             pq.read_schema(os.path.join(first, pfile[0])))
 
     def reader(self, schema) -> "CdcSnapshotReader":
-        return CdcSnapshotReader(self.options["path"], schema)
+        return CdcSnapshotReader(self.options["path"], schema,
+                                 self._version())
 
 
 class CdcSnapshotReader(DataSourceReader):
-    def __init__(self, table_dir: str, schema):
+    def __init__(self, table_dir: str, schema, version: int | None = None):
         # resolve + validate the manifest ONCE, at plan time: the scan
         # is pinned to this table version (snapshot isolation)
-        man = _load_manifest(os.path.join(table_dir, "LATEST"))
+        man = resolve_manifest(table_dir, version)
         self._entries = [e for ents in man["buckets"].values() for e in ents]
         key_cols = man.get("key_cols") or []
         self._stat_col = key_cols[0] if key_cols else None
@@ -140,7 +148,11 @@ class CdcSnapshotReader(DataSourceReader):
         yield from table.cast(to_arrow_schema(self._schema)).to_batches()
 
 
-def read_cdc_table(spark, table_dir: str):
-    """Convenience: register the source and load a snapshot scan."""
+def read_cdc_table(spark, table_dir: str, version: int | None = None):
+    """Convenience: register the source and load a snapshot scan —
+    the current table, or (``version=N``) its state as of batch N."""
     spark.dataSource.register(CdcTableDataSource)
-    return spark.read.format("gasket_cdc").option("path", table_dir).load()
+    reader = spark.read.format("gasket_cdc").option("path", table_dir)
+    if version is not None:
+        reader = reader.option("version", str(version))
+    return reader.load()

@@ -268,6 +268,48 @@ def _load_manifest(pointer: str) -> dict:
     return man
 
 
+def _commit_manifest(table_dir: str, man: dict) -> None:
+    """Commit a table version: write an IMMUTABLE per-version snapshot
+    (``manifests/m{batch}g{gen}.json`` — the time-travel index), then
+    flip LATEST. Snapshot first, flip second, so LATEST never points
+    at state whose snapshot isn't durable. Snapshots share the same
+    checksum/schema_version envelope as LATEST."""
+    import os
+
+    snap_dir = os.path.join(table_dir, "manifests")
+    os.makedirs(snap_dir, exist_ok=True)
+    name = (f"m{int(man.get('batch', 0)):09d}"
+            f"g{int(man.get('gen', 0)):04d}.json")
+    _write_manifest(os.path.join(snap_dir, name), man)
+    _write_manifest(os.path.join(table_dir, "LATEST"), man)
+
+
+def resolve_manifest(table_dir: str, version: int | None = None) -> dict:
+    """Load the validated manifest for a table VERSION (the manifest
+    as of batch id ``version`` — the newest snapshot at or before it),
+    or LATEST when ``version`` is None. Time travel is bounded by GC
+    exactly as in Delta's VACUUM: collecting a version's files removes
+    its snapshot, after which reading that version raises here instead
+    of serving a torn table."""
+    import os
+    import re
+
+    if version is None:
+        return _load_manifest(os.path.join(table_dir, "LATEST"))
+    snap_dir = os.path.join(table_dir, "manifests")
+    best = None
+    if os.path.isdir(snap_dir):
+        for f in sorted(os.listdir(snap_dir)):
+            m = re.fullmatch(r"m(\d+)g(\d+)\.json", f)
+            if m and int(m.group(1)) <= version:
+                best = f     # ascending sort: last hit = max (batch, gen)
+    if best is None:
+        raise ValueError(
+            f"no manifest snapshot at or before batch {version} in "
+            f"{table_dir} (GC may have collected it)")
+    return _load_manifest(os.path.join(snap_dir, best))
+
+
 def _await_or_raise(query, timeout: int) -> None:
     """``awaitTermination(timeout)`` returns ``False`` on timeout
     WITHOUT raising; code falling through would then read a possibly
@@ -653,7 +695,7 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                           "n_buckets": n_buckets, "fps": fps,
                           "key_cols": list(key_cols),
                           "order_cols": list(order_cols)})
-        _write_manifest(pointer, committed)
+        _commit_manifest(table_dir, committed)
 
     q = changes.writeStream.foreachBatch(_apply) \
         .trigger(availableNow=True) \
@@ -723,7 +765,7 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
                 "knull": bool(r["knull"])})
         man["buckets"] = manifest
         man["gen"] = gen
-        _write_manifest(pointer, man)
+        _commit_manifest(table_dir, man)
     return sorted(e["path"] for ents in manifest.values() for e in ents)
 
 
@@ -797,6 +839,26 @@ def gc_cdc_table(table_dir: str) -> list[str]:
             path = os.path.join(base, d)
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)
+    # time-travel snapshots whose file groups just got collected can
+    # no longer be served — drop them (VACUUM semantics: GC bounds how
+    # far back resolve_manifest can go). The committed version's
+    # snapshot and in-flight (newer) snapshots are always kept.
+    snap_dir = os.path.join(table_dir, "manifests")
+    if removed and os.path.isdir(snap_dir):
+        for f in sorted(os.listdir(snap_dir)):
+            m = re.fullmatch(r"m(\d+)g(\d+)\.json", f)
+            if not m or int(m.group(1)) > committed_batch \
+                    or (int(m.group(1)) == committed_batch
+                        and int(m.group(2)) >= committed_gen):
+                continue
+            try:
+                snap = _load_manifest(os.path.join(snap_dir, f))
+            except ValueError:
+                continue   # unreadable snapshot: leave for forensics
+            dirs = {os.path.relpath(e["path"], base).split(os.sep)[0]
+                    for ents in snap["buckets"].values() for e in ents}
+            if any(not os.path.isdir(os.path.join(base, d)) for d in dirs):
+                os.remove(os.path.join(snap_dir, f))
     return removed
 
 

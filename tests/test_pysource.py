@@ -243,3 +243,41 @@ class TestCdcReader:
         # a fresh plan sees the new version atomically: ALL rows
         # updated, never a blend of versions
         assert {r.v for r in read_cdc_table(spark, tdir).collect()} == {1}
+
+    def test_time_travel_reads_prior_version_until_gc(self, spark,
+                                                      tmp_path):
+        """Each commit retains an immutable manifest snapshot:
+        version=N serves the table as of batch N until GC collects its
+        files (VACUUM semantics), after which resolving that version
+        raises instead of serving a torn table."""
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from gasket_spark.sources.cdc import read_cdc_table
+        from gasket_spark.streaming.core import (
+            gc_cdc_table, resolve_manifest, stream_cdc_apply,
+        )
+
+        tdir, _ = self._build_table(spark, tmp_path)
+        src = str(tmp_path / "src")
+        with open(os.path.join(src, "b.json"), "w") as fh:
+            for k in range(100):
+                fh.write(json.dumps({"k": k, "o": 2, "v": 1}) + "\n")
+        stream2 = spark.readStream.schema("k long, o long, v long") \
+            .json(src)
+        stream_cdc_apply(stream2, tdir, ["k"], ["o"], n_buckets=1,
+                         target_file_rows=10)
+        # version 0 = pre-update state; latest = all-updated
+        old = {(r.k, r.v) for r in read_cdc_table(spark, tdir,
+                                                  version=0).collect()}
+        assert old == {(k, k * 10) for k in range(100)}
+        assert {r.v for r in read_cdc_table(spark, tdir).collect()} == {1}
+        # GC collects batch 0's files -> its snapshot goes with them
+        removed = gc_cdc_table(tdir)
+        assert removed
+        with _pytest.raises(ValueError, match="at or before batch 0"):
+            resolve_manifest(tdir, 0)
+        # latest still reads fine
+        assert {r.v for r in read_cdc_table(spark, tdir).collect()} == {1}
