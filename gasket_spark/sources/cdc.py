@@ -62,8 +62,14 @@ class CdcTableDataSource(DataSource):
     def schema(self):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StructType
 
         man = resolve_manifest(self.options["path"], self._version())
+        if "schema" in man:
+            # the manifest records the AUTHORITATIVE current schema
+            # (the union after any on-merge evolution — individual
+            # file groups may predate added columns)
+            return StructType.fromJson(man["schema"])
         ents = [e for ents in man["buckets"].values() for e in ents]
         if not ents:
             raise ValueError("empty CDC table: no live file groups")
@@ -137,15 +143,24 @@ class CdcSnapshotReader(DataSourceReader):
                 if self._keep(e)]
 
     def read(self, partition: CdcFilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        table = pq.read_table(partition.path, columns=self._columns)
-        # normalize to the declared schema's arrow types: Spark writes
-        # the table with nanosecond parquet timestamps, which the
-        # DataSource Arrow bridge rejects — a lossless ns→us cast (the
-        # values carry microsecond payloads) aligns batch and schema
-        yield from table.cast(to_arrow_schema(self._schema)).to_batches()
+        table = pq.read_table(partition.path)
+        target = to_arrow_schema(self._schema)
+        # normalize to the declared schema: (a) Spark writes the table
+        # with nanosecond parquet timestamps, which the DataSource
+        # Arrow bridge rejects — the lossless ns→us cast aligns types;
+        # (b) a file group written before an on-merge schema evolution
+        # lacks the added columns — pad them with typed NULLs
+        cols = {}
+        for field in target:
+            if field.name in table.column_names:
+                cols[field.name] = table.column(field.name)
+            else:
+                cols[field.name] = pa.nulls(len(table), field.type)
+        yield from pa.table(cols).cast(target).to_batches()
 
 
 def read_cdc_table(spark, table_dir: str, version: int | None = None):

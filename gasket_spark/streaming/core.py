@@ -648,9 +648,14 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                     read_paths.append(ent["path"])
         cur = batch_df
         if read_paths:
-            prev = spark.read.parquet(*read_paths) \
-                .withColumn("_b", bucket_expr)
-            cur = prev.unionByName(batch_df)
+            # mergeSchema + allowMissingColumns = SCHEMA EVOLUTION on
+            # merge: a batch may add columns (old rows read back NULL)
+            # or drop them (new rows carry NULL); the written file
+            # group always holds the union schema, recorded in the
+            # manifest as the table's authoritative current schema
+            prev = spark.read.option("mergeSchema", "true") \
+                .parquet(*read_paths).withColumn("_b", bucket_expr)
+            cur = prev.unionByName(batch_df, allowMissingColumns=True)
         from pyspark.sql import Window as W
         sort_cols = [F.col(c).asc() for c in key_cols] + \
             [F.col(c).desc() for c in order_cols]
@@ -694,7 +699,9 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         committed.update({"buckets": manifest, "batch": batch_id,
                           "n_buckets": n_buckets, "fps": fps,
                           "key_cols": list(key_cols),
-                          "order_cols": list(order_cols)})
+                          "order_cols": list(order_cols),
+                          "schema": merged.drop("_b", "_f")
+                          .schema.jsonValue()})
         _commit_manifest(table_dir, committed)
 
     q = changes.writeStream.foreachBatch(_apply) \
@@ -733,7 +740,8 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
         bucket_expr = F.pmod(F.hash(*key_cols), F.lit(man["n_buckets"]))
         stat_col = key_cols[0]
         paths = [e["path"] for b in todo for e in manifest[b]]
-        rows = spark.read.parquet(*paths).withColumn("_b", bucket_expr)
+        rows = spark.read.option("mergeSchema", "true").parquet(*paths) \
+            .withColumn("_b", bucket_expr)
         from pyspark.sql import Window as W
         wb = W.partitionBy("_b").orderBy(*[F.col(c).asc()
                                            for c in key_cols])
@@ -796,7 +804,7 @@ def read_stream_state(spark: SparkSession, checkpoint_dir: str,
     return reader.load(checkpoint_dir)
 
 
-def gc_cdc_table(table_dir: str) -> list[str]:
+def gc_cdc_table(table_dir: str, min_age_seconds: float = 0.0) -> list[str]:
     """Garbage-collect CDC version directories with NO file group
     referenced by the LATEST manifest (rewrites and compaction leave
     them behind). A dir is kept while even one carried-forward group
@@ -807,13 +815,16 @@ def gc_cdc_table(table_dir: str) -> list[str]:
     (``v{N}``) or generation (``c{B}g{G}``) NEWER than the committed
     manifest belongs to a write about to commit — deleting it would
     destroy the data the imminent flip references. Those dirs are
-    skipped (as are unparseable names, conservatively). Reader safety
-    is separate: at scale, add a grace period (don't collect dirs
-    younger than the longest running read) instead of deleting
-    eagerly."""
+    skipped (as are unparseable names, conservatively). Reader safety:
+    ``min_age_seconds`` is the read-lease horizon — a dir whose mtime
+    is younger than it is never collected, so any scan that planned
+    against a since-superseded manifest within the window still finds
+    its files. Size it to the longest-running read (0 = eager, the
+    local-test default; at scale on object storage pick hours)."""
     import os
     import re
     import shutil
+    import time
 
     pointer = os.path.join(table_dir, "LATEST")
     base = os.path.join(table_dir, "versions")
@@ -833,12 +844,20 @@ def gc_cdc_table(table_dir: str) -> list[str]:
                     or int(m.group(2)) > committed_gen)
         return True      # unknown layout: never collect
 
+    now = time.time()
     removed = []
     for d in sorted(os.listdir(base)):
-        if d not in live and not _in_flight(d):
-            path = os.path.join(base, d)
-            shutil.rmtree(path, ignore_errors=True)
-            removed.append(path)
+        path = os.path.join(base, d)
+        if d in live or _in_flight(d):
+            continue
+        if min_age_seconds > 0:
+            try:
+                if now - os.path.getmtime(path) < min_age_seconds:
+                    continue    # inside the read-lease horizon
+            except OSError:
+                continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
     # time-travel snapshots whose file groups just got collected can
     # no longer be served — drop them (VACUUM semantics: GC bounds how
     # far back resolve_manifest can go). The committed version's

@@ -281,3 +281,38 @@ class TestCdcReader:
             resolve_manifest(tdir, 0)
         # latest still reads fine
         assert {r.v for r in read_cdc_table(spark, tdir).collect()} == {1}
+
+    def test_schema_evolution_on_merge(self, spark, tmp_path):
+        """A batch may ADD columns: old rows read back NULL for the
+        new column, the manifest records the union schema, and the
+        DataSource pads pre-evolution file groups with typed NULLs."""
+        import json
+        import os
+
+        from gasket_spark.sources.cdc import read_cdc_table
+        from gasket_spark.streaming.core import (
+            resolve_manifest, stream_cdc_apply,
+        )
+
+        tdir, _ = self._build_table(spark, tmp_path, n_keys=20)
+        src = str(tmp_path / "src")
+        # batch 1 carries a NEW column w, and touches only k<5 (so
+        # some file groups keep the OLD physical schema)
+        with open(os.path.join(src, "b.json"), "w") as fh:
+            for k in range(5):
+                fh.write(json.dumps(
+                    {"k": k, "o": 2, "v": k, "w": k * 7}) + "\n")
+        stream2 = spark.readStream \
+            .schema("k long, o long, v long, w long").json(src)
+        stream_cdc_apply(stream2, tdir, ["k"], ["o"], n_buckets=1,
+                         target_file_rows=10)
+        man = resolve_manifest(tdir)
+        assert [f["name"] for f in man["schema"]["fields"]] \
+            == ["k", "o", "v", "w"]
+        rows = {r.k: (r.o, r.v, r.w)
+                for r in read_cdc_table(spark, tdir).collect()}
+        assert len(rows) == 20
+        for k in range(5):
+            assert rows[k] == (2, k, k * 7)          # updated, with w
+        for k in range(5, 20):
+            assert rows[k] == (1, k * 10, None)      # old rows: w NULL

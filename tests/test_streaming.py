@@ -691,3 +691,31 @@ class TestStreamCdcApply:
         with pytest.raises(TimeoutError, match="did not terminate"):
             _await_or_raise(q, 1)
         assert q.stopped
+
+    def test_gc_grace_period_keeps_young_dirs(self, spark, tmp_path):
+        """min_age_seconds is the read-lease horizon: freshly
+        superseded dirs survive GC until the window passes."""
+        from gasket_spark.streaming.core import (
+            compact_cdc_table, gc_cdc_table, stream_cdc_apply,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        f1, f2 = os.path.join(src, "a.json"), os.path.join(src, "b.json")
+        with open(f1, "w") as fh:
+            for k in range(40):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k}) + "\n")
+        with open(f2, "w") as fh:
+            fh.write(json.dumps({"k": 1, "o": 2, "v": 11}) + "\n")
+        os.utime(f1, (1_600_000_000, 1_600_000_000))
+        os.utime(f2, (1_600_000_500, 1_600_000_500))
+        stream = spark.readStream.schema("k long, o long, v long") \
+            .option("maxFilesPerTrigger", 1).json(src)
+        tdir = str(tmp_path / "table")
+        stream_cdc_apply(stream, tdir, ["k"], ["o"], n_buckets=1,
+                         target_file_rows=10)
+        compact_cdc_table(spark, tdir, ["k"], target_file_rows=20)
+        # the superseded dirs are seconds old: a 1-hour lease keeps them
+        assert gc_cdc_table(tdir, min_age_seconds=3600) == []
+        removed = gc_cdc_table(tdir)      # eager collects them
+        assert removed
