@@ -862,8 +862,10 @@ def gc_cdc_table(table_dir: str, min_age_seconds: float = 0.0) -> list[str]:
     # no longer be served — drop them (VACUUM semantics: GC bounds how
     # far back resolve_manifest can go). The committed version's
     # snapshot and in-flight (newer) snapshots are always kept.
+    # (not gated on this run's removals: a crash between dir removal
+    # and snapshot cleanup must be repairable by the next GC)
     snap_dir = os.path.join(table_dir, "manifests")
-    if removed and os.path.isdir(snap_dir):
+    if os.path.isdir(snap_dir):
         for f in sorted(os.listdir(snap_dir)):
             m = re.fullmatch(r"m(\d+)g(\d+)\.json", f)
             if not m or int(m.group(1)) > committed_batch \

@@ -49,6 +49,12 @@ def test_verification_window_rotation():
     # ranks are non-decreasing along the registration order
     sigs = [rank.get(n, 0.0) for n in names]
     assert sigs == sorted(sigs)
+    # queries edited in r5 must re-verify inside the window until a
+    # round-5+ driver green lands (the demotion self-expires after)
+    from gasket_spark.queries import _EDITED_R05
+
+    pending = [n for n in _EDITED_R05 if rank.get(n, 0.0) <= 4.0]
+    assert set(pending) <= front
 
 
 class TestCsvRoundTrip:
