@@ -568,6 +568,47 @@ def q_cdc_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cdc_deletes",
+    oracle="""
+    SELECT user_id, ts AS last_ts, value_cents FROM (
+      SELECT user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase')
+    WHERE rn = 1 AND value_cents % 10 != 0
+    """,
+)
+def q_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETE semantics: the purchase feed becomes an upsert/
+    delete stream (rows with value_cents divisible by 10 are deletes —
+    a deterministic stand-in for a change feed's op column). Deletes
+    merge as KEPT tombstones (confluence under out-of-order late
+    data — see stream_cdc_apply), and the read side filters them from
+    the table's logical content. A user whose LATEST change is a
+    delete is absent; any other user shows their latest surviving
+    record — exactly the QUALIFY-plus-filter the oracle states."""
+    import tempfile
+
+    from gasket_spark.sources.cdc import read_cdc_table
+    from gasket_spark.streaming.core import stream_cdc_apply
+
+    changes = (_events_as_stream(spark, sf_dir)
+               .filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts", "event_id",
+                       F.round(F.col("value") * 100).cast("bigint")
+                       .alias("value_cents"))
+               .withColumn("is_delete",
+                           F.col("value_cents") % 10 == 0))
+    table_dir = tempfile.mkdtemp(prefix="gasket_cdc_d_")
+    stream_cdc_apply(changes, table_dir, key_cols=["user_id"],
+                     order_cols=["ts", "event_id"],
+                     delete_col="is_delete")
+    return read_cdc_table(spark, table_dir).select(
+        "user_id", F.col("ts").alias("last_ts"), "value_cents")
+
+
+@query(
     "q_stream_topk",
     oracle="""
     SELECT user_id, COUNT(*) AS n,

@@ -163,11 +163,28 @@ class CdcSnapshotReader(DataSourceReader):
         yield from pa.table(cols).cast(target).to_batches()
 
 
-def read_cdc_table(spark, table_dir: str, version: int | None = None):
+def read_cdc_table(spark, table_dir: str, version: int | None = None,
+                   include_tombstones: bool = False):
     """Convenience: register the source and load a snapshot scan —
-    the current table, or (``version=N``) its state as of batch N."""
+    the current table, or (``version=N``) its state as of batch N.
+
+    If the table has delete semantics (manifest ``delete_col``),
+    tombstone rows are filtered out — that's the table's logical
+    content; pass ``include_tombstones=True`` for the physical rows
+    (auditing deletes, debugging the purge horizon)."""
+    from pyspark.sql import functions as F
+
     spark.dataSource.register(CdcTableDataSource)
+    # the reader implements pushFilters(); PySpark 4 refuses to plan it
+    # unless this conf is on (runtime-settable — pin it where the
+    # capability is used, so caller-provided vanilla sessions work)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     reader = spark.read.format("gasket_cdc").option("path", table_dir)
     if version is not None:
         reader = reader.option("version", str(version))
-    return reader.load()
+    df = reader.load()
+    if not include_tombstones:
+        dc = resolve_manifest(table_dir, version).get("delete_col")
+        if dc is not None and dc in df.columns:
+            df = df.filter(~F.coalesce(F.col(dc), F.lit(False)))
+    return df

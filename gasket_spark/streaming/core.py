@@ -529,7 +529,8 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                      key_cols: list[str], order_cols: list[str],
                      n_buckets: int = 8,
                      target_file_rows: int = 1_000_000,
-                     timeout: int = 300) -> list[str]:
+                     timeout: int = 300,
+                     delete_col: str | None = None) -> list[str]:
     """Streaming CDC apply: materialize a change stream into a keyed
     table by MERGING each micro-batch (latest-record-wins on
     ``order_cols`` per ``key_cols``) into the table's previous state —
@@ -568,7 +569,19 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
     (availableNow) and returns the final manifest's file-group paths
     (read them as one parquet union). At scale the same loop targets
     object storage with the manifest in a transaction-capable
-    store."""
+    store.
+
+    **Deletes**: pass ``delete_col`` (a boolean change-feed column) to
+    give the table delete semantics. A delete is merged like any other
+    change and its row is KEPT as a TOMBSTONE — dropping it eagerly
+    would break confluence: a late out-of-order re-insert (older
+    ``order_cols``) must lose latest-wins against the delete, which it
+    can only do if the delete's order value is still in the table.
+    Readers filter tombstones (``sources.cdc.read_cdc_table`` does it
+    automatically from the manifest's ``delete_col``);
+    :func:`purge_tombstones` physically drops them once the late-data
+    horizon has passed — Cassandra's gc_grace_seconds trade-off,
+    stated explicitly."""
     import os
 
     base = os.path.join(table_dir, "versions")
@@ -700,6 +713,7 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                           "n_buckets": n_buckets, "fps": fps,
                           "key_cols": list(key_cols),
                           "order_cols": list(order_cols),
+                          "delete_col": delete_col,
                           "schema": merged.drop("_b", "_f")
                           .schema.jsonValue()})
         _commit_manifest(table_dir, committed)
@@ -766,6 +780,66 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
             manifest[b] = []
         for r in sorted(stats, key=lambda r: (r["_b"], r["_f"])):
             manifest[str(r["_b"])].append({
+                "path": os.path.join(cpath, f"_b={r['_b']}",
+                                     f"_f={r['_f']}"),
+                "kmin": _stat_val(r["kmin"]),
+                "kmax": _stat_val(r["kmax"]),
+                "knull": bool(r["knull"])})
+        man["buckets"] = manifest
+        man["gen"] = gen
+        _commit_manifest(table_dir, man)
+    return sorted(e["path"] for ents in manifest.values() for e in ents)
+
+
+def purge_tombstones(spark: SparkSession, table_dir: str,
+                     target_file_rows: int = 1_000_000) -> list[str]:
+    """Physically drop tombstone rows (``delete_col`` true) from every
+    file group — the second half of the delete lifecycle: a delete
+    merges as a KEPT tombstone (so late out-of-order re-inserts lose
+    latest-wins against it, preserving confluence), and this
+    quiet-batch pass reclaims the space once the late-data horizon has
+    passed. Purging re-opens the resurrection window for the purged
+    keys — run it on the same schedule you'd set Cassandra's
+    gc_grace_seconds. Rewrites into fresh key-sorted file groups (a
+    compaction with a filter), flips the manifest atomically, and
+    returns the live file-group paths. No-op for tables without a
+    ``delete_col``."""
+    import os
+
+    pointer = os.path.join(table_dir, "LATEST")
+    man = _load_manifest(pointer)
+    manifest: dict[str, list[dict]] = man["buckets"]
+    delete_col = man.get("delete_col")
+    if delete_col is None:
+        return sorted(e["path"] for ents in manifest.values() for e in ents)
+    key_cols = man["key_cols"]
+    bucket_expr = F.pmod(F.hash(*key_cols), F.lit(man["n_buckets"]))
+    stat_col = key_cols[0]
+    paths = [e["path"] for ents in manifest.values() for e in ents]
+    if paths:
+        rows = (spark.read.option("mergeSchema", "true").parquet(*paths)
+                .filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+                .withColumn("_b", bucket_expr))
+        from pyspark.sql import Window as W
+        wb = W.partitionBy("_b").orderBy(*[F.col(c).asc()
+                                           for c in key_cols])
+        packed = rows.withColumn(
+            "_f", F.floor((F.row_number().over(wb) - 1)
+                          / F.lit(target_file_rows))).persist()
+        gen = int(man.get("gen", 0)) + 1
+        cpath = os.path.join(table_dir, "versions",
+                             f"c{man['batch']:09d}g{gen:04d}")
+        packed.write.mode("overwrite").partitionBy("_b", "_f") \
+            .parquet(cpath)
+        stats = packed.groupBy("_b", "_f").agg(
+            F.min(stat_col).alias("kmin"),
+            F.max(stat_col).alias("kmax"),
+            F.max(F.col(stat_col).isNull().cast("int")).alias("knull")
+        ).collect()
+        packed.unpersist()
+        manifest = {b: [] for b in manifest}
+        for r in sorted(stats, key=lambda r: (r["_b"], r["_f"])):
+            manifest.setdefault(str(r["_b"]), []).append({
                 "path": os.path.join(cpath, f"_b={r['_b']}",
                                      f"_f={r['_f']}"),
                 "kmin": _stat_val(r["kmin"]),

@@ -719,3 +719,52 @@ class TestStreamCdcApply:
         assert gc_cdc_table(tdir, min_age_seconds=3600) == []
         removed = gc_cdc_table(tdir)      # eager collects them
         assert removed
+
+    def test_delete_tombstones_and_late_data_confluence(self, spark,
+                                                        tmp_path):
+        """A delete merges as a KEPT tombstone: the key vanishes from
+        the logical read, a LATE out-of-order re-insert (older order
+        value) loses latest-wins against it (no resurrection), and
+        purge_tombstones physically reclaims the rows afterwards."""
+        from gasket_spark.sources.cdc import read_cdc_table
+        from gasket_spark.streaming.core import (
+            purge_tombstones, stream_cdc_apply,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        f1 = os.path.join(src, "a.json")
+        f2 = os.path.join(src, "b.json")
+        f3 = os.path.join(src, "c.json")
+        with open(f1, "w") as fh:
+            for k in range(6):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k,
+                                     "dele": False}) + "\n")
+        with open(f2, "w") as fh:    # delete k=2 at o=5
+            fh.write(json.dumps({"k": 2, "o": 5, "v": None,
+                                 "dele": True}) + "\n")
+        with open(f3, "w") as fh:    # LATE data: an older insert k=2
+            fh.write(json.dumps({"k": 2, "o": 3, "v": 222,
+                                 "dele": False}) + "\n")
+        for i, f in enumerate([f1, f2, f3]):
+            os.utime(f, (1_600_000_000 + i * 500,) * 2)
+        stream = spark.readStream \
+            .schema("k long, o long, v long, dele boolean") \
+            .option("maxFilesPerTrigger", 1).json(src)
+        tdir = str(tmp_path / "table")
+        stream_cdc_apply(stream, tdir, ["k"], ["o"], n_buckets=1,
+                         target_file_rows=4, delete_col="dele")
+        # logical read: k=2 stays deleted (tombstone at o=5 beats the
+        # late o=3 insert), everything else intact
+        logical = {r.k: r.v for r in read_cdc_table(spark, tdir).collect()}
+        assert logical == {k: k for k in range(6) if k != 2}
+        # physical read shows the tombstone (audit view)
+        phys = read_cdc_table(spark, tdir, include_tombstones=True)
+        tomb = [r for r in phys.collect() if r.k == 2]
+        assert len(tomb) == 1 and tomb[0].dele and tomb[0].o == 5
+        # purge reclaims the tombstone; logical content unchanged
+        files = purge_tombstones(spark, tdir, target_file_rows=4)
+        phys2 = {r.k for r in spark.read.parquet(*files).collect()}
+        assert 2 not in phys2
+        assert {r.k: r.v
+                for r in read_cdc_table(spark, tdir).collect()} == logical
