@@ -14,6 +14,7 @@ the sketch per group is k longs — broadcastable, storable, diffable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -387,3 +388,167 @@ def cms_estimate(sketches: DataFrame, items: DataFrame,
     return probed.select(
         *[c for c in probed.columns if c != "sketch"],
         est.alias("freq_est"))
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin–Lang–Liberty, FOCS 2016 — public algorithm)
+# ---------------------------------------------------------------------------
+#
+# Where ``qsketch`` is a uniform bottom-k SAMPLE (rank error ~1/sqrt(k),
+# probabilistic), KLL is the formally-bounded quantile sketch: a stack
+# of compactors where level i holds items of weight 2^i and capacities
+# shrink geometrically below the top. Rank error is eps*n with
+# k = O((1/eps) * sqrt(log(1/delta))) — the state-of-the-art space/
+# accuracy trade-off, and the sketch is MERGEABLE, so the distributed
+# shape is: per-partition build (mapInPandas, no shuffle) -> shuffle
+# only the compactor state (k doubles per group, not rows) -> per-group
+# merge (applyInPandas over sketch rows). Estimates depend on the
+# partition layout (compaction order), so correctness is verified the
+# q_agg_kmv way: in-plan rank-error-bound booleans against an exact
+# twin, not value equality.
+
+_KLL_C = 2.0 / 3.0
+
+
+def _kll_caps(n_levels: int, k: int) -> list[int]:
+    return [max(int(-(-k * (_KLL_C ** (n_levels - 1 - i)) // 1)), 2)
+            for i in range(n_levels)]
+
+
+def _kll_insert(state, x: float, k: int) -> None:
+    state["levels"][0].append(x)
+    state["n"] += 1
+    _kll_compress(state, k)
+
+
+def _kll_compress(state, k: int) -> None:
+    levels, counters = state["levels"], state["counters"]
+    while True:
+        caps = _kll_caps(len(levels), k)
+        for i, lvl in enumerate(levels):
+            if len(lvl) > caps[i]:
+                lvl.sort()
+                off = counters[i] & 1      # deterministic alternating
+                counters[i] += 1           # offset (classic KLL detail)
+                promoted = lvl[off::2]
+                levels[i] = []
+                if i + 1 == len(levels):
+                    levels.append([])
+                    counters.append(0)
+                levels[i + 1].extend(promoted)
+                break
+        else:
+            return
+
+
+def _kll_merge_states(a, b, k: int):
+    while len(a["levels"]) < len(b["levels"]):
+        a["levels"].append([])
+        a["counters"].append(0)
+    for i, lvl in enumerate(b["levels"]):
+        a["levels"][i].extend(lvl)
+        if i < len(a["counters"]) and i < len(b["counters"]):
+            a["counters"][i] += b["counters"][i]
+    a["n"] += b["n"]
+    _kll_compress(a, k)
+    return a
+
+
+def _kll_rank_items(state):
+    """All (value, weight) pairs sorted by value."""
+    out = []
+    for i, lvl in enumerate(state["levels"]):
+        w = 1 << i
+        out.extend((v, w) for v in lvl)
+    out.sort()
+    return out
+
+
+def _kll_quantile(state, p: float) -> float:
+    items = _kll_rank_items(state)
+    if not items:
+        return float("nan")
+    target = p * state["n"]
+    cum = 0
+    for v, w in items:
+        cum += w
+        if cum >= target:
+            return v
+    return items[-1][0]
+
+
+def kll_sketch(df: DataFrame, group_cols: list[str], value_col: str,
+               k: int = 200) -> DataFrame:
+    """Distributed KLL build: per-partition compactor stacks
+    (mapInPandas — zero shuffle over the data), then ONE shuffle of
+    the compactor state per (partition, group) and a per-group
+    applyInPandas merge. Returns
+    (group_cols…, levels: array<array<double>>, counters: array<long>,
+    n_rows: long)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    src = df.select(*group_cols, F.col(value_col).cast("double")
+                    .alias("_v"))
+    gfields = [src.schema[c] for c in group_cols]
+    sk_schema = StructType(list(gfields) + [
+        StructField("levels", ArrayType(ArrayType(DoubleType()))),
+        StructField("counters", ArrayType(LongType())),
+        StructField("n_rows", LongType()),
+    ])
+
+    def build(batches):
+        states = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = tuple(row[:-1])
+                st = states.get(key)
+                if st is None:
+                    st = {"levels": [[]], "counters": [0], "n": 0}
+                    states[key] = st
+                _kll_insert(st, float(row[-1]), k)
+        rows = [(*key, st["levels"], st["counters"], st["n"])
+                for key, st in states.items()]
+        yield pd.DataFrame(rows, columns=[f.name for f in sk_schema.fields])
+
+    partial = src.mapInPandas(build, schema=sk_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for row in pdf.itertuples(index=False):
+            st = {"levels": [list(l) for l in row.levels],
+                  "counters": list(row.counters), "n": int(row.n_rows)}
+            acc = st if acc is None else _kll_merge_states(acc, st, k)
+        key = tuple(pdf.iloc[0][c] for c in group_cols)
+        return pd.DataFrame(
+            [(*key, acc["levels"], acc["counters"], acc["n"])],
+            columns=[f.name for f in sk_schema.fields])
+
+    return partial.groupBy(*group_cols).applyInPandas(merge,
+                                                      schema=sk_schema)
+
+
+def kll_quantiles(sketches: DataFrame, probs: list[float]) -> DataFrame:
+    """Estimate quantiles from KLL sketch rows: one ``q{p}`` column
+    per probability (weighted nearest-rank over the compactor items —
+    always an observed value). Arrow-batched; each row's work is
+    O(k log k)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def q_at(p: float):
+        @pandas_udf(DoubleType())
+        def _q(levels: pd.Series, n: pd.Series) -> pd.Series:
+            out = []
+            for lv, nn in zip(levels, n):
+                st = {"levels": [list(x) for x in lv], "n": int(nn)}
+                out.append(_kll_quantile(st, p))
+            return pd.Series(out)
+        return _q
+
+    out = sketches
+    for p in probs:
+        out = out.withColumn(f"q{int(p * 100)}",
+                             q_at(p)(F.col("levels"), F.col("n_rows")))
+    return out.drop("levels", "counters")

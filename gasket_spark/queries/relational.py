@@ -1473,6 +1473,58 @@ def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (rel_err <= 0.15).alias("kmv_ok")))
 
 
+@query(
+    "q_agg_kll",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+             AS p50_exact,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.9)
+             AS p90_exact,
+           TRUE AS kll_ok50, TRUE AS kll_ok90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch (k=200) per return flag — the formally
+    bounded mergeable quantile sketch (operators/sketch.py; KLL 2016):
+    per-partition compactor stacks, one shuffle of sketch STATE (k
+    doubles per group, never rows), per-group merge.
+
+    Verified the q_agg_kmv way: sketch estimates depend on partition
+    layout, so the output carries exact quantiles (oracle-matched
+    quantile_cont twins) plus two-sided RANK-bound booleans — the
+    estimated quantile's true rank must sit within ±5% of p·n (k=200
+    empirically lands ~0.3%, so the margin is ~15σ; the two-sided
+    lt/le form stays sound under duplicated values)."""
+    from gasket_spark.operators.sketch import kll_quantiles, kll_sketch
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"))
+    est = kll_quantiles(kll_sketch(li, ["l_returnflag"], "x", k=200),
+                        [0.5, 0.9])
+    joined = li.join(F.broadcast(est), "l_returnflag")
+    agg = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("x", 0.5).alias("p50_exact"),
+        F.percentile("x", 0.9).alias("p90_exact"),
+        F.sum((F.col("x") < F.col("q50")).cast("long")).alias("_lt50"),
+        F.sum((F.col("x") <= F.col("q50")).cast("long")).alias("_le50"),
+        F.sum((F.col("x") < F.col("q90")).cast("long")).alias("_lt90"),
+        F.sum((F.col("x") <= F.col("q90")).cast("long")).alias("_le90"))
+    eps = 0.05
+
+    def ok(lt: str, le: str, p: float):
+        return ((F.col(lt) <= (p + eps) * F.col("n"))
+                & (F.col(le) >= (p - eps) * F.col("n")))
+
+    return agg.select(
+        "l_returnflag", "n", "p50_exact", "p90_exact",
+        ok("_lt50", "_le50", 0.5).alias("kll_ok50"),
+        ok("_lt90", "_le90", 0.9).alias("kll_ok90"))
+
+
 # ---------------------------------------------------------------------------
 # statistical / analytic pack
 # ---------------------------------------------------------------------------

@@ -301,3 +301,63 @@ class TestThetaSketch:
         anb = {r.g: r.distinct_est for r in theta_estimate(
             theta_op(ta, tb, ["g"], "a_not_b")).collect()}
         assert anb == {"only_a": 10.0}
+
+
+class TestKLL:
+    def test_rank_bound_and_exact_count(self, spark):
+        """k=200 on 20k uniform values: every estimated quantile's
+        true rank must land within 2% of p*n (theory gives ~1%, the
+        query's production bound is 5%); n_rows is exact."""
+        from gasket_spark.operators.sketch import kll_quantiles, kll_sketch
+
+        n = 20_000
+        df = spark.range(n).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.col("id").alias("v")).repartition(8)
+        sk = kll_sketch(df, ["g"], "v", k=200)
+        rows = {r.g: r for r in kll_quantiles(
+            sk, [0.1, 0.5, 0.9]).collect()}
+        assert all(r.n_rows == n // 2 for r in rows.values())
+        # per group the values are the evens / odds of range(n): value
+        # v has rank ~v/2 within its group
+        for g, r in rows.items():
+            for p, est in [(0.1, r.q10), (0.5, r.q50), (0.9, r.q90)]:
+                true_rank = est / 2 / (n // 2)
+                assert abs(true_rank - p) <= 0.02, (g, p, est)
+
+    def test_merge_matches_whole(self, spark):
+        """Mergeability: merging the sketches of two halves estimates
+        the SAME quantiles (within bound) as sketching the union —
+        the cross-batch rollup contract."""
+        from gasket_spark.operators.sketch import (
+            _kll_merge_states, kll_sketch,
+        )
+
+        n = 10_000
+        df = spark.range(n).select(F.lit("g").alias("g"),
+                                   F.col("id").alias("v"))
+        half_a = df.filter(F.col("v") < n // 2)
+        half_b = df.filter(F.col("v") >= n // 2)
+        ra = kll_sketch(half_a, ["g"], "v", k=200).collect()[0]
+        rb = kll_sketch(half_b, ["g"], "v", k=200).collect()[0]
+        sa = {"levels": [list(x) for x in ra.levels],
+              "counters": list(ra.counters), "n": ra.n_rows}
+        sb = {"levels": [list(x) for x in rb.levels],
+              "counters": list(rb.counters), "n": rb.n_rows}
+        merged = _kll_merge_states(sa, sb, 200)
+        assert merged["n"] == n
+        from gasket_spark.operators.sketch import _kll_quantile
+
+        for p in (0.25, 0.5, 0.75):
+            est = _kll_quantile(merged, p)
+            assert abs(est / n - p) <= 0.02, (p, est)
+
+    def test_sketch_state_is_bounded(self, spark):
+        """The whole point: sketch size stays O(k) no matter how many
+        rows went in."""
+        from gasket_spark.operators.sketch import kll_sketch
+
+        df = spark.range(50_000).select(F.lit("g").alias("g"),
+                                        F.col("id").alias("v"))
+        r = kll_sketch(df, ["g"], "v", k=200).collect()[0]
+        assert sum(len(l) for l in r.levels) < 3 * 200
