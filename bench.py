@@ -71,9 +71,10 @@ HEADLINE: dict[str, str] = {
     "q_text_encoding": "count",
     "q_text_entropy": "count",
     # r5 additions: real WAV decode through mapInPandas, CDC write +
-    # pruned DataSource read-back
+    # pruned DataSource read-back, KLL sketch build/merge path
     "q_multimodal_decode": "count",
     "q_cdc_read_pruned": "count",
+    "q_agg_kll": "collect",
 }
 
 

@@ -604,6 +604,16 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         committed: dict = {}
         if os.path.exists(pointer):
             committed = _load_manifest(pointer)
+            # bucket-count agreement: a re-bucketed table (see
+            # rebucket_cdc_table) must not be written by a stream
+            # still hashing with the old count — keys would scatter
+            # across buckets and latest-wins would silently break.
+            if committed.get("n_buckets") not in (None, n_buckets):
+                raise ValueError(
+                    f"CDC table {table_dir} is bucketed with "
+                    f"n_buckets={committed.get('n_buckets')} but this "
+                    f"stream was started with n_buckets={n_buckets}; "
+                    f"restart the writer with the table's value")
             # idempotency guard: the manifest flip IS the commit point.
             # If batch N already flipped but the engine's checkpoint
             # didn't record it (crash in between), the replay must
@@ -786,6 +796,64 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
                 "kmax": _stat_val(r["kmax"]),
                 "knull": bool(r["knull"])})
         man["buckets"] = manifest
+        man["gen"] = gen
+        _commit_manifest(table_dir, man)
+    return sorted(e["path"] for ents in manifest.values() for e in ents)
+
+
+def rebucket_cdc_table(spark: SparkSession, table_dir: str,
+                       new_n_buckets: int,
+                       target_file_rows: int = 1_000_000) -> list[str]:
+    """PARTITION EVOLUTION for a live CDC table: rewrite every file
+    group under a new bucket count (a table sized for 8 buckets that
+    grew 100x needs more write parallelism and finer pruning). A
+    quiet-batch maintenance pass like compaction: one shuffle on the
+    new bucket hash + key sort, fresh key-sorted file groups, atomic
+    manifest flip recording the new ``n_buckets``. The writer must be
+    restarted with the matching ``n_buckets`` — ``stream_cdc_apply``
+    REFUSES a batch whose bucket count disagrees with the committed
+    manifest (silently merging under mismatched bucket hashing would
+    scatter a key across buckets). Content-identical by construction
+    (re-layout only). Returns the live file-group paths."""
+    import os
+
+    pointer = os.path.join(table_dir, "LATEST")
+    man = _load_manifest(pointer)
+    manifest: dict[str, list[dict]] = man["buckets"]
+    key_cols = man["key_cols"]
+    bucket_expr = F.pmod(F.hash(*key_cols), F.lit(new_n_buckets))
+    stat_col = key_cols[0]
+    paths = [e["path"] for ents in manifest.values() for e in ents]
+    if paths:
+        rows = spark.read.option("mergeSchema", "true").parquet(*paths) \
+            .withColumn("_b", bucket_expr)
+        from pyspark.sql import Window as W
+        wb = W.partitionBy("_b").orderBy(*[F.col(c).asc()
+                                           for c in key_cols])
+        packed = rows.withColumn(
+            "_f", F.floor((F.row_number().over(wb) - 1)
+                          / F.lit(target_file_rows))).persist()
+        gen = int(man.get("gen", 0)) + 1
+        cpath = os.path.join(table_dir, "versions",
+                             f"c{man['batch']:09d}g{gen:04d}")
+        packed.write.mode("overwrite").partitionBy("_b", "_f") \
+            .parquet(cpath)
+        stats = packed.groupBy("_b", "_f").agg(
+            F.min(stat_col).alias("kmin"),
+            F.max(stat_col).alias("kmax"),
+            F.max(F.col(stat_col).isNull().cast("int")).alias("knull")
+        ).collect()
+        packed.unpersist()
+        manifest = {str(b): [] for b in range(new_n_buckets)}
+        for r in sorted(stats, key=lambda r: (r["_b"], r["_f"])):
+            manifest[str(r["_b"])].append({
+                "path": os.path.join(cpath, f"_b={r['_b']}",
+                                     f"_f={r['_f']}"),
+                "kmin": _stat_val(r["kmin"]),
+                "kmax": _stat_val(r["kmax"]),
+                "knull": bool(r["knull"])})
+        man["buckets"] = manifest
+        man["n_buckets"] = new_n_buckets
         man["gen"] = gen
         _commit_manifest(table_dir, man)
     return sorted(e["path"] for ents in manifest.values() for e in ents)

@@ -768,3 +768,44 @@ class TestStreamCdcApply:
         assert 2 not in phys2
         assert {r.k: r.v
                 for r in read_cdc_table(spark, tdir).collect()} == logical
+
+    def test_rebucket_live_table(self, spark, tmp_path):
+        """Partition evolution: re-bucketing rewrites the table under
+        a new bucket count content-identically; a writer still hashing
+        with the old count is refused; a correctly-restarted writer
+        merges on."""
+        from gasket_spark.sources.cdc import read_cdc_table
+        from gasket_spark.streaming.core import (
+            rebucket_cdc_table, resolve_manifest, stream_cdc_apply,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as fh:
+            for k in range(50):
+                fh.write(json.dumps({"k": k, "o": 1, "v": k}) + "\n")
+        stream = spark.readStream.schema("k long, o long, v long").json(src)
+        tdir = str(tmp_path / "table")
+        stream_cdc_apply(stream, tdir, ["k"], ["o"], n_buckets=2,
+                         target_file_rows=10)
+        before = {(r.k, r.v) for r in read_cdc_table(spark, tdir).collect()}
+        files = rebucket_cdc_table(spark, tdir, new_n_buckets=8,
+                                   target_file_rows=10)
+        assert resolve_manifest(tdir)["n_buckets"] == 8
+        assert {(r.k, r.v)
+                for r in spark.read.parquet(*files).collect()} == before
+        # a writer still on n_buckets=2 must be refused
+        with open(os.path.join(src, "b.json"), "w") as fh:
+            fh.write(json.dumps({"k": 7, "o": 2, "v": 777}) + "\n")
+        stale = spark.readStream.schema("k long, o long, v long").json(src)
+        with pytest.raises(Exception, match="n_buckets"):
+            stream_cdc_apply(stale, tdir, ["k"], ["o"], n_buckets=2,
+                             target_file_rows=10)
+        # restarted with the table's count (same checkpoint — the
+        # refused batch was never committed, so it simply retries),
+        # the merge applies cleanly
+        fresh = spark.readStream.schema("k long, o long, v long").json(src)
+        stream_cdc_apply(fresh, tdir, ["k"], ["o"], n_buckets=8,
+                         target_file_rows=10)
+        got = {r.k: r.v for r in read_cdc_table(spark, tdir).collect()}
+        assert got[7] == 777 and len(got) == 50
