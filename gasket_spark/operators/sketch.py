@@ -501,13 +501,23 @@ def kll_sketch(df: DataFrame, group_cols: list[str], value_col: str,
     def build(batches):
         states = {}
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                key = tuple(row[:-1])
+            # BULK feed per group: extend level 0 with the whole Arrow
+            # batch's values and compress once — compaction points
+            # differ from row-at-a-time insertion (both are valid KLL
+            # executions; estimates are bound-verified, not
+            # value-pinned), and the Python cost drops from one call
+            # per ROW to one pandas groupby per batch.
+            for key, vals in pdf.groupby(group_cols, sort=False)["_v"]:
+                if not isinstance(key, tuple):
+                    key = (key,)
                 st = states.get(key)
                 if st is None:
                     st = {"levels": [[]], "counters": [0], "n": 0}
                     states[key] = st
-                _kll_insert(st, float(row[-1]), k)
+                st["levels"][0].extend(
+                    vals.to_numpy(dtype=float).tolist())
+                st["n"] += len(vals)
+                _kll_compress(st, k)
         rows = [(*key, st["levels"], st["counters"], st["n"])
                 for key, st in states.items()]
         yield pd.DataFrame(rows, columns=[f.name for f in sk_schema.fields])
