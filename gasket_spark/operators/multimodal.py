@@ -1,15 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The Spark-side machinery here is real and tested — schemas, Arrow-
-batched ``mapInPandas`` UDF signatures, partition sizing. AUDIO decode
-is real too: :func:`decode_wav` is a strict pure-numpy RIFF/WAVE
-(PCM16) parser — container magic, chunk walk, fmt validation, sample
-extraction, amplitude features — exercised over genuine WAV bytes
-(:func:`make_wav` builds them; the fixture lift synthesizes a
-deterministic waveform per document). Image/video decoding stays
-stubbed behind :func:`register_decoder` (the compressed-codec libs
-aren't in this container); swapping in a real decoder is a
-one-function change, exactly like ``decode_wav`` plugs in for audio.
+batched ``mapInPandas`` UDF signatures, partition sizing. AUDIO and
+IMAGE decode are real too: :func:`decode_wav` is a strict pure-numpy
+RIFF/WAVE (PCM16) parser — container magic, chunk walk, fmt
+validation, sample extraction, amplitude features — and
+:func:`decode_ppm` a strict binary-PPM (P6) parser — magic, header
+integers with comment handling, maxval and raster-length validation,
+pixel statistics. Both are exercised over genuine container bytes
+(:func:`make_wav` / :func:`make_ppm` build them; the fixture lift
+synthesizes a deterministic waveform/raster per document). Video
+decoding stays stubbed behind :func:`register_decoder` (the
+compressed-codec libs aren't in this container); swapping in a real
+decoder is a one-function change, exactly like the audio/image ones
+plug in.
 
 At scale: binary payloads ride as parquet binary columns (or
 ``spark.read.format('binaryFile')`` over object storage); decode /
@@ -127,13 +131,85 @@ def decode_wav(payload: bytes, fmt: str = "wav") -> dict[str, Any]:
             "content": ",".join(str(int(s)) for s in samples)}
 
 
+def make_ppm(pixels: np.ndarray) -> bytes:
+    """Build a canonical binary PPM (P6, maxval 255) container around a
+    (height, width, 3) uint8 pixel array — the writer twin of
+    :func:`decode_ppm`."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("make_ppm wants (h, w, 3) RGB pixels")
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _ppm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers from a PPM header
+    starting at ``start``, honoring ``#`` comments (Netpbm allows them
+    anywhere in the header). Returns (values, position after the single
+    whitespace byte that terminates the last token)."""
+    vals: list[int] = []
+    pos = start
+    while len(vals) < n:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        tok = b""
+        while pos < len(payload) and payload[pos:pos + 1].isdigit():
+            tok += payload[pos:pos + 1]
+            pos += 1
+        if not tok or not payload[pos:pos + 1].isspace():
+            raise ValueError("malformed PPM header")
+        vals.append(int(tok))
+        if len(vals) == n:
+            pos += 1     # exactly ONE whitespace byte ends the header
+    return vals, pos
+
+
+def decode_ppm(payload: bytes, fmt: str = "ppm") -> dict[str, Any]:
+    """REAL image decode, pure numpy/stdlib: strict binary PPM (P6,
+    8-bit) parser. Validates the magic, header integers (with Netpbm
+    ``#`` comment handling), the maxval (must fit one byte), and that
+    the raster is EXACTLY ``width*height*3`` bytes; raises
+    ``ValueError`` on anything corrupt or unsupported — a malformed
+    payload must fail the row loudly, not fake a feature.
+
+    Returns feature ``ppm:<width>x<height>``, ``metric`` = mean pixel
+    value (exact integer sum, one float division, HALF_UP-rounded to
+    1e-6 — the repo's cross-engine float convention), and ``content`` =
+    the comma-joined raster bytes (the decode-invariant canonical form
+    the checksum hashes: the same image re-containered hashes
+    identically)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) container")
+    (w, h, maxval), pos = _ppm_tokens(payload, 3, 2)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PPM dimensions {w}x{h}")
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PPM maxval {maxval} "
+                         "(only 1-byte samples)")
+    raster = payload[pos:]
+    if len(raster) != w * h * 3:
+        raise ValueError(f"PPM raster is {len(raster)} bytes, header "
+                         f"declares {w}x{h}x3 = {w * h * 3}")
+    px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+    mean = int(px.sum()) / px.size
+    return {"feature": f"ppm:{w}x{h}",
+            "metric": math.floor(mean * 1e6 + 0.5) / 1e6,
+            "content": ",".join(str(int(v)) for v in px)}
+
+
 _DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {}
 
 # Built-in real decoders (separate from the user-registration table so
-# clearing/overriding registrations can't lose them): audio is real;
-# image/video fall back to the stub until a codec decoder is plugged in.
+# clearing/overriding registrations can't lose them): audio and image
+# are real (uncompressed containers need no codec lib); video falls
+# back to the stub until a codec decoder is plugged in.
 _DEFAULT_DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
     "audio": decode_wav,
+    "image": decode_ppm,
 }
 
 
@@ -145,8 +221,9 @@ def register_decoder(modality: str,
 
 def _stub_decode(payload: bytes, fmt: str) -> dict[str, Any]:
     """Deterministic fake decoder for the modalities whose codec libs
-    aren't in this container (image/video — REPLACE via
-    register_decoder; audio already has the real :func:`decode_wav`)."""
+    aren't in this container (video — REPLACE via register_decoder;
+    audio and image already have the real :func:`decode_wav` /
+    :func:`decode_ppm`)."""
     return {"feature": f"stub:{fmt}:{len(payload)}"}
 
 
@@ -166,26 +243,46 @@ def _synth_wav(doc_id: pd.Series, n_samples: pd.Series) -> pd.Series:
         for d, k in zip(doc_id, n_samples)])
 
 
+def _image_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic per-document raster: width = 4 + doc_id % 13,
+    height = 3 + doc_id % 7, raster byte_i = (doc_id*13 + i*5) % 256.
+    Chosen to be replicable in closed-form SQL so the decoded image
+    features can be oracle-verified end to end (the WAV convention)."""
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    i = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * 13 + i * 5) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+@pandas_udf(BinaryType())
+def _synth_ppm(doc_id: pd.Series) -> pd.Series:
+    """Arrow-batched PPM synthesis: real P6 bytes per row."""
+    return pd.Series([make_ppm(_image_pixels(int(d))) for d in doc_id])
+
+
 def attach_media(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Fixture lift: derive a deterministic binary payload + metadata
     struct from a text table (the documents fixture has no real media).
     AUDIO rows carry a genuine RIFF/WAVE payload (PCM16 mono, 8 kHz,
     one sample per character of text, waveform a closed-form function
-    of the id) for the real decoder; image/video rows keep utf-8 bytes
-    as stand-ins for their stubbed decoders. Production path: the
-    payload column arrives from parquet/binaryFile already."""
+    of the id) and IMAGE rows a genuine binary PPM (P6, dimensions and
+    raster closed-form functions of the id) for the real decoders;
+    video rows keep utf-8 bytes as stand-ins for their stubbed decoder.
+    Production path: the payload column arrives from
+    parquet/binaryFile already."""
     text_payload = F.encode(F.col(text_col), "utf-8")
     payload: Column = F.when(
         F.col(id_col) % 3 == 1,
         _synth_wav(F.col(id_col), F.length(F.col(text_col)))
+    ).when(
+        F.col(id_col) % 3 == 0, _synth_ppm(F.col(id_col))
     ).otherwise(text_payload)
     return df.select(
         F.col(id_col).alias("media_id"),
         (F.when(F.col(id_col) % 3 == 0, "image")
          .when(F.col(id_col) % 3 == 1, "audio")
          .otherwise("video")).alias("modality"),
-        (F.when(F.col(id_col) % 3 == 0, "png")
+        (F.when(F.col(id_col) % 3 == 0, "ppm")
          .when(F.col(id_col) % 3 == 1, "wav")
          .otherwise("mp4")).alias("format"),
         payload.alias("payload"),

@@ -499,27 +499,39 @@ def q_udf_module(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_meta",
     oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents)
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-           CASE WHEN doc_id % 3 = 0 THEN 'png'
+           CASE WHEN doc_id % 3 = 0 THEN 'ppm'
                 WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
            CASE WHEN doc_id % 3 = 1
                 THEN CAST(44 + 2 * length(text) AS BIGINT)
+                WHEN doc_id % 3 = 0
+                THEN CAST(9 + length(CAST(w AS VARCHAR))
+                            + length(CAST(h AS VARCHAR))
+                            + 3 * w * h AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
            CAST((CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * length(text)
+                      WHEN doc_id % 3 = 0
+                      THEN 9 + length(CAST(w AS VARCHAR))
+                             + length(CAST(h AS VARCHAR)) + 3 * w * h
                       ELSE octet_length(encode(text)) END) % 1920 AS INT)
              AS width
-    FROM documents
+    FROM m
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: opaque binary payload + typed
     metadata struct (audio rows carry a real RIFF/WAVE payload — 44
     header bytes + 2 per PCM16 sample, one sample per character —
-    image/video keep utf-8 stand-ins; production payloads arrive as
-    parquet binary)."""
+    image rows a real binary PPM — "P6\\n{w} {h}\\n255\\n" header +
+    3·w·h raster bytes — video keeps utf-8 stand-ins; production
+    payloads arrive as parquet binary)."""
     docs = read_table(spark, sf_dir, "documents")
     media = M.attach_media(docs)
     return media.select(
@@ -532,23 +544,35 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_decode",
     oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents)
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
            CASE WHEN doc_id % 3 = 1
                 THEN CAST(44 + 2 * length(text) AS BIGINT)
+                WHEN doc_id % 3 = 0
+                THEN CAST(9 + length(CAST(w AS VARCHAR))
+                            + length(CAST(h AS VARCHAR))
+                            + 3 * w * h AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
            CASE WHEN doc_id % 3 = 1
                 THEN md5(array_to_string(list_transform(
                        range(0, length(text)),
                        i -> (doc_id * 31 + i * 7) % 256 - 128), ','))
+                WHEN doc_id % 3 = 0
+                THEN md5(array_to_string(list_transform(
+                       range(0, 3 * w * h),
+                       i -> (doc_id * 13 + i * 5) % 256), ','))
                 ELSE md5(text)
            END AS checksum,
            CASE WHEN doc_id % 3 = 1
                 THEN 'wav:8000:' || length(text)
                 WHEN doc_id % 3 = 0
-                THEN 'stub:png:' || octet_length(encode(text))
+                THEN 'ppm:' || w || 'x' || h
                 ELSE 'stub:mp4:' || octet_length(encode(text))
            END AS feature,
            CASE WHEN doc_id % 3 = 1
@@ -557,9 +581,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                        i -> ((doc_id * 31 + i * 7) % 256 - 128)
                           * ((doc_id * 31 + i * 7) % 256 - 128)))
                      AS DOUBLE) / length(text)), 6)
+                WHEN doc_id % 3 = 0
+                THEN round(CAST(list_sum(list_transform(
+                       range(0, 3 * w * h),
+                       i -> (doc_id * 13 + i * 5) % 256))
+                     AS DOUBLE) / (3 * w * h), 6)
                 ELSE NULL
            END AS metric
-    FROM documents
+    FROM m
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,10 +596,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIFF/WAVE bytes with the strict pure-numpy parser
     (operators.multimodal.decode_wav): sample rate and count come from
     the container, the metric is the RMS amplitude of the decoded
-    PCM16 samples, and the checksum hashes the decoded sample values —
-    all re-derived in closed form by the oracle, so the real decode is
-    exact-checked cross-engine. Image/video rows exercise the stub
-    path (codec libs absent by design)."""
+    PCM16 samples, and the checksum hashes the decoded sample values.
+    Image rows decode REAL binary-PPM bytes (decode_ppm): dimensions
+    from the parsed header, metric = mean raster value, checksum over
+    the decoded pixels. All re-derived in closed form by the oracle,
+    so both real decodes are exact-checked cross-engine. Video rows
+    exercise the stub path (codec libs absent by design)."""
     docs = read_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_media(docs)).select(
         "media_id", "modality", "n_bytes", "checksum", "feature", "metric")

@@ -182,19 +182,70 @@ class TestMultimodal:
         media = M.attach_media(docs)
         assert media.schema["payload"].dataType.typeName() == "binary"
         feats = M.extract_features(media)
-        row = feats.filter(F.col("media_id") == 0).collect()[0]
-        assert row.feature.startswith("stub:png:")
-        assert row.n_bytes > 0 and len(row.checksum) == 32
+        rows = {r.media_id: r for r in feats.filter(
+            F.col("media_id") < 3).collect()}
+        assert rows[0].feature == "ppm:4x3"        # real image decode
+        assert rows[2].feature.startswith("stub:mp4:")   # video stub
+        assert all(r.n_bytes > 0 and len(r.checksum) == 32
+                   for r in rows.values())
 
-    def test_registered_decoder_overrides_stub(self, spark, docs):
+    def test_registered_decoder_overrides_default(self, spark, docs):
         M.register_decoder("image", lambda payload, fmt: {
             "feature": f"real:{fmt}:{len(payload)}"})
         try:
             media = M.attach_media(docs).filter(F.col("modality") == "image")
             row = M.extract_features(media).limit(1).collect()[0]
-            assert row.feature.startswith("real:png:")
+            assert row.feature.startswith("real:ppm:")
         finally:
             M._DECODERS.clear()
+
+    def test_real_ppm_decode_through_spark(self, spark, docs):
+        """Image rows carry genuine binary-PPM bytes and the REAL
+        parser extracts dimensions / pixel stats from them — checked
+        against an independent recomputation from the fixture id."""
+        import hashlib
+        import math
+
+        media = M.attach_media(docs).filter(F.col("modality") == "image")
+        row = M.extract_features(media).filter(
+            F.col("media_id") == 3).collect()[0]
+        w, h = 4 + 3 % 13, 3 + 3 % 7        # doc_id = 3
+        px = M._image_pixels(3).reshape(-1).astype("int64")
+        assert row.feature == f"ppm:{w}x{h}"
+        assert row.n_bytes == len(f"P6\n{w} {h}\n255\n") + 3 * w * h
+        mean = int(px.sum()) / px.size
+        assert row.metric == math.floor(mean * 1e6 + 0.5) / 1e6
+        content = ",".join(str(int(v)) for v in px)
+        assert row.checksum == hashlib.md5(content.encode()).hexdigest()
+
+    def test_decode_ppm_rejects_corruption(self):
+        """Every corruption class fails loudly, never fakes a
+        feature."""
+        good = M.make_ppm(M._image_pixels(6))
+        cases = {
+            "bad magic": b"P5" + good[2:],
+            "truncated raster": good[:-2],
+            "extra raster bytes": good + b"\x00",
+            "maxval too wide": good.replace(b"255\n", b"65535\n", 1),
+            "zero width": good.replace(b"10 ", b"0 ", 1),
+            "non-numeric dims": b"P6\nab 3\n255\n" + good[11:],
+            "header eof": b"P6\n10 ",
+        }
+        for name, payload in cases.items():
+            with pytest.raises(ValueError):
+                M.decode_ppm(payload)
+
+    def test_decode_ppm_comment_and_roundtrip(self):
+        """Netpbm comments in the header parse; decode inverts
+        make_ppm."""
+        px = M._image_pixels(9)
+        h, w, _ = px.shape
+        body = px.tobytes()
+        with_comment = (b"P6\n# generated fixture\n"
+                        + f"{w} {h}\n255\n".encode() + body)
+        d = M.decode_ppm(with_comment)
+        assert d["feature"] == f"ppm:{w}x{h}"
+        assert d == M.decode_ppm(M.make_ppm(px))
 
     def test_real_wav_decode_through_spark(self, spark, docs):
         """Audio rows carry genuine RIFF/WAVE bytes and the REAL
