@@ -227,6 +227,30 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
+KM_SCALE = 1e9  # centroid-mean accumulation units: |coord| ≲ 1, ≤ 2^16
+# members per cluster → int64 sums stay far under 2^63 and well inside
+# double-exact range after the /KM_SCALE division.
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """HALF_UP rounding (half away from zero) — the semantics of both
+    Spark ``round()`` and DuckDB ``round()``; np.round would round
+    half-to-even and diverge cross-engine."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _int_dots(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, K) matrix of integer-scaled dot products: each entry is
+    Σ_i round_half_away(V[r,i] * C[j,i] * 1e15) as int64 — the exact
+    arithmetic of :func:`_dot_scaled` / the DuckDB oracle, so nearest-
+    centroid decisions are order-independent and bit-identical in
+    numpy, Spark, and SQL."""
+    out = np.empty((V.shape[0], C.shape[0]), dtype=np.int64)
+    for j in range(C.shape[0]):
+        out[:, j] = _scaled_int_sum(V * C[j])
+    return out
+
+
 def sampled_kmeans_centroids(corpus: DataFrame, n_centroids: int,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
@@ -235,33 +259,45 @@ def sampled_kmeans_centroids(corpus: DataFrame, n_centroids: int,
     """Deterministic sampled spherical k-means for the IVF coarse
     quantizer — the standard big-data recipe: ONE distributed pass
     collects a hash-ordered sample of ``n_centroids * sample_mult``
-    vectors (``TakeOrderedAndProject`` on ``xxhash64(id)``: per-
-    partition heaps, no global sort, content-addressed so the sample
-    is partition-layout independent); Lloyd iterations then run
-    driver-side on that tiny (K·mult × dim) matrix. Everything
-    downstream of the sample is pure numpy with stable tie-breaks, so
-    the quantizer is bit-reproducible run to run — a retry or a
-    different executor count yields the same centroids.
+    vectors (``TakeOrderedAndProject`` on ``md5(cast(id as string))``:
+    per-partition heaps, no global sort, content-addressed so the
+    sample is partition-layout independent); Lloyd iterations then run
+    driver-side on that tiny (K·mult × dim) matrix.
 
-    Empty clusters keep their previous centroid (no respawn jitter).
-    Returns a row-normalized (K, dim) float64 matrix."""
+    Every arithmetic step is ENGINE-EXACT, not merely seeded:
+    normalization and centroid means accumulate in integer units
+    (order-independent int64 sums of HALF_UP-rounded scaled terms),
+    nearest-centroid uses :func:`_int_dots`, and ties break to the
+    lowest cluster index — so an ANSI-SQL re-derivation (md5-ordered
+    sample → 10 unrolled Lloyd steps, see q_sim_ivf's oracle) lands on
+    bit-identical centroids. A retry, a different executor count, or a
+    different engine all yield the same quantizer.
+
+    Empty/degenerate clusters keep their previous centroid (no respawn
+    jitter). Returns a row-normalized (K, dim) float64 matrix."""
     sample = (corpus
-              .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+              .orderBy(F.md5(F.col(id_col).cast("string")).asc(),
+                       F.col(id_col).asc())
               .limit(n_centroids * sample_mult)
               .select(vec_col).collect())
-    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
-    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+    V = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    # unit-normalize with integer-scaled norms (order-independent)
+    norm = np.maximum(np.sqrt(_scaled_int_sum(V * V) / SCALE), 1e-30)
+    S = V / norm[:, None]
     C = S[:n_centroids].copy()  # init: first K in hash order
     for _ in range(iters):
-        # stable argmax: ties go to the lowest cluster index
-        assign = np.argmax(S @ C.T, axis=1)
+        # np.argmax: first max wins → ties go to the lowest cluster id
+        assign = np.argmax(_int_dots(S, C), axis=1)
         for j in range(n_centroids):
             members = S[assign == j]
-            if len(members):
-                m = members.sum(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 1e-30:
-                    C[j] = m / norm
+            if not len(members):
+                continue
+            M = _round_half_away(members * KM_SCALE).astype(np.int64) \
+                .sum(axis=0)
+            m = M / KM_SCALE
+            n2 = int(_scaled_int_sum(m[None, :] * m[None, :])[0])
+            if n2 >= 1:  # integer-space norm²>0 test, engine-exact
+                C[j] = m / np.sqrt(n2 / SCALE)
     return C
 
 
@@ -286,12 +322,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     def _assign(top_n: int):
         @pandas_udf(ArrayType(LongType()))
         def _nearest(v: pd.Series) -> pd.Series:
+            # RAW vectors: argmax_j v·c_j is scale-invariant in v, so
+            # skipping normalization changes nothing semantically and
+            # keeps the SQL twin a one-liner. Integer-scaled dots +
+            # stable argsort → ties break to the lowest cluster id,
+            # bit-identical to the oracle's (d DESC, cl ASC) window.
             V = np.stack(v.to_numpy()).astype(np.float64)
-            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
-                               1e-30)
-            sims = V @ C.T                      # (batch, K)
-            # deterministic: argsort is stable; ties break on index
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
+            dint = _int_dots(V, C)
+            order = np.argsort(-dint, axis=1, kind="stable")[:, :top_n]
             return pd.Series(list(order.astype(np.int64)))
         return _nearest
 

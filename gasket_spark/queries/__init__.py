@@ -79,6 +79,15 @@ _EDITED_R05: tuple[str, ...] = (
     "q_multimodal_meta", "q_dedup_embedding", "q_stream_cdc_apply",
 )
 
+# Queries whose implementation or oracle was EDITED in round 6
+# (engine-exact k-means quantizer + full-SQL IVF oracle; PPM image
+# decode; CDC bench split): pre-r6 signals no longer certify the
+# current code — demote until an r6+ driver row lands.
+_EDITED_R06: tuple[str, ...] = (
+    "q_sim_ivf", "q_multimodal_decode", "q_cdc_read_pruned",
+    "q_vocab_build",
+)
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -182,6 +191,11 @@ def _signal_rank() -> dict[str, float]:
             # (rank > 4) ends the demotion.
             if 0 < rank.get(n, 0.0) <= 4.0:
                 rank[n] = 1.25
+        for n in _EDITED_R06:
+            # r6-edited: same rule, one round later (self-expiring
+            # once an r6+ green lands).
+            if 0 < rank.get(n, 0.0) <= 5.0:
+                rank[n] = 1.2
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

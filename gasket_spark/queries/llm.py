@@ -683,10 +683,106 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_ivf")  # rows-only: inverted-list membership is quantizer-specific
+def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
+                    iters: int = 10, sample_mult: int = 64,
+                    dim: int = 64) -> str:
+    """ANSI-SQL re-derivation of the ENTIRE IVF path — including the
+    sampled k-means quantizer. Possible because every quantizer step is
+    engine-exact (see ``sampled_kmeans_centroids``): the md5-ordered
+    sample, unit normalization, nearest-centroid assignment, and
+    centroid means all accumulate in order-independent integer units
+    with HALF_UP rounding, so ten UNROLLED Lloyd iterations in chained
+    CTEs land on bit-identical centroids to the driver-side numpy run.
+    Cluster ids are 1-based sids here vs 0-based indices in Spark —
+    internal labels only; tie-break ORDER (hash-sample order) is
+    identical, which is what the (d DESC, cl ASC) windows pin."""
+
+    def idot(x: str, y: str) -> str:
+        return (f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> "
+                f"CAST(round({x}[i] * {y}[i] * 1e15) AS BIGINT))) "
+                f"AS BIGINT)")
+
+    parts = [f"""
+    WITH samp AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS sid,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_centroids * sample_mult}),
+    sampn AS MATERIALIZED (
+      SELECT sid, t.k,
+             s.v[t.k] / greatest(sqrt({idot('s.v', 's.v')} / 1e15), 1e-30)
+               AS x
+      FROM samp s, range(1, {dim + 1}) t(k)),
+    c0 AS MATERIALIZED (SELECT sid AS cl, k, x AS c FROM sampn
+           WHERE sid <= {n_centroids})"""]
+    for i in range(1, iters + 1):
+        p = f"c{i - 1}"
+        parts.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT s.sid, c.cl, SUM(CAST(round(s.x * c.c * 1e15) AS BIGINT)) AS d
+      FROM sampn s JOIN {p} c USING (k) GROUP BY s.sid, c.cl),
+    n{i} AS MATERIALIZED (
+      SELECT sid, cl FROM (SELECT sid, cl,
+          row_number() OVER (PARTITION BY sid ORDER BY d DESC, cl) AS rn
+        FROM a{i}) WHERE rn = 1),
+    m{i} AS MATERIALIZED (
+      SELECT n.cl, s.k, SUM(CAST(round(s.x * 1e9) AS BIGINT)) / 1e9 AS m
+      FROM n{i} n JOIN sampn s USING (sid) GROUP BY n.cl, s.k),
+    nn{i} AS MATERIALIZED (
+      SELECT cl, CAST(SUM(CAST(round(m * m * 1e15) AS BIGINT)) AS BIGINT)
+               AS n2
+      FROM m{i} GROUP BY cl),
+    c{i} AS MATERIALIZED (
+      SELECT p.cl, p.k,
+             CASE WHEN nn.n2 >= 1 THEN m.m / sqrt(nn.n2 / 1e15)
+                  ELSE p.c END AS c
+      FROM {p} p
+      LEFT JOIN m{i} m ON m.cl = p.cl AND m.k = p.k
+      LEFT JOIN nn{i} nn ON nn.cl = p.cl)""")
+    parts.append(f""",
+    cvec AS MATERIALIZED (SELECT cl, list(c ORDER BY k) AS cv FROM c{iters} GROUP BY cl),
+    corp AS (SELECT vec_id,
+                    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+             FROM embeddings),
+    ed AS MATERIALIZED (
+      SELECT e.vec_id, w.cl, {idot('e.v', 'w.cv')} AS d
+      FROM corp e, cvec w),
+    cassign AS (
+      SELECT vec_id, cl FROM (SELECT vec_id, cl,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl) AS rn
+        FROM ed) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, cl FROM (SELECT vec_id, cl,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl) AS rn
+        FROM ed WHERE vec_id < 10) WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cos_expr('q', 'c')} AS cos_sim
+      FROM qprobe p
+      JOIN cassign a ON a.cl = p.cl AND a.vec_id != p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = a.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM cand)
+    WHERE rnk <= {k}""")
+    return "".join(parts)
+
+
+@query("q_sim_ivf", oracle=_ivf_oracle_sql())
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-5 (16 inverted lists, 4 probes) — the
-    cluster-pruned scale path; each query scans ~1/4 of the corpus."""
+    cluster-pruned scale path; each query scans ~1/4 of the corpus.
+
+    HASH-verified as of round 6 (formerly the last rows-only query):
+    the sampled k-means quantizer is engine-exact end to end, so the
+    oracle re-derives sample → 10 Lloyd iterations → inverted-list
+    assignment → probe → exact rerank entirely in DuckDB SQL (see
+    ``_ivf_oracle_sql``) and the outputs match bit for bit. What's
+    pinned is that BOTH engines compute the same approximation — the
+    recall-vs-exact tradeoff is unchanged and separately tested."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
