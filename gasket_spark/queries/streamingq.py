@@ -11,6 +11,9 @@ gasket ``pipe``-verb (unbounded) vs ``run``-verb (bounded) duality
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -524,6 +527,42 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").alias("last_ts"), "value_cents")
 
 
+_CDC_FIXTURE_VERSION = 1  # bump to invalidate cached CDC tables on
+# any write-path semantics change
+
+
+def _cdc_fixture(spark: SparkSession, sf_dir: str, tag: str,
+                 build) -> str:
+    """Stamp-cached CDC table build (the NDJSON/ORC fixture pattern at
+    relational.py): the 4-micro-batch streaming MERGE that
+    materializes the CDC table runs once per (fixture, write-config)
+    and is reused by every later call, so benching the READ side
+    measures the pruned DataSource scan — not a rebuild of the table
+    it scans. A size+mtime stamp of events.parquet plus a version
+    token invalidates the cache on fixture or write-path changes;
+    ``build(table_dir)`` performs the actual stream_cdc_apply."""
+    import shutil
+
+    out = os.path.join(tempfile.gettempdir(), "gasket_spark_cdc",
+                       f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    stamp = f"v{_CDC_FIXTURE_VERSION}:{src}:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(out, "_gasket_src_stamp")
+    try:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+    except OSError:
+        pass
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    build(out)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
 @query(
     "q_cdc_read_pruned",
     oracle="""
@@ -544,21 +583,23 @@ def q_cdc_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero IO for groups above the cut), and fans out one input
     partition per surviving group. The whole connector path — manifest
     → pruning → per-group Arrow reads → Spark re-applied filter — is
-    hash-verified against the batch QUALIFY oracle."""
-    import tempfile
-
+    hash-verified against the batch QUALIFY oracle. The table build is
+    stamp-cached (see ``_cdc_fixture``) so repeated runs — and the
+    bench — time the read, not the build."""
     from gasket_spark.sources.cdc import read_cdc_table
     from gasket_spark.streaming.core import stream_cdc_apply
 
-    changes = (_events_as_stream(spark, sf_dir)
-               .filter(F.col("event_type") == "purchase")
-               .select("user_id", "ts", "event_id",
-                       F.round(F.col("value") * 100).cast("bigint")
-                       .alias("value_cents")))
-    table_dir = tempfile.mkdtemp(prefix="gasket_cdc_r_")
-    stream_cdc_apply(changes, table_dir, key_cols=["user_id"],
-                     order_cols=["ts", "event_id"],
-                     n_buckets=4, target_file_rows=64)
+    def build(table_dir: str) -> None:
+        changes = (_events_as_stream(spark, sf_dir)
+                   .filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", "event_id",
+                           F.round(F.col("value") * 100).cast("bigint")
+                           .alias("value_cents")))
+        stream_cdc_apply(changes, table_dir, key_cols=["user_id"],
+                         order_cols=["ts", "event_id"],
+                         n_buckets=4, target_file_rows=64)
+
+    table_dir = _cdc_fixture(spark, sf_dir, "b4r64", build)
     # PySpark 4 requires this conf to plan a pushFilters reader; the
     # engine session sets it, a caller-provided one may not
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
@@ -588,22 +629,22 @@ def q_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table's logical content. A user whose LATEST change is a
     delete is absent; any other user shows their latest surviving
     record — exactly the QUALIFY-plus-filter the oracle states."""
-    import tempfile
-
     from gasket_spark.sources.cdc import read_cdc_table
     from gasket_spark.streaming.core import stream_cdc_apply
 
-    changes = (_events_as_stream(spark, sf_dir)
-               .filter(F.col("event_type") == "purchase")
-               .select("user_id", "ts", "event_id",
-                       F.round(F.col("value") * 100).cast("bigint")
-                       .alias("value_cents"))
-               .withColumn("is_delete",
-                           F.col("value_cents") % 10 == 0))
-    table_dir = tempfile.mkdtemp(prefix="gasket_cdc_d_")
-    stream_cdc_apply(changes, table_dir, key_cols=["user_id"],
-                     order_cols=["ts", "event_id"],
-                     delete_col="is_delete")
+    def build(table_dir: str) -> None:
+        changes = (_events_as_stream(spark, sf_dir)
+                   .filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", "event_id",
+                           F.round(F.col("value") * 100).cast("bigint")
+                           .alias("value_cents"))
+                   .withColumn("is_delete",
+                               F.col("value_cents") % 10 == 0))
+        stream_cdc_apply(changes, table_dir, key_cols=["user_id"],
+                         order_cols=["ts", "event_id"],
+                         delete_col="is_delete")
+
+    table_dir = _cdc_fixture(spark, sf_dir, "del", build)
     return read_cdc_table(spark, table_dir).select(
         "user_id", F.col("ts").alias("last_ts"), "value_cents")
 

@@ -168,6 +168,40 @@ class TestNewQueryPlanContracts:
         assert "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_cdc_read_pruned_plans_zero_exchanges(self, spark):
+        """The CDC DataSource read is scan + map-side filter only:
+        manifest pruning happens at plan time, LATEST resolves once,
+        and nothing about the read may introduce a shuffle."""
+        plan = _plan(QUERIES["q_cdc_read_pruned"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 0, plan
+        assert plan.count("Filter (") >= 1  # pushed filter re-applied
+
+    def test_cdc_deletes_filters_tombstones_map_side(self, spark):
+        """Tombstone elimination is a map-side filter over the scan —
+        zero exchanges; a shuffle appearing means delete handling
+        stopped being a projection of the stored table."""
+        plan = _plan(QUERIES["q_cdc_deletes"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 0, plan
+        assert plan.count("Filter (") >= 1
+
+    def test_kll_shuffles_only_sketch_state(self, spark):
+        """KLL: per-partition mapInPandas build, ONE shuffle of sketch
+        state, merge; the exact twin + bound check add at most two
+        more aggregate exchanges. A 4th exchange means raw rows
+        started moving through the sketch path."""
+        plan = _plan(QUERIES["q_agg_kll"](spark, SF_SMALL))
+        assert "MapInPandas" in plan
+        assert plan.count("Exchange (") <= 3, plan
+        assert "SortMergeJoin" not in plan
+
+    def test_sim_ivf_broadcasts_probe_side(self, spark):
+        """IVF: the exploded query-probe side is tiny and must
+        broadcast against the inverted lists — the corpus never
+        sort-merge-joins."""
+        plan = _plan(QUERIES["q_sim_ivf"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
     def test_pivot_is_single_conditional_aggregate(self, spark):
         """Conditional-aggregate pivot: ONE two-phase agg, one
         exchange — not the stacked pair native pivot() compiles to."""
