@@ -29,6 +29,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_row_number(df: DataFrame, order_by: list,
+                      out_col: str = "rn") -> DataFrame:
+    """Distributed global ``row_number()`` (1-based) over ``order_by``
+    WITHOUT a single-partition window — the same two-phase prefix-sum
+    shape as :func:`pack_shards`: range-partition by the sort key
+    (ascending partition ids follow the key order), a parallel local
+    row_number per partition, then a broadcast cascade of per-partition
+    counts (one tiny window over ≤ #partitions rows). Total order must
+    be unique for a deterministic result (callers pass a tie-breaking
+    column)."""
+    parts = df.repartitionByRange(*order_by) \
+        .withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*order_by)
+    local = parts.withColumn("_lrn", F.row_number().over(w_local))
+    w_off = (Window.orderBy(F.col("_pid").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (
+        local.groupBy("_pid").agg(F.max("_lrn").alias("_pcnt"))
+        .withColumn("_off",
+                    F.coalesce(F.sum("_pcnt").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col,
+                    (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def pack_shards(df: DataFrame, token_col: str, id_col: str,
                 target_tokens: int, n_partitions: int | None = None
                 ) -> DataFrame:

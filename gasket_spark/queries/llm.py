@@ -1928,10 +1928,12 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, a min-frequency cut, and stable id assignment by
     (count desc, token asc) — the id mapping every training run must
     reproduce bit-identically. The count aggregate is corpus-sized
-    (two-phase, map-side partial); the id window runs over the
-    VOCAB-sized survivor set only — at 100 TB the vocabulary is
-    still ~10^5-10^6 rows, so the single-partition window is over
-    megabytes, never the corpus."""
+    (two-phase, map-side partial); id assignment uses the distributed
+    two-phase prefix-sum (``global_row_number`` — range partition +
+    local row_number + broadcast offset cascade), so even a
+    billion-term vocabulary never funnels through one task."""
+    from gasket_spark.operators.packing import global_row_number
+
     docs = read_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
@@ -1939,11 +1941,10 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
-    from pyspark.sql import Window
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    return counts.select(
-        "tok", "n",
-        (F.row_number().over(w) - 1).cast("bigint").alias("token_id"))
+    ranked = global_row_number(
+        counts, [F.col("n").desc(), F.col("tok").asc()], out_col="_gid")
+    return ranked.select(
+        "tok", "n", (F.col("_gid") - 1).cast("bigint").alias("token_id"))
 
 
 @query(

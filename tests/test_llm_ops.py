@@ -365,6 +365,26 @@ class TestPacking:
             assert sorted((r.doc_id, r.cum_before)
                           for r in got.collect()) == want
 
+    def test_global_row_number_matches_window(self, spark, docs):
+        """Distributed row_number == the naive single-partition window
+        for any input partitioning, including a descending+tiebreak
+        order (the vocab-id shape)."""
+        from pyspark.sql import Window
+
+        from gasket_spark.functions import text as T
+        from gasket_spark.operators.packing import global_row_number
+
+        toks = docs.select(
+            "doc_id", T.token_count("text").cast("bigint").alias("n"))
+        order = [F.col("n").desc(), F.col("doc_id").asc()]
+        naive = toks.withColumn("rn", F.row_number().over(
+            Window.orderBy(*order)))
+        want = sorted((r.doc_id, r.rn) for r in naive.collect())
+        for n_parts in (1, 3, 16):
+            got = global_row_number(toks.repartition(n_parts), order)
+            assert sorted((r.doc_id, r.rn)
+                          for r in got.collect()) == want
+
 
 class TestIncrementalDedup:
     def test_new_batch_matches_corpus_only(self, spark, docs):
