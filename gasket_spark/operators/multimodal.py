@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("modality", StringType()),      # image | audio | video
-    StructField("format", StringType()),        # png | wav | mp4 | ...
+    StructField("format", StringType()),        # ppm | wav | mp4 | ...
     StructField("payload", BinaryType()),
     StructField("meta", StructType([
         StructField("width", IntegerType()),
@@ -144,28 +144,40 @@ def make_ppm(pixels: np.ndarray) -> bytes:
 
 def _ppm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
     """Read ``n`` whitespace-separated ASCII integers from a PPM header
-    starting at ``start``, honoring ``#`` comments (Netpbm allows them
-    anywhere in the header). Returns (values, position after the single
-    whitespace byte that terminates the last token)."""
+    starting at ``start``, honoring ``#`` comments anywhere in the
+    header: a comment runs to the next LF *or* CR (Netpbm allows
+    either), and ``#`` also terminates a digit token (``255# c\\n`` is
+    legal). The final token must still be ended by a single whitespace
+    byte — the Netpbm header/raster boundary. Returns (values, position
+    after that terminating whitespace byte)."""
     vals: list[int] = []
     pos = start
     while len(vals) < n:
-        while pos < len(payload) and payload[pos:pos + 1].isspace():
-            pos += 1
-        if payload[pos:pos + 1] == b"#":
-            while pos < len(payload) and payload[pos] != 0x0A:
+        # skip interleaved whitespace and comments
+        while pos < len(payload):
+            b = payload[pos:pos + 1]
+            if b.isspace():
                 pos += 1
-            continue
+            elif b == b"#":
+                while pos < len(payload) and payload[pos] not in (0x0A, 0x0D):
+                    pos += 1
+            else:
+                break
         tok = b""
         while pos < len(payload) and payload[pos:pos + 1].isdigit():
             tok += payload[pos:pos + 1]
             pos += 1
-        if not tok or not payload[pos:pos + 1].isspace():
+        nxt = payload[pos:pos + 1]
+        if not tok or not (nxt.isspace() or nxt == b"#"):
             raise ValueError("malformed PPM header")
         vals.append(int(tok))
-        if len(vals) == n:
-            pos += 1     # exactly ONE whitespace byte ends the header
-    return vals, pos
+    # a comment may sit between the last token and the boundary byte
+    while payload[pos:pos + 1] == b"#":
+        while pos < len(payload) and payload[pos] not in (0x0A, 0x0D):
+            pos += 1
+    if not payload[pos:pos + 1].isspace():
+        raise ValueError("malformed PPM header")   # raster boundary
+    return vals, pos + 1
 
 
 def decode_ppm(payload: bytes, fmt: str = "ppm") -> dict[str, Any]:

@@ -246,6 +246,15 @@ class TestMultimodal:
         d = M.decode_ppm(with_comment)
         assert d["feature"] == f"ppm:{w}x{h}"
         assert d == M.decode_ppm(M.make_ppm(px))
+        # '#' directly after a digit token terminates it, and a
+        # comment may end at CR as well as LF (Netpbm allows either)
+        variants = [
+            b"P6\n" + f"{w} {h}\n".encode() + b"255# c\n" + body,
+            b"P6\n# cr comment\r" + f"{w} {h}\n255\n".encode() + body,
+            b"P6\n" + f"{w}# mid\n {h}\n255\n".encode() + body,
+        ]
+        for payload in variants:
+            assert M.decode_ppm(payload) == d
 
     def test_real_wav_decode_through_spark(self, spark, docs):
         """Audio rows carry genuine RIFF/WAVE bytes and the REAL
