@@ -213,14 +213,23 @@ def _disjoint(kmin, kmax, bmin, bmax) -> bool:
 MANIFEST_SCHEMA_VERSION = 2
 
 
+class CommitConflictError(RuntimeError):
+    """A conditional manifest commit lost the race: LATEST no longer
+    matches the state this writer based its update on (another
+    committer flipped it, or a commit is in flight). The caller must
+    re-read LATEST and re-derive its update — or abort; retrying the
+    same put would silently drop the other writer's commit, which is
+    the one forbidden outcome."""
+
+
 def _write_manifest(pointer: str, man: dict) -> None:
-    """Atomic CDC manifest flip with integrity metadata:
+    """Atomic CDC manifest write with integrity metadata:
     ``schema_version`` pins the layout this writer produced, and
     ``checksum`` (md5 of the canonical sans-checksum JSON) lets a
     reader DETECT a truncated, hand-edited, or foreign LATEST instead
     of trusting it. The ``os.replace`` flip is atomic on a POSIX
-    filesystem; at scale the same record goes through a CAS/put-if-
-    absent on a transactional store."""
+    filesystem. Concurrency control (conditional flip) lives one level
+    up in :class:`ManifestStore` — this is the raw durable write."""
     import hashlib
     import json
     import os
@@ -268,20 +277,124 @@ def _load_manifest(pointer: str) -> dict:
     return man
 
 
-def _commit_manifest(table_dir: str, man: dict) -> None:
+def _manifest_etag(man: dict) -> str:
+    """Content identity of a committed manifest — md5 of the canonical
+    sans-checksum JSON, i.e. exactly the stored ``checksum`` for v2+
+    manifests (and a content hash for pre-checksum v1 ones). This is
+    the CAS precondition token: a writer reads (manifest, etag), builds
+    its update, and commits conditioned on the etag still matching —
+    the S3 If-Match / object-store ETag discipline."""
+    import hashlib
+    import json
+
+    m = dict(man)
+    m.pop("checksum", None)
+    return hashlib.md5(json.dumps(m, sort_keys=True).encode()).hexdigest()
+
+
+class ManifestStore:
+    """Commit-protocol seam for the CDC table's LATEST pointer.
+
+    At 100 TB the pointer lives in a transactional store and every flip
+    is an atomic conditional update — S3 conditional put (If-Match /
+    If-None-Match), a DynamoDB conditional write, an etcd txn. The
+    protocol ABOVE this seam never changes: read (manifest, etag) →
+    derive update → ``put_if_match`` conditioned on that etag; on
+    :class:`CommitConflictError` the writer re-reads and re-derives or
+    aborts LOUDLY. Implementations MUST reject a non-matching
+    precondition — last-writer-wins overwrite is the forbidden
+    outcome (it would silently drop a concurrent committer's files
+    from the table)."""
+
+    def read(self, pointer: str) -> tuple[dict | None, str | None]:
+        """Validated (manifest, etag), or (None, None) if absent."""
+        raise NotImplementedError
+
+    def put_if_match(self, pointer: str, man: dict,
+                     expected_etag: str | None) -> None:
+        """Atomically install ``man`` iff the pointer's current etag
+        equals ``expected_etag`` (None = pointer must be ABSENT: the
+        table-creation put-if-absent). Raises
+        :class:`CommitConflictError` otherwise."""
+        raise NotImplementedError
+
+    def put_immutable(self, path: str, man: dict) -> None:
+        """Write a never-rewritten per-version snapshot (time-travel
+        index). Needs no condition: names are unique per (batch, gen);
+        a losing committer's orphaned snapshot is collected by GC."""
+        raise NotImplementedError
+
+
+class LocalManifestStore(ManifestStore):
+    """POSIX-filesystem realization of the CAS contract: an ``O_EXCL``
+    lock file serializes check+flip and ``os.replace`` makes the flip
+    atomic, so the conditional-put semantics are real, not advisory.
+    A crashed committer can strand the lock file; subsequent commits
+    then fail loudly with CommitConflictError (in-flight) until an
+    operator removes it — preferable to a timeout that could break the
+    lock under a live slow committer."""
+
+    def read(self, pointer: str) -> tuple[dict | None, str | None]:
+        import os
+
+        if not os.path.exists(pointer):
+            return None, None
+        man = _load_manifest(pointer)
+        return man, _manifest_etag(man)
+
+    def put_if_match(self, pointer: str, man: dict,
+                     expected_etag: str | None) -> None:
+        import os
+
+        lock = pointer + ".lock"
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"commit in flight on {pointer} (lock file present); "
+                f"re-read LATEST and retry")
+        try:
+            cur_etag = None
+            if os.path.exists(pointer):
+                cur_etag = _manifest_etag(_load_manifest(pointer))
+            if cur_etag != expected_etag:
+                raise CommitConflictError(
+                    f"CDC manifest {pointer} changed underneath this "
+                    f"writer (based on etag {expected_etag}, current is "
+                    f"{cur_etag}); re-read LATEST and re-derive")
+            _write_manifest(pointer, man)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def put_immutable(self, path: str, man: dict) -> None:
+        _write_manifest(path, man)
+
+
+DEFAULT_MANIFEST_STORE = LocalManifestStore()
+
+
+def _commit_manifest(table_dir: str, man: dict,
+                     expected_etag: str | None,
+                     store: ManifestStore | None = None) -> None:
     """Commit a table version: write an IMMUTABLE per-version snapshot
     (``manifests/m{batch}g{gen}.json`` — the time-travel index), then
-    flip LATEST. Snapshot first, flip second, so LATEST never points
-    at state whose snapshot isn't durable. Snapshots share the same
-    checksum/schema_version envelope as LATEST."""
+    conditionally flip LATEST against ``expected_etag`` (the etag of
+    the manifest this update was derived from; None for table
+    creation). Snapshot first, flip second, so LATEST never points at
+    state whose snapshot isn't durable; a losing committer's orphaned
+    snapshot is GC'd. Raises :class:`CommitConflictError` if another
+    writer got there first."""
     import os
 
+    store = store or DEFAULT_MANIFEST_STORE
     snap_dir = os.path.join(table_dir, "manifests")
     os.makedirs(snap_dir, exist_ok=True)
     name = (f"m{int(man.get('batch', 0)):09d}"
             f"g{int(man.get('gen', 0)):04d}.json")
-    _write_manifest(os.path.join(snap_dir, name), man)
-    _write_manifest(os.path.join(table_dir, "LATEST"), man)
+    store.put_immutable(os.path.join(snap_dir, name), man)
+    store.put_if_match(os.path.join(table_dir, "LATEST"), man,
+                       expected_etag)
 
 
 def resolve_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -602,8 +715,10 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
         manifest: dict[str, list[dict]] = {}
         fps: dict[str, int] = {}
         committed: dict = {}
+        base_etag: str | None = None
         if os.path.exists(pointer):
             committed = _load_manifest(pointer)
+            base_etag = _manifest_etag(committed)
             # bucket-count agreement: a re-bucketed table (see
             # rebucket_cdc_table) must not be written by a stream
             # still hashing with the old count — keys would scatter
@@ -726,7 +841,7 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                           "delete_col": delete_col,
                           "schema": merged.drop("_b", "_f")
                           .schema.jsonValue()})
-        _commit_manifest(table_dir, committed)
+        _commit_manifest(table_dir, committed, base_etag)
 
     q = changes.writeStream.foreachBatch(_apply) \
         .trigger(availableNow=True) \
@@ -758,6 +873,7 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
 
     pointer = os.path.join(table_dir, "LATEST")
     man = _load_manifest(pointer)
+    base_etag = _manifest_etag(man)
     manifest: dict[str, list[dict]] = man["buckets"]
     todo = {b for b, ents in manifest.items() if len(ents) > 1}
     if todo:
@@ -797,7 +913,7 @@ def compact_cdc_table(spark: SparkSession, table_dir: str,
                 "knull": bool(r["knull"])})
         man["buckets"] = manifest
         man["gen"] = gen
-        _commit_manifest(table_dir, man)
+        _commit_manifest(table_dir, man, base_etag)
     return sorted(e["path"] for ents in manifest.values() for e in ents)
 
 
@@ -819,6 +935,7 @@ def rebucket_cdc_table(spark: SparkSession, table_dir: str,
 
     pointer = os.path.join(table_dir, "LATEST")
     man = _load_manifest(pointer)
+    base_etag = _manifest_etag(man)
     manifest: dict[str, list[dict]] = man["buckets"]
     key_cols = man["key_cols"]
     bucket_expr = F.pmod(F.hash(*key_cols), F.lit(new_n_buckets))
@@ -855,7 +972,7 @@ def rebucket_cdc_table(spark: SparkSession, table_dir: str,
         man["buckets"] = manifest
         man["n_buckets"] = new_n_buckets
         man["gen"] = gen
-        _commit_manifest(table_dir, man)
+        _commit_manifest(table_dir, man, base_etag)
     return sorted(e["path"] for ents in manifest.values() for e in ents)
 
 
@@ -876,6 +993,7 @@ def purge_tombstones(spark: SparkSession, table_dir: str,
 
     pointer = os.path.join(table_dir, "LATEST")
     man = _load_manifest(pointer)
+    base_etag = _manifest_etag(man)
     manifest: dict[str, list[dict]] = man["buckets"]
     delete_col = man.get("delete_col")
     if delete_col is None:
@@ -915,7 +1033,7 @@ def purge_tombstones(spark: SparkSession, table_dir: str,
                 "knull": bool(r["knull"])})
         man["buckets"] = manifest
         man["gen"] = gen
-        _commit_manifest(table_dir, man)
+        _commit_manifest(table_dir, man, base_etag)
     return sorted(e["path"] for ents in manifest.values() for e in ents)
 
 
