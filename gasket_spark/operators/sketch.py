@@ -562,3 +562,166 @@ def kll_quantiles(sketches: DataFrame, probs: list[float]) -> DataFrame:
         out = out.withColumn(f"q{int(p * 100)}",
                              q_at(p)(F.col("levels"), F.col("n_rows")))
     return out.drop("levels", "counters")
+
+
+# ---------------------------------------------------------------------------
+# t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
+# using t-digests", 2019 — public algorithm)
+# ---------------------------------------------------------------------------
+#
+# KLL bounds UNIFORM rank error (eps*n everywhere); the t-digest's k1
+# scale function bounds RELATIVE rank error — centroids near the median
+# may hold many points while the tails stay near-singleton, which is
+# what makes p99/p999 estimates sharp at any n. Same distributed shape
+# as KLL: per-partition merging-digest build (mapInPandas, zero data
+# shuffle), ONE shuffle of centroid state (≤ ~2δ (mean, weight) pairs
+# per group, never rows), per-group applyInPandas merge. Estimates
+# depend on partition layout (merge order), so correctness is verified
+# the q_agg_kll way: in-plan rank-bound booleans against exact twins.
+
+_TD_DELTA = 100.0
+
+
+def _td_k(q: float, delta: float) -> float:
+    """k1 scale function: δ/2π · asin(2q−1). Its derivative → ∞ at the
+    tails, forcing tail centroids to stay tiny."""
+    import math
+    return delta / (2.0 * math.pi) * math.asin(
+        max(-1.0, min(1.0, 2.0 * q - 1.0)))
+
+
+def _td_compress(means: list, weights: list, delta: float):
+    """One merging pass over mean-sorted centroids: greedily absorb the
+    next centroid while the merged span stays within one k-unit. Input
+    MUST be sorted by mean; output is sorted, weight-conserving, with
+    at most ~2δ centroids."""
+    n = float(sum(weights))
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = means[0], weights[0]
+    cum = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q0 = cum / n
+        q2 = (cum + cur_w + w) / n
+        if _td_k(q2, delta) - _td_k(q0, delta) <= 1.0:
+            cur_w += w
+            cur_m += (m - cur_m) * (w / cur_w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def _td_from_values(vals, delta: float):
+    import numpy as np
+
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    return _td_compress(v.tolist(), [1.0] * len(v), delta)
+
+
+def _td_merge(ma, wa, mb, wb, delta: float):
+    """Merge two digests: concatenate, re-sort by mean, one compress
+    pass — associative up to the (bound-verified) estimate tolerance."""
+    pairs = sorted(zip(list(ma) + list(mb), list(wa) + list(wb)))
+    return _td_compress([p[0] for p in pairs], [p[1] for p in pairs], delta)
+
+
+def _td_quantile(means, weights, p: float) -> float:
+    """Piecewise-linear interpolation between centroid midpoints (the
+    standard t-digest estimator); clamps to the extreme means."""
+    if not len(means):
+        return float("nan")
+    n = float(sum(weights))
+    target = p * n
+    cum = 0.0
+    prev_mid, prev_mean = None, None
+    for m, w in zip(means, weights):
+        mid = cum + w / 2.0
+        if mid >= target:
+            if prev_mid is None:
+                return float(m)
+            frac = (target - prev_mid) / (mid - prev_mid)
+            return float(prev_mean + (m - prev_mean) * frac)
+        cum += w
+        prev_mid, prev_mean = mid, m
+    return float(means[-1])
+
+
+def tdigest_sketch(df: DataFrame, group_cols: list[str], value_col: str,
+                   delta: float = _TD_DELTA) -> DataFrame:
+    """Distributed t-digest build. Returns
+    (group_cols…, means: array<double>, weights: array<double>,
+    n_rows: long) — mergeable, storable, ≤ ~2δ centroids per group."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    src = df.select(*group_cols, F.col(value_col).cast("double")
+                    .alias("_v"))
+    gfields = [src.schema[c] for c in group_cols]
+    sk_schema = StructType(list(gfields) + [
+        StructField("means", ArrayType(DoubleType())),
+        StructField("weights", ArrayType(DoubleType())),
+        StructField("n_rows", LongType()),
+    ])
+
+    def build(batches):
+        states: dict = {}
+        for pdf in batches:
+            for key, vals in pdf.groupby(group_cols, sort=False)["_v"]:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                m, w = _td_from_values(vals.to_numpy(dtype=float), delta)
+                st = states.get(key)
+                if st is None:
+                    states[key] = (m, w, len(vals))
+                else:
+                    mm, ww = _td_merge(st[0], st[1], m, w, delta)
+                    states[key] = (mm, ww, st[2] + len(vals))
+        rows = [(*key, m, w, n) for key, (m, w, n) in states.items()]
+        yield pd.DataFrame(rows, columns=[f.name for f in sk_schema.fields])
+
+    partial = src.mapInPandas(build, schema=sk_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc_m, acc_w, acc_n = None, None, 0
+        for row in pdf.itertuples(index=False):
+            if acc_m is None:
+                acc_m, acc_w = list(row.means), list(row.weights)
+            else:
+                acc_m, acc_w = _td_merge(acc_m, acc_w, row.means,
+                                         row.weights, delta)
+            acc_n += int(row.n_rows)
+        key = tuple(pdf.iloc[0][c] for c in group_cols)
+        return pd.DataFrame([(*key, acc_m, acc_w, acc_n)],
+                            columns=[f.name for f in sk_schema.fields])
+
+    return partial.groupBy(*group_cols).applyInPandas(merge,
+                                                      schema=sk_schema)
+
+
+def tdigest_quantiles(sketches: DataFrame, probs: list[float]) -> DataFrame:
+    """Estimate quantiles from t-digest rows: one ``q{...}`` column per
+    probability (midpoint interpolation). Arrow-batched; each row's
+    work is O(centroids)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def q_at(p: float):
+        @pandas_udf(DoubleType())
+        def _q(means: pd.Series, weights: pd.Series) -> pd.Series:
+            return pd.Series([
+                _td_quantile(list(m), list(w), p)
+                for m, w in zip(means, weights)])
+        return _q
+
+    out = sketches
+    for p in probs:
+        col = f"q{p}".replace("0.", "").replace(".", "_")
+        out = out.withColumn(col, q_at(p)(F.col("means"),
+                                          F.col("weights")))
+    return out.drop("means", "weights")

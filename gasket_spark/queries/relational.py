@@ -1525,6 +1525,62 @@ def q_agg_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("_lt90", "_le90", 0.9).alias("kll_ok90"))
 
 
+@query(
+    "q_agg_tdigest",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+             AS p50_exact,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.99)
+             AS p99_exact,
+           TRUE AS td_ok50, TRUE AS td_ok99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantile sketch (δ=100) per return flag (operators/
+    sketch.py; Dunning & Ertl 2019) — KLL's sibling with RELATIVE
+    rank-error bounds: the k1 scale function keeps tail centroids
+    near-singleton, so extreme quantiles (the p99 here) stay sharp at
+    any n. Distributed shape identical to q_agg_kll: per-partition
+    merging-digest build, one shuffle of centroid STATE (≤ ~2δ pairs
+    per group), per-group merge.
+
+    Verified the q_agg_kll way: estimates are partition-layout
+    dependent, so the output carries exact quantiles (oracle-matched
+    quantile_cont twins) plus two-sided RANK-bound booleans — ±2.5%
+    of n around the target rank (δ=100 empirically lands ~0.1% at the
+    median and far tighter at p99)."""
+    from gasket_spark.operators.sketch import (
+        tdigest_quantiles, tdigest_sketch)
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"))
+    est = tdigest_quantiles(
+        tdigest_sketch(li, ["l_returnflag"], "x", delta=100.0),
+        [0.5, 0.99])
+    joined = li.join(F.broadcast(est), "l_returnflag")
+    agg = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("x", 0.5).alias("p50_exact"),
+        F.percentile("x", 0.99).alias("p99_exact"),
+        F.sum((F.col("x") < F.col("q5")).cast("long")).alias("_lt50"),
+        F.sum((F.col("x") <= F.col("q5")).cast("long")).alias("_le50"),
+        F.sum((F.col("x") < F.col("q99")).cast("long")).alias("_lt99"),
+        F.sum((F.col("x") <= F.col("q99")).cast("long")).alias("_le99"))
+    eps = 0.025
+
+    def ok(lt: str, le: str, p: float):
+        return ((F.col(lt) <= (p + eps) * F.col("n"))
+                & (F.col(le) >= (p - eps) * F.col("n")))
+
+    return agg.select(
+        "l_returnflag", "n", "p50_exact", "p99_exact",
+        ok("_lt50", "_le50", 0.5).alias("td_ok50"),
+        ok("_lt99", "_le99", 0.99).alias("td_ok99"))
+
+
 # ---------------------------------------------------------------------------
 # statistical / analytic pack
 # ---------------------------------------------------------------------------

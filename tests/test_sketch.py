@@ -361,3 +361,63 @@ class TestKLL:
                                         F.col("id").alias("v"))
         r = kll_sketch(df, ["g"], "v", k=200).collect()[0]
         assert sum(len(l) for l in r.levels) < 3 * 200
+
+
+class TestTDigest:
+    def test_rank_bound_tight_at_tails(self, spark):
+        """δ=100 on 20k uniform values: mid quantiles within 1% rank
+        error, and the TAIL quantile (p99) within 0.2% — the relative-
+        error property that distinguishes t-digest from KLL."""
+        from gasket_spark.operators.sketch import (
+            tdigest_quantiles, tdigest_sketch,
+        )
+
+        n = 20_000
+        df = spark.range(n).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.col("id").alias("v")).repartition(8)
+        sk = tdigest_sketch(df, ["g"], "v", delta=100.0)
+        rows = {r.g: r for r in tdigest_quantiles(
+            sk, [0.5, 0.99]).collect()}
+        assert all(r.n_rows == n // 2 for r in rows.values())
+        for g, r in rows.items():
+            assert abs(r.q5 / 2 / (n // 2) - 0.5) <= 0.01, (g, r.q5)
+            assert abs(r.q99 / 2 / (n // 2) - 0.99) <= 0.002, (g, r.q99)
+
+    def test_merge_matches_whole(self, spark):
+        """Mergeability: the digest of two halves merged estimates the
+        same quantiles (within bound) as digesting the union."""
+        from gasket_spark.operators.sketch import (
+            _td_merge, _td_quantile, tdigest_sketch,
+        )
+
+        n = 10_000
+        df = spark.range(n).select(F.lit("g").alias("g"),
+                                   F.col("id").alias("v"))
+        ra = tdigest_sketch(df.filter(F.col("v") < n // 2),
+                            ["g"], "v").collect()[0]
+        rb = tdigest_sketch(df.filter(F.col("v") >= n // 2),
+                            ["g"], "v").collect()[0]
+        m, w = _td_merge(ra.means, ra.weights, rb.means, rb.weights, 100.0)
+        assert abs(sum(w) - n) < 1e-6          # weight conservation
+        for p in (0.25, 0.5, 0.75, 0.99):
+            est = _td_quantile(m, w, p)
+            assert abs(est / n - p) <= 0.01, (p, est)
+
+    def test_state_is_bounded_and_sorted(self, spark):
+        """Centroid count stays O(δ) for any n; means are sorted and
+        tail centroids are near-singleton (the k1 property)."""
+        from gasket_spark.operators.sketch import tdigest_sketch
+
+        df = spark.range(50_000).select(F.lit("g").alias("g"),
+                                        F.col("id").alias("v"))
+        r = tdigest_sketch(df, ["g"], "v", delta=100.0).collect()[0]
+        assert len(r.means) <= 2 * 100
+        assert list(r.means) == sorted(r.means)
+        assert abs(sum(r.weights) - 50_000) < 1e-6
+        # the k1 tail bound: an extreme centroid holds at most
+        # ~n*(pi/delta)^2 points (~49 here) — tiny RELATIVE to n and
+        # to the median centroids (which k1 allows up to ~n*pi/delta)
+        tail_cap = 50_000 * (3.1416 / 100.0) ** 2 * 2
+        assert r.weights[0] <= tail_cap and r.weights[-1] <= tail_cap
+        assert max(r.weights) > 10 * max(r.weights[0], r.weights[-1])

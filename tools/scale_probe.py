@@ -82,7 +82,13 @@ def main() -> None:
 
     print("| query | sf | rows | wall (s) | per-iteration (s) |")
     print("|---|---|---|---|---|")
-    for qname, iters in [("q_pagerank", 8), ("q_dedup_components", None)]:
+    # iterative heavies + the banded-LSH join family (the probe's
+    # disjoint-shingle replicas make 10x data = 10 independent copies
+    # of the pair problem, so a superlinear ratio here would expose a
+    # cross-replica candidate-pair blowup in the band join)
+    for qname, iters in [("q_pagerank", 8), ("q_dedup_components", None),
+                         ("q_dedup_minhash", None),
+                         ("q_dedup_incremental", None)]:
         for label, d in [("sf0.1", base), ("sf1 (10x)", out)]:
             t0 = time.time()
             n = QUERIES[qname](spark, d).count()
