@@ -1,19 +1,23 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The Spark-side machinery here is real and tested — schemas, Arrow-
-batched ``mapInPandas`` UDF signatures, partition sizing. AUDIO and
-IMAGE decode are real too: :func:`decode_wav` is a strict pure-numpy
-RIFF/WAVE (PCM16) parser — container magic, chunk walk, fmt
-validation, sample extraction, amplitude features — and
+batched ``mapInPandas`` UDF signatures, partition sizing. ALL THREE
+default modalities decode for real: :func:`decode_wav` is a strict
+pure-numpy RIFF/WAVE (PCM16) parser — container magic, chunk walk,
+fmt validation, sample extraction, amplitude features —
 :func:`decode_ppm` a strict binary-PPM (P6) parser — magic, header
 integers with comment handling, maxval and raster-length validation,
-pixel statistics. Both are exercised over genuine container bytes
-(:func:`make_wav` / :func:`make_ppm` build them; the fixture lift
-synthesizes a deterministic waveform/raster per document). Video
-decoding stays stubbed behind :func:`register_decoder` (the
-compressed-codec libs aren't in this container); swapping in a real
-decoder is a one-function change, exactly like the audio/image ones
-plug in.
+pixel statistics — and :func:`decode_avi` a strict RIFF/AVI
+(uncompressed-DIB video) parser — LIST tree walk, avih/strh/strf
+cross-validation, per-frame DIB canonicalization (bottom-up BGR with
+4-byte row stride → top-down RGB), frame-count and raster-size
+checks. Each is exercised over genuine container bytes
+(:func:`make_wav` / :func:`make_ppm` / :func:`make_avi` build them;
+the fixture lift synthesizes a deterministic waveform/raster/frame
+sequence per document). COMPRESSED codecs (JPEG/MP3/H.264…) are the
+one thing that stays behind :func:`register_decoder` — their codec
+libs aren't in this container; plugging one in is a one-function
+change, exactly like the built-in three.
 
 At scale: binary payloads ride as parquet binary columns (or
 ``spark.read.format('binaryFile')`` over object storage); decode /
@@ -42,7 +46,7 @@ from pyspark.sql.types import (
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("modality", StringType()),      # image | audio | video
-    StructField("format", StringType()),        # ppm | wav | mp4 | ...
+    StructField("format", StringType()),        # ppm | wav | avi | ...
     StructField("payload", BinaryType()),
     StructField("meta", StructType([
         StructField("width", IntegerType()),
@@ -213,15 +217,176 @@ def decode_ppm(payload: bytes, fmt: str = "ppm") -> dict[str, Any]:
             "content": ",".join(str(int(v)) for v in px)}
 
 
+AVI_FPS = 10
+_AVI_FIXED = 224          # container bytes outside the '00db' frames
+
+
+def _avi_stride(width: int) -> int:
+    """DIB rows are padded to 4-byte boundaries: 24-bit RGB rows of
+    ``3*width`` bytes round up to the next multiple of 4."""
+    return (3 * width + 3) // 4 * 4
+
+
+def make_avi(frames: np.ndarray, fps: int = AVI_FPS) -> bytes:
+    """Build a canonical RIFF/AVI container (single 'vids' stream,
+    uncompressed 24-bit DIB frames) around an (n_frames, height,
+    width, 3) uint8 RGB array — the writer twin of :func:`decode_avi`.
+
+    Frames are stored the way real uncompressed AVIs store them:
+    bottom-up row order, BGR byte order, each row padded to a 4-byte
+    stride — the decoder undoes all three to recover the canonical
+    top-down RGB content.
+    """
+    fx = np.asarray(frames, dtype=np.uint8)
+    if fx.ndim != 4 or fx.shape[3] != 3 or not all(fx.shape[:3]):
+        raise ValueError("make_avi wants (n_frames, h, w, 3) RGB frames")
+    n, h, w, _ = (int(d) for d in fx.shape)
+    stride = _avi_stride(w)
+    frame_size = stride * h
+    dibs = []
+    for f in range(n):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :3 * w] = fx[f, ::-1, :, ::-1].reshape(h, 3 * w)
+        dibs.append(b"00db" + struct.pack("<I", frame_size) + rows.tobytes())
+    avih = b"avih" + struct.pack(
+        "<15I", 56, 1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0)
+    strh = b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB " \
+        + struct.pack("<10I4H", 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+                      0, 0, w, h)
+    strf = b"strf" + struct.pack("<IIiiHHIIiiII", 40, 40, w, h, 1, 24, 0,
+                                 frame_size, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) \
+        + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) \
+        + b"hdrl" + avih + strl
+    movi_body = b"".join(dibs)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" \
+        + movi_body
+    body = b"AVI " + hdrl + movi
+    out = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert len(out) == _AVI_FIXED + n * (8 + frame_size)
+    return out
+
+
+def _riff_chunks(payload: bytes, pos: int,
+                 end: int) -> Iterator[tuple[bytes, bytes]]:
+    """Walk RIFF chunks in ``payload[pos:end]``, validating every
+    boundary; yields (fourcc-or-LIST-type, body)."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated AVI chunk header")
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if pos + 8 + size > end:
+            raise ValueError(f"chunk {cid!r} overruns the container")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"LIST":
+            if size < 4:
+                raise ValueError("LIST chunk too small for a type tag")
+            yield body[:4], body[4:]
+        else:
+            yield cid, body
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+
+
+def decode_avi(payload: bytes, fmt: str = "avi") -> dict[str, Any]:
+    """REAL video decode, pure numpy/stdlib: strict RIFF/AVI parser
+    for single-stream uncompressed 24-bit DIB video. Validates the
+    container magic and declared size, walks the LIST tree
+    (hdrl → avih, strl → strh/strf, movi → frames), cross-checks the
+    avih/strh/strf dimension and frame-count claims against each
+    other AND against the actual '00db' chunks, and rejects anything
+    compressed ('00dc', biCompression≠0), non-24-bit, multi-stream,
+    or mis-sized; raises ``ValueError`` on anything corrupt — a
+    malformed payload must fail the row loudly, not fake a feature.
+
+    Each DIB frame is canonicalized (bottom-up → top-down rows, BGR →
+    RGB, stride padding stripped), so ``content`` — the comma-joined
+    canonical pixel bytes, frame-major — is decode-invariant: the
+    same video re-containered hashes identically. ``metric`` = mean
+    canonical pixel value across all frames (exact integer sum, one
+    float division, HALF_UP-rounded to 1e-6); feature =
+    ``avi:<w>x<h>:<n_frames>@<fps>``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if declared + 8 != len(payload):
+        raise ValueError(f"truncated AVI: RIFF declares {declared + 8} "
+                         f"bytes, payload has {len(payload)}")
+    avih = strh = strf = None
+    dibs: list[bytes] = []
+    for cid, body in _riff_chunks(payload, 12, len(payload)):
+        if cid == b"hdrl":
+            # re-walk the hdrl body with the same validating walker
+            for hcid, hbody in _riff_chunks(body, 0, len(body)):
+                if hcid == b"avih":
+                    avih = hbody
+                elif hcid == b"strl":
+                    for scid, sbody in _riff_chunks(hbody, 0, len(hbody)):
+                        if scid == b"strh":
+                            strh = sbody
+                        elif scid == b"strf":
+                            strf = sbody
+        elif cid == b"movi":
+            for mcid, mbody in _riff_chunks(body, 0, len(body)):
+                if mcid == b"00dc":
+                    raise ValueError("compressed AVI frames unsupported "
+                                     "(register a codec decoder)")
+                if mcid == b"00db":
+                    dibs.append(mbody)
+    if avih is None or len(avih) < 56 or strh is None or len(strh) < 56 \
+            or strf is None or len(strf) < 40:
+        raise ValueError("missing avih/strh/strf header")
+    (_micro, _maxbps, _pad, _flags, total, _init, streams, _sugg,
+     w, h) = struct.unpack("<10I", avih[:40])
+    if streams != 1:
+        raise ValueError(f"unsupported AVI: {streams} streams")
+    if strh[:4] != b"vids" or strh[4:8] != b"DIB ":
+        raise ValueError("first stream is not uncompressed video")
+    scale, rate, _start, length = struct.unpack("<4I", strh[20:36])
+    if scale == 0 or rate % scale:
+        raise ValueError("non-integer AVI frame rate")
+    fps = rate // scale
+    (_bisz, biw, bih, planes, bits, compression,
+     size_image) = struct.unpack("<IiiHHII", strf[:24])
+    if bits != 24 or compression != 0 or planes != 1:
+        raise ValueError(f"unsupported DIB: planes={planes} bits={bits} "
+                         f"compression={compression}")
+    if biw != w or bih != h or w <= 0 or h <= 0:
+        raise ValueError(f"avih says {w}x{h}, strf says {biw}x{bih}")
+    stride = _avi_stride(w)
+    if size_image != stride * h:
+        raise ValueError(f"biSizeImage {size_image} != stride*h "
+                         f"{stride * h}")
+    if len(dibs) != total or length != total or total == 0:
+        raise ValueError(f"frame count mismatch: movi has {len(dibs)}, "
+                         f"avih declares {total}, strh {length}")
+    pixels: list[np.ndarray] = []
+    for f, dib in enumerate(dibs):
+        if len(dib) != stride * h:
+            raise ValueError(f"frame {f} is {len(dib)} bytes, expected "
+                             f"{stride * h}")
+        rows = np.frombuffer(dib, dtype=np.uint8).reshape(h, stride)
+        rgb = rows[::-1, :3 * w].reshape(h, w, 3)[:, :, ::-1]
+        pixels.append(rgb.reshape(-1))
+    px = np.concatenate(pixels).astype(np.int64)
+    mean = int(px.sum()) / px.size
+    return {"feature": f"avi:{w}x{h}:{total}@{fps}",
+            "metric": math.floor(mean * 1e6 + 0.5) / 1e6,
+            "content": ",".join(str(int(v)) for v in px)}
+
+
 _DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {}
 
 # Built-in real decoders (separate from the user-registration table so
-# clearing/overriding registrations can't lose them): audio and image
-# are real (uncompressed containers need no codec lib); video falls
-# back to the stub until a codec decoder is plugged in.
+# clearing/overriding registrations can't lose them): audio, image and
+# video are all real (uncompressed containers need no codec lib).
 _DEFAULT_DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
     "audio": decode_wav,
     "image": decode_ppm,
+    "video": decode_avi,
 }
 
 
@@ -232,10 +397,10 @@ def register_decoder(modality: str,
 
 
 def _stub_decode(payload: bytes, fmt: str) -> dict[str, Any]:
-    """Deterministic fake decoder for the modalities whose codec libs
-    aren't in this container (video — REPLACE via register_decoder;
-    audio and image already have the real :func:`decode_wav` /
-    :func:`decode_ppm`)."""
+    """Deterministic fake decoder for modalities with no registered or
+    built-in decoder (e.g. a compressed codec whose lib isn't in this
+    container — REPLACE via register_decoder; wav/ppm/avi already have
+    the real built-ins)."""
     return {"feature": f"stub:{fmt}:{len(payload)}"}
 
 
@@ -271,24 +436,44 @@ def _synth_ppm(doc_id: pd.Series) -> pd.Series:
     return pd.Series([make_ppm(_image_pixels(int(d))) for d in doc_id])
 
 
+def _video_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic per-document frame stack: width = 4 + doc_id % 5,
+    height = 2 + doc_id % 3, n_frames = 2 + doc_id % 4; canonical
+    (top-down RGB) byte i of frame f = (doc_id*17 + f*11 + i*3) % 256.
+    Chosen to be replicable in closed-form SQL so the decoded video
+    features can be oracle-verified end to end (the WAV/PPM
+    convention)."""
+    w, h, n = 4 + doc_id % 5, 2 + doc_id % 3, 2 + doc_id % 4
+    i = np.arange(w * h * 3, dtype=np.int64)
+    frames = [((doc_id * 17 + f * 11 + i * 3) % 256).astype(np.uint8)
+              .reshape(h, w, 3) for f in range(n)]
+    return np.stack(frames)
+
+
+@pandas_udf(BinaryType())
+def _synth_avi(doc_id: pd.Series) -> pd.Series:
+    """Arrow-batched AVI synthesis: real RIFF/DIB bytes per row."""
+    return pd.Series([make_avi(_video_pixels(int(d))) for d in doc_id])
+
+
 def attach_media(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Fixture lift: derive a deterministic binary payload + metadata
     struct from a text table (the documents fixture has no real media).
     AUDIO rows carry a genuine RIFF/WAVE payload (PCM16 mono, 8 kHz,
     one sample per character of text, waveform a closed-form function
-    of the id) and IMAGE rows a genuine binary PPM (P6, dimensions and
-    raster closed-form functions of the id) for the real decoders;
-    video rows keep utf-8 bytes as stand-ins for their stubbed decoder.
-    Production path: the payload column arrives from
-    parquet/binaryFile already."""
-    text_payload = F.encode(F.col(text_col), "utf-8")
+    of the id), IMAGE rows a genuine binary PPM (P6, dimensions and
+    raster closed-form functions of the id), and VIDEO rows a genuine
+    RIFF/AVI (uncompressed 24-bit DIB frames, dimensions / frame
+    count / pixels closed-form functions of the id) — all three feed
+    the real decoders. Production path: the payload column arrives
+    from parquet/binaryFile already."""
     payload: Column = F.when(
         F.col(id_col) % 3 == 1,
         _synth_wav(F.col(id_col), F.length(F.col(text_col)))
     ).when(
         F.col(id_col) % 3 == 0, _synth_ppm(F.col(id_col))
-    ).otherwise(text_payload)
+    ).otherwise(_synth_avi(F.col(id_col)))
     return df.select(
         F.col(id_col).alias("media_id"),
         (F.when(F.col(id_col) % 3 == 0, "image")
@@ -296,7 +481,7 @@ def attach_media(df: DataFrame, text_col: str = "text",
          .otherwise("video")).alias("modality"),
         (F.when(F.col(id_col) % 3 == 0, "ppm")
          .when(F.col(id_col) % 3 == 1, "wav")
-         .otherwise("mp4")).alias("format"),
+         .otherwise("avi")).alias("format"),
         payload.alias("payload"),
         F.struct(
             (F.octet_length(payload) % 1920).cast("int").alias("width"),

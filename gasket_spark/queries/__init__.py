@@ -81,11 +81,13 @@ _EDITED_R05: tuple[str, ...] = (
 
 # Queries whose implementation or oracle was EDITED in round 6
 # (engine-exact k-means quantizer + full-SQL IVF oracle; PPM image
-# decode; CDC bench split): pre-r6 signals no longer certify the
-# current code — demote until an r6+ driver row lands.
+# decode; REAL RIFF/AVI video decode replacing the stub — all three
+# multimodal queries' payloads/oracles changed; CDC bench split):
+# pre-r6 signals no longer certify the current code — demote until an
+# r6+ driver row lands.
 _EDITED_R06: tuple[str, ...] = (
     "q_sim_ivf", "q_multimodal_decode", "q_cdc_read_pruned",
-    "q_vocab_build",
+    "q_vocab_build", "q_multimodal_meta", "q_multimodal_frames",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

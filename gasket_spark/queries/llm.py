@@ -501,28 +501,30 @@ def q_udf_module(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id, text,
-             4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      FROM documents)
+             4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             4 + doc_id % 5 AS vw, 2 + doc_id % 3 AS vh,
+             2 + doc_id % 4 AS vn
+      FROM documents),
+    sz AS (
+      SELECT *,
+             CASE WHEN doc_id % 3 = 1
+                  THEN CAST(44 + 2 * length(text) AS BIGINT)
+                  WHEN doc_id % 3 = 0
+                  THEN CAST(9 + length(CAST(w AS VARCHAR))
+                              + length(CAST(h AS VARCHAR))
+                              + 3 * w * h AS BIGINT)
+                  ELSE CAST(224 + vn * (8 + ((3 * vw + 3) // 4) * 4 * vh)
+                       AS BIGINT)
+             END AS n_bytes
+      FROM m)
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
            CASE WHEN doc_id % 3 = 0 THEN 'ppm'
-                WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
-           CASE WHEN doc_id % 3 = 1
-                THEN CAST(44 + 2 * length(text) AS BIGINT)
-                WHEN doc_id % 3 = 0
-                THEN CAST(9 + length(CAST(w AS VARCHAR))
-                            + length(CAST(h AS VARCHAR))
-                            + 3 * w * h AS BIGINT)
-                ELSE CAST(octet_length(encode(text)) AS BIGINT)
-           END AS n_bytes,
-           CAST((CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * length(text)
-                      WHEN doc_id % 3 = 0
-                      THEN 9 + length(CAST(w AS VARCHAR))
-                             + length(CAST(h AS VARCHAR)) + 3 * w * h
-                      ELSE octet_length(encode(text)) END) % 1920 AS INT)
-             AS width
-    FROM m
+                WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'avi' END AS format,
+           n_bytes,
+           CAST(n_bytes % 1920 AS INT) AS width
+    FROM sz
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,8 +532,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata struct (audio rows carry a real RIFF/WAVE payload — 44
     header bytes + 2 per PCM16 sample, one sample per character —
     image rows a real binary PPM — "P6\\n{w} {h}\\n255\\n" header +
-    3·w·h raster bytes — video keeps utf-8 stand-ins; production
-    payloads arrive as parquet binary)."""
+    3·w·h raster bytes — video rows a real RIFF/AVI — 224 container
+    bytes + per frame 8 + stride·h where stride is the 4-byte-aligned
+    DIB row; production payloads arrive as parquet binary)."""
     docs = read_table(spark, sf_dir, "documents")
     media = M.attach_media(docs)
     return media.select(
@@ -546,7 +549,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id, text,
-             4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+             4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             4 + doc_id % 5 AS vw, 2 + doc_id % 3 AS vh,
+             2 + doc_id % 4 AS vn
       FROM documents)
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -557,7 +562,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST(9 + length(CAST(w AS VARCHAR))
                             + length(CAST(h AS VARCHAR))
                             + 3 * w * h AS BIGINT)
-                ELSE CAST(octet_length(encode(text)) AS BIGINT)
+                ELSE CAST(224 + vn * (8 + ((3 * vw + 3) // 4) * 4 * vh)
+                     AS BIGINT)
            END AS n_bytes,
            CASE WHEN doc_id % 3 = 1
                 THEN md5(array_to_string(list_transform(
@@ -567,13 +573,16 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN md5(array_to_string(list_transform(
                        range(0, 3 * w * h),
                        i -> (doc_id * 13 + i * 5) % 256), ','))
-                ELSE md5(text)
+                ELSE md5(array_to_string(list_transform(
+                       range(0, vn * 3 * vw * vh),
+                       k -> (doc_id * 17 + (k // (3 * vw * vh)) * 11
+                             + (k % (3 * vw * vh)) * 3) % 256), ','))
            END AS checksum,
            CASE WHEN doc_id % 3 = 1
                 THEN 'wav:8000:' || length(text)
                 WHEN doc_id % 3 = 0
                 THEN 'ppm:' || w || 'x' || h
-                ELSE 'stub:mp4:' || octet_length(encode(text))
+                ELSE 'avi:' || vw || 'x' || vh || ':' || vn || '@10'
            END AS feature,
            CASE WHEN doc_id % 3 = 1
                 THEN round(sqrt(CAST(list_sum(list_transform(
@@ -586,22 +595,29 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                        range(0, 3 * w * h),
                        i -> (doc_id * 13 + i * 5) % 256))
                      AS DOUBLE) / (3 * w * h), 6)
-                ELSE NULL
+                ELSE round(CAST(list_sum(list_transform(
+                       range(0, vn * 3 * vw * vh),
+                       k -> (doc_id * 17 + (k // (3 * vw * vh)) * 11
+                             + (k % (3 * vw * vh)) * 3) % 256))
+                     AS DOUBLE) / (vn * 3 * vw * vh), 6)
            END AS metric
     FROM m
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode path. Audio rows decode REAL
-    RIFF/WAVE bytes with the strict pure-numpy parser
-    (operators.multimodal.decode_wav): sample rate and count come from
-    the container, the metric is the RMS amplitude of the decoded
-    PCM16 samples, and the checksum hashes the decoded sample values.
-    Image rows decode REAL binary-PPM bytes (decode_ppm): dimensions
-    from the parsed header, metric = mean raster value, checksum over
-    the decoded pixels. All re-derived in closed form by the oracle,
-    so both real decodes are exact-checked cross-engine. Video rows
-    exercise the stub path (codec libs absent by design)."""
+    """Arrow-batched mapInPandas decode path — all three modalities
+    decode REAL container bytes with strict pure-numpy parsers.
+    Audio (operators.multimodal.decode_wav): sample rate and count
+    come from the RIFF/WAVE container, metric = RMS amplitude of the
+    decoded PCM16 samples, checksum over the decoded sample values.
+    Image (decode_ppm): dimensions from the parsed P6 header, metric
+    = mean raster value, checksum over the decoded pixels. Video
+    (decode_avi): dimensions / frame count / fps cross-validated
+    across avih/strh/strf, per-frame DIBs canonicalized (bottom-up
+    BGR + stride padding → top-down RGB), metric = mean pixel across
+    all frames, checksum over the canonical frame-major pixels. All
+    re-derived in closed form by the oracle, so every decode is
+    exact-checked cross-engine."""
     docs = read_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_media(docs)).select(
         "media_id", "modality", "n_bytes", "checksum", "feature", "metric")
@@ -610,16 +626,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_frames",
     oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             224 + (2 + doc_id % 4)
+                 * (8 + ((3 * (4 + doc_id % 5) + 3) // 4) * 4
+                        * (2 + doc_id % 3)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2)
     SELECT doc_id AS media_id,
            CAST(unnest(range(0, greatest(
-             CAST(octet_length(encode(text)) * 10 // 1000 AS INT), 1)))
+             CAST(n_bytes * 10 // 1000 AS INT), 1)))
              * 1000 AS BIGINT) AS frame_ts_ms
-    FROM documents WHERE doc_id % 3 = 2
+    FROM m
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: one row per (video, frame timestamp)
-    — the fan-out stage ahead of per-frame decode."""
+    — the fan-out stage ahead of per-frame decode. duration_ms is the
+    fixture lift's 10·n_bytes, with n_bytes the closed-form RIFF/AVI
+    container size (224 fixed bytes + per frame 8 + stride·h)."""
     docs = read_table(spark, sf_dir, "documents")
     plan = M.frame_sample_plan(M.attach_media(docs), every_ms=1000)
     return plan.select("media_id",
