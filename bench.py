@@ -75,6 +75,12 @@ HEADLINE: dict[str, str] = {
     "q_multimodal_decode": "count",
     "q_cdc_read_pruned": "count",
     "q_agg_kll": "collect",
+    # r6 additions: t-digest sketch, PQ compressed-domain ANN, the
+    # gaps-and-islands window family, degree-ordered triangle join
+    "q_agg_tdigest": "collect",
+    "q_sim_pq": "count",
+    "q_gaps_islands": "count",
+    "q_graph_triangles": "count",
 }
 
 

@@ -812,6 +812,133 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def _pq_oracle_sql(n_sub: int = 8, n_centroids: int = 16, k: int = 5,
+                   n_cand: int = 100, iters: int = 10,
+                   sample_mult: int = 64, dim: int = 64) -> str:
+    """ANSI-SQL re-derivation of the ENTIRE product-quantization path
+    — per-subspace codebook training included. Same engine-exact
+    machinery as ``_ivf_oracle_sql``, generalized with a ``sub``
+    column so ALL subspaces train in one CTE chain: the md5-ordered
+    sample is unit-normalized as full vectors, split long-form into
+    (sid, sub, kk, x), and the ten unrolled Lloyd iterations group by
+    (sid, sub) for assignment and (cl, sub, kk) for means. Encode,
+    per-query LUT, ADC ranking and exact rerank follow — every sum an
+    order-independent int64 of HALF_UP-rounded 1e15-scaled terms, so
+    the SQL lands bit-identically on the numpy/Spark result. cl here
+    is the 1-based init sid vs 0-based numpy code — internal labels;
+    the tie-break ORDER is identical."""
+    sd = dim // n_sub
+
+    def idot(x: str, y: str) -> str:
+        return (f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> "
+                f"CAST(round({x}[i] * {y}[i] * 1e15) AS BIGINT))) "
+                f"AS BIGINT)")
+
+    parts = [f"""
+    WITH samp AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS sid,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_centroids * sample_mult}),
+    sampn AS MATERIALIZED (
+      SELECT sid, ((t.k - 1) // {sd}) + 1 AS sub,
+             ((t.k - 1) % {sd}) + 1 AS kk,
+             s.v[t.k] / greatest(sqrt({idot('s.v', 's.v')} / 1e15), 1e-30)
+               AS x
+      FROM samp s, range(1, {dim + 1}) t(k)),
+    c0 AS MATERIALIZED (SELECT sid AS cl, sub, kk, x AS c FROM sampn
+           WHERE sid <= {n_centroids})"""]
+    for i in range(1, iters + 1):
+        p = f"c{i - 1}"
+        parts.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT s.sid, s.sub, c.cl,
+             SUM(CAST(round(s.x * c.c * 1e15) AS BIGINT)) AS d
+      FROM sampn s JOIN {p} c ON c.sub = s.sub AND c.kk = s.kk
+      GROUP BY s.sid, s.sub, c.cl),
+    n{i} AS MATERIALIZED (
+      SELECT sid, sub, cl FROM (SELECT sid, sub, cl,
+          row_number() OVER (PARTITION BY sid, sub
+                             ORDER BY d DESC, cl) AS rn
+        FROM a{i}) WHERE rn = 1),
+    m{i} AS MATERIALIZED (
+      SELECT n.cl, n.sub, s.kk,
+             SUM(CAST(round(s.x * 1e9) AS BIGINT)) / 1e9 AS m
+      FROM n{i} n JOIN sampn s ON s.sid = n.sid AND s.sub = n.sub
+      GROUP BY n.cl, n.sub, s.kk),
+    nn{i} AS MATERIALIZED (
+      SELECT cl, sub,
+             CAST(SUM(CAST(round(m * m * 1e15) AS BIGINT)) AS BIGINT)
+               AS n2
+      FROM m{i} GROUP BY cl, sub),
+    c{i} AS MATERIALIZED (
+      SELECT p.cl, p.sub, p.kk,
+             CASE WHEN nn.n2 >= 1 THEN m.m / sqrt(nn.n2 / 1e15)
+                  ELSE p.c END AS c
+      FROM {p} p
+      LEFT JOIN m{i} m ON m.cl = p.cl AND m.sub = p.sub AND m.kk = p.kk
+      LEFT JOIN nn{i} nn ON nn.cl = p.cl AND nn.sub = p.sub)""")
+    parts.append(f""",
+    corpl AS MATERIALIZED (
+      SELECT vec_id, ((t.k - 1) // {sd}) + 1 AS sub,
+             ((t.k - 1) % {sd}) + 1 AS kk,
+             CAST(c.embedding[t.k] AS DOUBLE) AS x
+      FROM embeddings c, range(1, {dim + 1}) t(k)),
+    ed AS MATERIALIZED (
+      SELECT e.vec_id, e.sub, c.cl,
+             SUM(CAST(round(e.x * c.c * 1e15) AS BIGINT)) AS d
+      FROM corpl e JOIN c{iters} c ON c.sub = e.sub AND c.kk = e.kk
+      GROUP BY e.vec_id, e.sub, c.cl),
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, cl AS code FROM (SELECT vec_id, sub, cl,
+          row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d DESC, cl) AS rn
+        FROM ed) WHERE rn = 1),
+    qd AS MATERIALIZED (
+      SELECT vec_id AS query_id, sub, cl, d FROM ed WHERE vec_id < 10),
+    adc AS MATERIALIZED (
+      SELECT q.query_id, x.vec_id AS neighbor_id, SUM(q.d) AS adc
+      FROM codes x JOIN qd q ON q.sub = x.sub AND q.cl = x.code
+      WHERE x.vec_id != q.query_id
+      GROUP BY q.query_id, x.vec_id),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc DESC, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {n_cand}),
+    rer AS (
+      SELECT d.query_id, d.neighbor_id, {_cos_expr('q', 'c')} AS cos_sim
+      FROM cand d
+      JOIN embeddings q ON q.vec_id = d.query_id
+      JOIN embeddings c ON c.vec_id = d.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM rer)
+    WHERE rnk <= {k}""")
+    return "".join(parts)
+
+
+@query("q_sim_pq", oracle=_pq_oracle_sql())
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 — the COMPRESSED-DOMAIN scale
+    path alongside brute force (q_sim_topk), hyperplane LSH
+    (q_sim_ann) and IVF (q_sim_ivf): 64-dim vectors become 8 one-byte
+    codes (32× smaller scan), queries rank the corpus via a broadcast
+    ADC lookup table (8 int64 lookups per candidate, no vector math),
+    and the top-100 ADC candidates are exact-reranked with the true
+    integer-scaled cosine. Codebooks come from the same engine-exact
+    sampled-k-means recipe as the IVF quantizer, trained per
+    subspace, so the oracle re-derives the WHOLE path — training,
+    encode, ADC, rerank — in closed-form SQL (``_pq_oracle_sql``)
+    and matches bit for bit. Recall vs exact is pinned separately in
+    pytest."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(emb, queries, k=5, n_sub=8, n_centroids=16, n_cand=100)
+
+
 @query(
     "q_udaf_grouped",
     oracle="""

@@ -2678,3 +2678,354 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_id", F.col("k").alias("user_id"),
         F.when(fresh, F.col("_prev.ok")).alias("asof_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# sessionization / interval analytics (round 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id)
+                       <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS brk
+      FROM events),
+    i AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM o)
+    SELECT user_id, CAST(island AS INT) AS island_id,
+           MIN(ts) AS island_start, MAX(ts) AS island_end,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM i GROUP BY user_id, island
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization, the batch classic: per user,
+    events separated by ≤ 30 minutes coalesce into one island; a
+    larger gap starts a new one. Two windows over the SAME (user_id)
+    partitioning — lag to flag breaks, running sum to number islands —
+    then a groupBy that reuses that partitioning, so the whole query
+    is ONE shuffle on user_id (Catalyst collapses the two WindowExecs
+    and the partial agg rides the existing exchange). Microsecond-
+    exact gap arithmetic (timestamp difference vs an interval literal
+    — NTZ-safe, no seconds cast) and an event_id tie-break keep
+    island numbering deterministic under equal timestamps at any
+    partition count."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    brk = F.when(gap <= F.expr("INTERVAL 30 MINUTES"), 0).otherwise(1)
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(F.min("ts").alias("island_start"),
+             F.max("ts").alias("island_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.count_distinct("event_type").alias("n_types"))
+        .select("user_id", F.col("island").cast("int").alias("island_id"),
+                "island_start", "island_end", "n_events", "n_types"))
+
+
+@query(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS iv_start,
+             ts + to_seconds(CAST(round(value * 60) AS BIGINT)) AS iv_end
+      FROM events),
+    o AS (
+      SELECT *, MAX(iv_end) OVER (PARTITION BY user_id
+               ORDER BY iv_start, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_end
+      FROM iv),
+    f AS (
+      SELECT *, CASE WHEN iv_start <= prev_end THEN 0 ELSE 1 END AS brk
+      FROM o),
+    i AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id
+               ORDER BY iv_start, event_id ROWS UNBOUNDED PRECEDING)
+             AS island
+      FROM f)
+    SELECT user_id, CAST(island AS INT) AS merged_id,
+           MIN(iv_start) AS merged_start, MAX(iv_end) AS merged_end,
+           COUNT(*) AS n_intervals
+    FROM i GROUP BY user_id, island
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge (union of closed intervals) — the
+    other half of the gaps-and-islands family: each event spans
+    [ts, ts + value minutes]; per user, transitively-overlapping
+    spans collapse to one merged interval. The sweep is a running
+    MAX(end) over rows strictly BEFORE the current one — an interval
+    starts a new merged group iff it begins after every earlier
+    interval has ended — then the same running-sum island numbering.
+    One shuffle on user_id total, same plan family as q_gaps_islands.
+    Durations go through round() before the integer cast on BOTH
+    engines (the repo's cross-engine cast rule)."""
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.make_dt_interval(
+            secs=F.round(F.col("value") * 60).cast("long").cast("double"))
+         ).alias("iv_end"))
+    w = Window.partitionBy("user_id").orderBy("iv_start", "event_id")
+    prev_end = F.max("iv_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("iv_start") <= prev_end, 0).otherwise(1)
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        iv.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(F.min("iv_start").alias("merged_start"),
+             F.max("iv_end").alias("merged_end"),
+             F.count(F.lit(1)).alias("n_intervals"))
+        .select("user_id", F.col("island").cast("int").alias("merged_id"),
+                "merged_start", "merged_end", "n_intervals"))
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_median
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 7 events per user — a
+    holistic (non-algebraic) sliding statistic Spark has no built-in
+    window aggregate for. Expressed entirely in JVM expressions:
+    collect_list over the ROWS frame (bounded: ≤ 7 doubles per row,
+    so state is O(frame), never O(partition)), array_sort, and an
+    odd/even interpolation pick — no Python worker in the loop. One
+    shuffle on user_id. Rounded to 1e-6 so the two engines' (a+b)/2
+    interpolation can't differ in the last ULP."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, 0))
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise(
+        (F.element_at(arr, (n / 2).cast("int")) + hi) / 2)
+    return ev.select("event_id", "user_id",
+                     F.round(med, 6).alias("rolling_median"))
+
+
+# ---------------------------------------------------------------------------
+# graph: triangle counting (round 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_orderkey % 10 = 0),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node),
+    o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM e JOIN deg du ON du.node = e.u
+             JOIN deg dv ON dv.node = e.v),
+    t AS (
+      SELECT x.src AS a, x.dst AS b, y.dst AS c
+      FROM o x JOIN o y ON y.src = x.dst
+      JOIN o z ON z.src = x.src AND z.dst = y.dst)
+    SELECT node AS part_node, COUNT(*) AS n_triangles
+    FROM (SELECT a AS node FROM t UNION ALL SELECT b AS node FROM t
+          UNION ALL SELECT c AS node FROM t)
+    GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-purchase graph (parts
+    sharing an order are adjacent; every 10th order keeps the graph a
+    deterministic sample). Uses DEGREE-ORDERED ORIENTATION — each
+    edge points from its lower-(degree, id) endpoint to the higher —
+    so every triangle is found exactly once as a path a→b→c plus the
+    closing edge a→c, and, critically for 100 TB graphs, each node's
+    out-degree is O(√m): the wedge join that dominates triangle
+    counting is bounded O(m^1.5) overall instead of Σ deg² blowing up
+    on hub nodes. All equi-joins (orderkey for edge build, node for
+    degree attach, (src,dst) for closure) — no cartesian anywhere;
+    the degree table is |V|-sized and AQE broadcasts it when small.
+    The edge set and the oriented edge set are each materialized ONCE
+    (localCheckpoint — the graph.py iterative convention): the edge
+    list feeds three consumers and the oriented list three self-join
+    arms, and without the cut Catalyst re-derives the whole
+    scan→join→distinct lineage per consumer (a 77-exchange plan for
+    what is logically 3 joins)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = (li.filter(F.col("l_orderkey") % 10 == 0)
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pk"))
+             .distinct())
+    a, b = items.alias("a"), items.alias("b")
+    e = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                & (F.col("a.pk") < F.col("b.pk")))
+         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+         .distinct()
+         .localCheckpoint())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = (e.join(du, "u").join(dv, "v")
+         .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                 .alias("src"),
+                 F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                 .alias("dst"))
+         .localCheckpoint())
+    x = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    y = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    z = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = x.join(y, "b").join(z, ["a", "c"])
+    return (tri.select(F.explode(F.array("a", "b", "c")).alias("part_node"))
+            .groupBy("part_node")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+# ---------------------------------------------------------------------------
+# sketch: bloom filter (round 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_agg_bloom",
+    oracle="""
+    WITH members AS (
+      SELECT c_mktsegment AS seg, c_custkey AS key
+      FROM customer WHERE c_acctbal > 7500),
+    pos AS (
+      SELECT seg, key, i,
+             ('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                 || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS p
+      FROM members, range(1, 4) t(i)),
+    words AS (
+      SELECT seg, p // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY seg, p // 32),
+    stats AS (
+      SELECT seg, SUM(bit_count(bits)) AS bits_set FROM words GROUP BY seg),
+    counts AS (
+      SELECT seg, COUNT(*) AS n_members FROM members GROUP BY seg),
+    probes AS (
+      SELECT s.seg, c.c_custkey AS probe_key
+      FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s,
+           (SELECT c_custkey FROM customer WHERE c_custkey <= 200) c),
+    probe_pos AS (
+      SELECT seg, probe_key, i,
+             ('0x' || substr(md5(CAST(probe_key AS VARCHAR) || ':'
+                                 || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS p
+      FROM probes, range(1, 4) t(i)),
+    checks AS (
+      SELECT pp.seg, pp.probe_key,
+             COALESCE((w.bits >> CAST(pp.p % 32 AS INT)) & 1, 0) AS hit
+      FROM probe_pos pp
+      LEFT JOIN words w ON w.seg = pp.seg AND w.word = pp.p // 32),
+    verdicts AS (
+      SELECT seg, probe_key,
+             CAST(MIN(hit) AS INT) = 1 AS might_contain
+      FROM checks GROUP BY seg, probe_key)
+    SELECT v.seg, v.probe_key, v.might_contain,
+           EXISTS (SELECT 1 FROM members m
+                   WHERE m.seg = v.seg AND m.key = v.probe_key) AS is_member,
+           (v.might_contain OR NOT EXISTS (
+              SELECT 1 FROM members m
+              WHERE m.seg = v.seg AND m.key = v.probe_key)) AS fn_free,
+           c.n_members, CAST(s.bits_set AS BIGINT) AS bits_set
+    FROM verdicts v
+    JOIN counts c ON c.seg = v.seg
+    JOIN stats s ON s.seg = v.seg
+    """,
+)
+def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as a first-class MERGEABLE aggregate, fully
+    inspectable: per market segment, the high-value-customer key set
+    is summarized into a 1024-bit filter stored as 32 bit-or'able
+    int64 words (k=3 md5-derived hash positions — the same replicable
+    md5-prefix family the SimHash/LSH oracles use, so DuckDB
+    re-derives the filter bit for bit). Build is one partial-agg
+    shuffle of WORD STATE only (32 longs per group max, never the
+    keys); merge across corpora/batches is bit_or — the property that
+    lets 100 TB runtime join pruning ship tiny filters to every
+    executor instead of the build side itself (q_join_bloom consumes
+    exactly this shape via Spark's native BloomFilterAggregate).
+    A 200-key probe set then gets an in-plan verdict pack:
+    might_contain (all 3 bits set), exact membership, and the
+    no-false-negative invariant fn_free — provable row by row, TRUE
+    everywhere by Bloom's contract."""
+    cust = read_table(spark, sf_dir, "customer")
+    members = (cust.filter(F.col("c_acctbal") > 7500)
+               .select(F.col("c_mktsegment").alias("seg"),
+                       F.col("c_custkey").alias("key")))
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        out = df.withColumn("i", F.explode(F.array(
+            F.lit(1), F.lit(2), F.lit(3))))
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col(key).cast("string"), F.col("i").cast("string"))),
+            1, 15), 16, 10).cast("long")
+        return out.withColumn("p", h % 1024)
+
+    words = (positions(members, "key")
+             .groupBy("seg", (F.col("p") / 32).cast("int").alias("word"))
+             .agg(F.bit_or(F.expr(
+                 "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"))
+                  .alias("bits")))
+    stats = words.groupBy("seg").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set"))
+    counts = members.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    segs = cust.select(F.col("c_mktsegment").alias("seg")).distinct()
+    probes = segs.crossJoin(
+        cust.filter(F.col("c_custkey") <= 200)
+        .select(F.col("c_custkey").alias("probe_key")))
+    checks = (positions(probes, "probe_key")
+              .withColumn("word", (F.col("p") / 32).cast("int"))
+              .join(words, ["seg", "word"], "left")
+              .withColumn("hit", F.coalesce(
+                  F.expr("(bits >> CAST(p % 32 AS INT)) & 1"), F.lit(0))))
+    verdicts = (checks.groupBy("seg", "probe_key")
+                .agg((F.min("hit") == 1).alias("might_contain")))
+    membership = members.withColumn("is_m", F.lit(True)) \
+        .withColumnRenamed("key", "probe_key")
+    return (verdicts
+            .join(membership, ["seg", "probe_key"], "left")
+            .withColumn("is_member", F.coalesce(F.col("is_m"),
+                                                F.lit(False)))
+            .withColumn("fn_free",
+                        F.col("might_contain") | ~F.col("is_member"))
+            .join(F.broadcast(counts), "seg")
+            .join(F.broadcast(stats), "seg")
+            .select("seg", "probe_key", "might_contain", "is_member",
+                    "fn_free", "n_members", "bits_set"))

