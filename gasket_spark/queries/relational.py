@@ -2829,8 +2829,37 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# graph: triangle counting (round 6)
+# graph: triangle counting / BFS (round 6)
 # ---------------------------------------------------------------------------
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edge set (u < v) of the part co-purchase
+    graph: parts sharing an order are adjacent; every 10th order keeps
+    the graph a deterministic sample. Materialized once
+    (localCheckpoint) because every graph query fans it into several
+    join arms."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = (li.filter(F.col("l_orderkey") % 10 == 0)
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pk"))
+             .distinct())
+    a, b = items.alias("a"), items.alias("b")
+    return (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                   & (F.col("a.pk") < F.col("b.pk")))
+            .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+            .distinct()
+            .localCheckpoint())
+
+
+_BFS_EDGE_SQL = """
+    items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_orderkey % 10 = 0),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk)
+"""
+
 
 @query(
     "q_graph_triangles",
@@ -2880,17 +2909,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms, and without the cut Catalyst re-derives the whole
     scan→join→distinct lineage per consumer (a 77-exchange plan for
     what is logically 3 joins)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    items = (li.filter(F.col("l_orderkey") % 10 == 0)
-             .select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("pk"))
-             .distinct())
-    a, b = items.alias("a"), items.alias("b")
-    e = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
-                & (F.col("a.pk") < F.col("b.pk")))
-         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-         .distinct()
-         .localCheckpoint())
+    e = _copurchase_edges(spark, sf_dir)
     deg = (e.select(F.col("u").alias("node"))
            .unionAll(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -3029,3 +3048,203 @@ def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(stats), "seg")
             .select("seg", "probe_key", "might_contain", "is_member",
                     "fn_free", "n_members", "bits_set"))
+
+
+def _bfs_oracle_sql(max_hops: int = 4) -> str:
+    """Unrolled frontier-expansion BFS in ANSI SQL: one CTE per level,
+    each joining the previous frontier to the edge list and excluding
+    every already-visited node — the exact shape of the Spark loop
+    (and, unlike a naive WITH RECURSIVE path walk, immune to path-
+    count explosion on cyclic graphs: each level is a DISTINCT
+    frontier, never an enumeration of walks)."""
+    parts = [f"""
+    WITH {_BFS_EDGE_SQL},
+    und AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    d0 AS (SELECT MIN(src) AS node FROM und)"""]
+    for d in range(1, max_hops + 1):
+        seen = " UNION ALL ".join(
+            f"SELECT node FROM d{i}" for i in range(d))
+        parts.append(f""",
+    d{d} AS (
+      SELECT DISTINCT nd.dst AS node
+      FROM und nd JOIN d{d - 1} f ON nd.src = f.node
+      WHERE nd.dst NOT IN ({seen}))""")
+    levels = " UNION ALL ".join(
+        f"SELECT node AS part_node, {d} AS hops FROM d{d}"
+        for d in range(max_hops + 1))
+    parts.append(f"""
+    SELECT part_node, CAST(hops AS INT) AS hops FROM ({levels})""")
+    return "".join(parts)
+
+
+@query("q_graph_bfs", oracle=_bfs_oracle_sql())
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the part co-purchase graph: minimum hop
+    distance (<= 4) from the smallest part node, by iterative
+    FRONTIER EXPANSION — the loop form for data-dependent traversals
+    (q_recursive_cte covers the in-plan WITH RECURSIVE shape; this is
+    its explicit twin for graphs where a recursive path walk would
+    enumerate exponentially many walks through cycles). Each level is
+    one equi-join of the frontier against the checkpointed edge list
+    + one anti-join against the visited set, then a localCheckpoint
+    to truncate lineage — per-level cost O(frontier x avg-degree),
+    state O(visited), the scalable BFS shape. The root is a bounded
+    1-row driver scalar."""
+    e = _copurchase_edges(spark, sf_dir)
+    und = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(e.select(F.col("v").alias("src"),
+                              F.col("u").alias("dst"))))
+    root = und.agg(F.min("src")).collect()[0][0]
+    visited = spark.createDataFrame([(int(root), 0)],
+                                    "part_node bigint, hops int")
+    frontier = visited
+    for d in range(1, 5):
+        nxt = (und.join(frontier.select(F.col("part_node").alias("src")),
+                        "src")
+               .select(F.col("dst").alias("part_node")).distinct()
+               .join(visited, "part_node", "left_anti")
+               .withColumn("hops", F.lit(d))
+               .localCheckpoint())
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# curation: weighted sampling / data-quality audit (round 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH pri AS (
+      SELECT lang, doc_id, n_chars AS weight,
+             round(ln(greatest(
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'),
+                               1, 15))::BIGINT
+                 / 1152921504606846976.0, 1e-18)) / n_chars, 12)
+               AS priority
+      FROM documents)
+    SELECT lang, doc_id, weight, priority, CAST(rk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY priority DESC, doc_id) AS rk FROM pri)
+    WHERE rk <= 5
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (top-5 per language) via
+    the Efraimidis-Spirakis A-ES key: priority = ln(u)/w with u a
+    deterministic md5-derived uniform — equivalent to ranking by
+    u^(1/w), so inclusion probability is proportional to weight
+    (n_chars), but content-addressed like every sampler in this repo:
+    partition-layout, retry and engine independent, and mergeable
+    (the global top-k of per-partition top-ks — TakeOrdered shape,
+    no full sort). The 100 TB form of 'sample 1M docs weighted by
+    length' without a shuffle of the corpus: one windowed top-k per
+    stratum. ln() is rounded to 1e-12 with a doc_id tie-break (the
+    q_tfidf cross-engine float rule)."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":wsamp"))), 1, 15), 16, 10)
+        .cast("long") / F.lit(float(2 ** 60)))
+    pri = F.round(F.log(F.greatest(u, F.lit(1e-18))) / F.col("n_chars"), 12)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc())
+    return (docs.select("lang", "doc_id",
+                        F.col("n_chars").alias("weight"),
+                        pri.alias("priority"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+
+
+@query(
+    "q_constraint_audit",
+    oracle="""
+    WITH li AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+               AS qty_bad,
+             COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+               AS disc_bad
+      FROM lineitem),
+    fk_ord AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS bad
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+    fk_li AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS bad
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    pk AS (
+      SELECT COUNT(*) AS n_keys, SUM(c - 1) AS dups FROM (
+        SELECT c_custkey, COUNT(*) AS c FROM customer GROUP BY c_custkey)),
+    ev AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE user_id IS NULL) AS bad
+      FROM events)
+    SELECT * FROM (
+      SELECT 'lineitem_qty_range' AS rule, n AS n_checked,
+             CAST(qty_bad AS BIGINT) AS n_violations FROM li
+      UNION ALL
+      SELECT 'lineitem_discount_range', n, CAST(disc_bad AS BIGINT)
+      FROM li
+      UNION ALL
+      SELECT 'orders_customer_fk', n, CAST(bad AS BIGINT) FROM fk_ord
+      UNION ALL
+      SELECT 'lineitem_orders_fk', n, CAST(bad AS BIGINT) FROM fk_li
+      UNION ALL
+      SELECT 'customer_pk_unique', n_keys, CAST(dups AS BIGINT) FROM pk
+      UNION ALL
+      SELECT 'events_user_nonnull', n, CAST(bad AS BIGINT) FROM ev)
+    """,
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit pack — the expectation-suite
+    shape (uniqueness, referential integrity, range and null
+    contracts) as ONE DataFrame: per rule, rows checked + violation
+    count. Each table is scanned once: both lineitem range rules ride
+    a single conditional aggregate; FK checks are LEFT joins counted
+    with FILTER-style conditional counts (null-probe = orphan);
+    uniqueness is a two-phase groupBy. The per-rule results are
+    1-row aggregates unioned at the end — at 100 TB the cost is the
+    table scans, not the union, and every rule is a map-side partial
+    aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li_row = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("l_quantity") < 1)
+                       | (F.col("l_quantity") > 50), 1)).alias("qty_bad"),
+        F.count(F.when((F.col("l_discount") < 0)
+                       | (F.col("l_discount") > 0.1), 1)).alias("disc_bad"))
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    fk_ord = (orders.join(F.broadcast(
+        cust.select(F.col("c_custkey").alias("o_custkey"),
+                    F.lit(1).alias("_hit"))), "o_custkey", "left")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count(F.when(F.col("_hit").isNull(), 1)).alias("bad")))
+    fk_li = (li.select("l_orderkey").join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                      F.lit(1).alias("_hit")), "l_orderkey", "left")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count(F.when(F.col("_hit").isNull(), 1)).alias("bad")))
+    pk = (cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("c"))
+          .agg(F.count(F.lit(1)).alias("n_keys"),
+               F.sum(F.col("c") - 1).alias("dups")))
+    ev = read_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("bad"))
+
+    def row(src: DataFrame, rule: str, n: str, v: str) -> DataFrame:
+        return src.select(F.lit(rule).alias("rule"),
+                          F.col(n).cast("bigint").alias("n_checked"),
+                          F.col(v).cast("bigint").alias("n_violations"))
+
+    return (row(li_row, "lineitem_qty_range", "n", "qty_bad")
+            .unionByName(row(li_row, "lineitem_discount_range", "n",
+                             "disc_bad"))
+            .unionByName(row(fk_ord, "orders_customer_fk", "n", "bad"))
+            .unionByName(row(fk_li, "lineitem_orders_fk", "n", "bad"))
+            .unionByName(row(pk, "customer_pk_unique", "n_keys", "dups"))
+            .unionByName(row(ev, "events_user_nonnull", "n", "bad")))

@@ -250,6 +250,15 @@ class TestNewQueryPlanContracts:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_weighted_sample_single_shuffle_no_python(self, spark):
+        """A-ES weighted sampling is one window shuffle on the
+        stratum key; priorities are JVM expressions (md5/conv/ln) —
+        no Python worker, no extra exchange."""
+        plan = _plan(QUERIES["q_sample_weighted"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
     def test_pivot_is_single_conditional_aggregate(self, spark):
         """Conditional-aggregate pivot: ONE two-phase agg, one
         exchange — not the stacked pair native pivot() compiles to."""

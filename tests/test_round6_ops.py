@@ -137,3 +137,99 @@ class TestBloom:
         # would be broken)
         non = [r for r in rows if not r.is_member]
         assert any(not r.might_contain for r in non)
+
+
+class TestBFS:
+    def test_against_bruteforce(self, spark):
+        """Independent BFS in plain Python over the same edge set must
+        produce identical (node, min-hop) pairs for hops <= 4."""
+        from collections import deque
+
+        from gasket_spark.queries.relational import _copurchase_edges
+
+        e = _copurchase_edges(spark, SF_SMALL).collect()
+        adj: dict[int, set[int]] = {}
+        for r in e:
+            adj.setdefault(r.u, set()).add(r.v)
+            adj.setdefault(r.v, set()).add(r.u)
+        root = min(min(r.u, r.v) for r in e)
+        dist = {root: 0}
+        dq = deque([root])
+        while dq:
+            n = dq.popleft()
+            if dist[n] >= 4:
+                continue
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    dq.append(m)
+        got = {r.part_node: r.hops
+               for r in QUERIES["q_graph_bfs"](spark, SF_SMALL).collect()}
+        assert got == dist
+
+    def test_hops_monotone_frontier(self, spark):
+        out = QUERIES["q_graph_bfs"](spark, SF_SMALL).collect()
+        by_hop: dict[int, int] = {}
+        for r in out:
+            by_hop[r.hops] = by_hop.get(r.hops, 0) + 1
+        assert by_hop.get(0) == 1          # exactly one root
+        assert set(by_hop) <= {0, 1, 2, 3, 4}
+
+
+class TestWeightedSample:
+    def test_matches_python_aes_keys(self, spark):
+        """Recompute the Efraimidis-Spirakis priorities in plain
+        Python (hashlib md5) for one language and confirm the exact
+        same top-5 in the same order."""
+        import hashlib
+        import math
+
+        docs = read_table(spark, SF_SMALL, "documents") \
+            .filter(F.col("lang") == "en") \
+            .select("doc_id", "n_chars").collect()
+        pri = []
+        for r in docs:
+            h = int(hashlib.md5(f"{r.doc_id}:wsamp".encode())
+                    .hexdigest()[:15], 16)
+            u = max(h / 2 ** 60, 1e-18)
+            pri.append((round(math.log(u) / r.n_chars, 12), -r.doc_id,
+                        r.doc_id))
+        expect = [d for _, _, d in sorted(pri, reverse=True)[:5]]
+        got = [r.doc_id for r in
+               QUERIES["q_sample_weighted"](spark, SF_SMALL)
+               .filter(F.col("lang") == "en")
+               .orderBy("rank").collect()]
+        assert got == expect
+
+    def test_weighting_biases_selection(self, spark):
+        """A-ES law: selected docs must skew long — the mean weight of
+        winners exceeds the stratum mean (overwhelmingly likely at
+        any fixture size; deterministic for the committed data)."""
+        sel = QUERIES["q_sample_weighted"](spark, SF_SMALL).collect()
+        docs = read_table(spark, SF_SMALL, "documents") \
+            .groupBy("lang").agg(F.avg("n_chars").alias("mean_w")) \
+            .collect()
+        mean_by_lang = {r.lang: r.mean_w for r in docs}
+        by_lang: dict[str, list] = {}
+        for r in sel:
+            by_lang.setdefault(r.lang, []).append(r.weight)
+        skewed = sum(
+            1 for lang, ws in by_lang.items()
+            if sum(ws) / len(ws) > mean_by_lang[lang])
+        assert skewed >= len(by_lang) - 1   # allow one small stratum
+
+
+class TestConstraintAudit:
+    def test_clean_fixture_rules_and_injected_violation(self, spark):
+        rows = {r.rule: r for r in
+                QUERIES["q_constraint_audit"](spark, SF_SMALL).collect()}
+        assert set(rows) == {
+            "lineitem_qty_range", "lineitem_discount_range",
+            "orders_customer_fk", "lineitem_orders_fk",
+            "customer_pk_unique", "events_user_nonnull"}
+        # the TPC-H-ish generator keeps these invariants
+        for rule in ("lineitem_qty_range", "orders_customer_fk",
+                     "lineitem_orders_fk", "customer_pk_unique",
+                     "events_user_nonnull"):
+            assert rows[rule].n_violations == 0, rule
+            assert rows[rule].n_checked > 0
