@@ -2245,3 +2245,120 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").alias("split"))
+
+
+@query(
+    "q_quality_classifier",
+    oracle="""
+    WITH weights AS (
+      SELECT i AS bucket,
+             ('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 1, 15))
+               ::BIGINT % 2001 - 1000 AS k_milli
+      FROM range(0, 256) t(i)),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT % 256 AS bucket
+      FROM toks),
+    z AS (
+      SELECT f.doc_id, SUM(w.k_milli) AS z_milli,
+             COUNT(*) AS n_tokens
+      FROM feats f JOIN weights w USING (bucket)
+      GROUP BY f.doc_id)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(CAST(z_milli AS DOUBLE)
+                 / (1000.0 * n_tokens)))), 6) AS score,
+           (CAST(z_milli AS DOUBLE) / (1000.0 * n_tokens)) >= 0.0
+             AS keep
+    FROM z
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering — the fastText-classifier shape
+    every production curation stack runs after the heuristic gates
+    (q_text_quality / q_quality_gopher): a linear model over hashed
+    bag-of-words features, scored as broadcast-model inference. The
+    256-bucket weight vector is a TABLE (built in-plan; stand-in for
+    trained weights loaded from storage) broadcast to every executor;
+    tokens hash into buckets (the hashing trick — fixed feature width
+    at any vocabulary), the logit accumulates in exact INTEGER
+    milliweight units (order-independent, partition-proof), and only
+    the final sigmoid touches floats (rounded 1e-6, the cross-engine
+    rule). One shuffle (per-doc sum); the corpus never joins anything
+    bigger than the 256-row model. At 100 TB this is the pattern for
+    any linear/embedding-dot scorer: broadcast weights, map-side
+    feature hashing, one partial-agg reduction."""
+    docs = read_table(spark, sf_dir, "documents")
+    spark_range = spark.range(0, 256).select(
+        F.col("id").alias("bucket"),
+        (F.conv(F.substring(F.md5(F.concat(
+            F.lit("w:"), F.col("id").cast("string"))), 1, 15), 16, 10)
+         .cast("bigint") % 2001 - 1000).alias("k_milli"))
+    feats = (docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id",
+                (F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+                 .cast("bigint") % 256).alias("bucket")))
+    z = (feats.join(F.broadcast(spark_range), "bucket")
+         .groupBy("doc_id")
+         .agg(F.sum("k_milli").alias("z_milli"),
+              F.count(F.lit(1)).alias("n_tokens")))
+    logit = F.col("z_milli").cast("double") / (1000.0 * F.col("n_tokens"))
+    return z.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        .alias("score"),
+        (logit >= 0.0).alias("keep"))
+
+
+@query(
+    "q_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    spans AS (
+      SELECT doc_id, n,
+             CAST(unnest(range(0, 1 + greatest((n - 17) // 48, 0)))
+               AS INT) AS chunk_idx
+      FROM toks),
+    chunks AS (
+      SELECT s.doc_id, s.chunk_idx,
+             list_slice(t.ts, s.chunk_idx * 48 + 1,
+                        least(s.chunk_idx * 48 + 64, s.n)) AS ck
+      FROM spans s JOIN toks t USING (doc_id))
+    SELECT doc_id, chunk_idx,
+           CAST(len(ck) AS INT) AS chunk_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking — the RAG/context-window prep op:
+    each document's token stream splits into 64-token chunks with a
+    48-token stride (16-token overlap), so no retrieval-relevant span
+    is ever cut without a copy that keeps it whole. Pure map-side
+    fan-out: sequence → explode → slice, zero shuffles, zero Python —
+    at 100 TB chunking is embarrassingly parallel and this plan keeps
+    it that way. Chunk count = 1 + max(0, ceil((n-64)/48)) computed
+    in INTEGER arithmetic (guarded floor-vs-truncate divergence: both
+    engines greatest() the negative case away); chunk content is
+    pinned cross-engine by an md5 over the joined token slice."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("ts"),
+        F.size(F.split("text", " ")).alias("n"))
+    spans = toks.select(
+        "doc_id", "ts", "n",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.greatest(F.expr("(n - 17) div 48"), F.lit(0)).cast("int"))
+        ).alias("chunk_idx"))
+    ck = F.slice(F.col("ts"), F.col("chunk_idx") * 48 + 1, 64)
+    return spans.select(
+        "doc_id", "chunk_idx",
+        F.size(ck).cast("int").alias("chunk_tokens"),
+        F.md5(F.array_join(ck, " ")).alias("chunk_hash"))

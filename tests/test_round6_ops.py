@@ -233,3 +233,69 @@ class TestConstraintAudit:
                      "events_user_nonnull"):
             assert rows[rule].n_violations == 0, rule
             assert rows[rule].n_checked > 0
+
+
+class TestQualityClassifier:
+    def test_matches_python_inference(self, spark):
+        """Recompute the hashed-feature linear score in plain Python
+        (hashlib + math) for a handful of docs."""
+        import hashlib
+        import math
+
+        docs = read_table(spark, SF_SMALL, "documents") \
+            .filter(F.col("doc_id") < 5).collect()
+        got = {r.doc_id: r for r in
+               QUERIES["q_quality_classifier"](spark, SF_SMALL)
+               .filter(F.col("doc_id") < 5).collect()}
+        for d in docs:
+            z_milli = 0
+            toks = d.text.split(" ")
+            for t in toks:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 256
+                k = int(hashlib.md5(f"w:{b}".encode())
+                        .hexdigest()[:15], 16) % 2001 - 1000
+                z_milli += k
+            z = z_milli / (1000.0 * len(toks))
+            score = round(1.0 / (1.0 + math.exp(-z)), 6)
+            assert got[d.doc_id].score == pytest.approx(score, abs=1e-9)
+            assert got[d.doc_id].keep == (z >= 0.0)
+
+    def test_scores_are_probabilities(self, spark):
+        rows = QUERIES["q_quality_classifier"](spark, SF_SMALL).collect()
+        assert rows and all(0.0 < r.score < 1.0 for r in rows)
+        # the md5 weight vector is ~zero-mean: both classes occur
+        keeps = sum(1 for r in rows if r.keep)
+        assert 0 < keeps < len(rows)
+
+
+class TestChunkOverlap:
+    def test_chunks_cover_and_overlap(self, spark):
+        """Chunking law: stride-48/width-64 windows cover every token,
+        adjacent chunks share exactly 16 tokens (except a short final
+        chunk), and chunk hashes match a Python recomputation."""
+        import hashlib
+
+        docs = {r.doc_id: r.text.split(" ") for r in
+                read_table(spark, SF_SMALL, "documents")
+                .filter(F.col("doc_id") < 30).collect()}
+        out = QUERIES["q_chunk_overlap"](spark, SF_SMALL) \
+            .filter(F.col("doc_id") < 30).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(docs)
+        for doc_id, toks in docs.items():
+            rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+            n = len(toks)
+            expect_chunks = 1 + max(0, -(-(n - 64) // 48))
+            assert len(rows) == expect_chunks
+            assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+            covered = 0
+            for r in rows:
+                start = r.chunk_idx * 48
+                ck = toks[start:start + 64]
+                assert r.chunk_tokens == len(ck)
+                assert r.chunk_hash == hashlib.md5(
+                    " ".join(ck).encode()).hexdigest()
+                covered = max(covered, start + len(ck))
+            assert covered == n   # every token lands in some chunk
