@@ -3248,3 +3248,94 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(row(fk_li, "lineitem_orders_fk", "n", "bad"))
             .unionByName(row(pk, "customer_pk_unique", "n_keys", "dups"))
             .unionByName(row(ev, "events_user_nonnull", "n", "bad")))
+
+
+@query(
+    "q_join_scd2_lookup",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'purchase'),
+    dim AS (
+      SELECT user_id, value_cents, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes)
+    SELECT e.event_id, e.user_id, d.value_cents AS price_at_click
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') e
+    LEFT JOIN dim d ON d.user_id = e.user_id
+      AND e.ts >= d.valid_from
+      AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+)
+def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME lookup against a versioned (SCD Type-2)
+    dimension — the feature-store/warehouse companion to
+    q_scd2_history: every click event is enriched with the purchase
+    version that was valid AT the click's timestamp, via an equi-join
+    on the dimension key plus the half-open validity residual
+    [valid_from, valid_to). Because version intervals PARTITION each
+    user's timeline (LEAD-closed, zero-width versions from equal-ts
+    changes self-exclude), each event matches at most one version —
+    no post-join dedup, unlike a generic range join. One shuffle per
+    side on user_id; the residual evaluates inside the join. Events
+    before a user's first version (or for users with no versions)
+    keep NULL — the correct 'feature not yet observed' semantics that
+    prevents temporal leakage in training data."""
+    ev = read_table(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    cond = ((F.col("d_user") == F.col("user_id"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull()
+               | (F.col("ts") < F.col("valid_to"))))
+    return (clicks.join(dim, cond, "left")
+            .select("event_id", "user_id",
+                    F.col("value_cents").alias("price_at_click")))
+
+
+@query(
+    "q_scan_partition_pruned",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de')
+    """,
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITIONED dataset scan with partition pruning:
+    the documents table is written once partitioned by language
+    (``lang=en/``, ``lang=de/``, … directories; stamp-cached like the
+    ORC/NDJSON fixtures), and a language filter then prunes at the
+    DIRECTORY level — non-matching partitions are never listed into
+    the scan, the 100 TB difference between reading 2 languages and
+    reading 40. The plan contract (tests/test_plans.py) pins the
+    PartitionFilters entry; this query pins the values."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = os.path.join(tempfile.gettempdir(), "gasket_spark_partdocs",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(out, "_gasket_src_stamp")
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read() == stamp
+    except OSError:
+        pass
+    if not fresh:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return (spark.read.parquet(out)
+            .filter(F.col("lang").isin("en", "de"))
+            .select("doc_id", "lang", "n_chars"))

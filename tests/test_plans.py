@@ -259,6 +259,25 @@ class TestNewQueryPlanContracts:
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
 
+    def test_partitioned_scan_prunes_directories(self, spark):
+        """The lang filter must land in PartitionFilters (directory-
+        level pruning), not just PushedFilters — and zero exchanges:
+        a partition-pruned scan is a scan, nothing more."""
+        plan = _plan(QUERIES["q_scan_partition_pruned"](spark, SF_SMALL))
+        assert "PartitionFilters" in plan
+        pf_line = [ln for ln in plan.splitlines()
+                   if "PartitionFilters" in ln][0]
+        assert "lang" in pf_line, pf_line
+        assert plan.count("Exchange (") == 0
+
+    def test_scd2_lookup_joins_on_the_dim_key(self, spark):
+        """Point-in-time SCD2 lookup: an equi-join on user_id with
+        the validity residual inside it — never a cartesian or
+        nested-loop over versions."""
+        plan = _plan(QUERIES["q_join_scd2_lookup"](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_pivot_is_single_conditional_aggregate(self, spark):
         """Conditional-aggregate pivot: ONE two-phase agg, one
         exchange — not the stacked pair native pivot() compiles to."""
