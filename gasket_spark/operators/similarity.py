@@ -481,3 +481,91 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (rer.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+GRAM_SCALE = 1e12   # per-element v_i*v_j products are ~1e-2; row sums
+# stay far under 2^63 even at 10^8 vectors per partition
+
+
+def gram_matrix(corpus: DataFrame, vec_col: str = "embedding",
+                dim: int = 64) -> np.ndarray:
+    """One-pass distributed Gram matrix Σ v·vᵀ in ENGINE-EXACT integer
+    units: each partition accumulates a (dim×dim) int64 partial via
+    Arrow-batched ``mapInPandas`` (HALF_UP-rounded 1e12-scaled outer
+    products — order-independent, so any partitioning/retry yields the
+    same matrix), the per-partition partials shuffle as 4096-element
+    STATE rows (32 KB each, never the vectors), and the final
+    element-wise sum collapses to one bounded driver collect. The
+    sketch-build shape (cf. KLL/t-digest) applied to linear algebra:
+    at 100 TB the corpus streams once and only O(dim²) state moves."""
+    from pyspark.sql.types import (IntegerType as _I, LongType as _L,
+                                   StructField as _SF, StructType as _ST)
+
+    schema = _ST([_SF("idx", _I()), _SF("g", _L())])
+
+    def partial(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = np.einsum("ni,nj->nij", V, V) * GRAM_SCALE
+            acc += (np.sign(P) * np.floor(np.abs(P) + 0.5)) \
+                .astype(np.int64).sum(axis=0)
+        yield pd.DataFrame({"idx": np.arange(dim * dim, dtype=np.int32),
+                            "g": acc.reshape(-1)})
+
+    rows = (corpus.select(vec_col).mapInPandas(partial, schema=schema)
+            .groupBy("idx").agg(F.sum("g").alias("g"))
+            .collect())
+    G = np.zeros(dim * dim, dtype=np.int64)
+    for r in rows:
+        G[r["idx"]] = r["g"]
+    return G.reshape(dim, dim)
+
+
+def power_iteration_top1(G_int: np.ndarray, iters: int = 24) -> np.ndarray:
+    """Deterministic power iteration for the top eigenvector of an
+    integer-unit Gram matrix, every step replicable in ANSI SQL:
+    terms HALF_UP-round to 1e6 units before an order-independent
+    int64 sum, the iterate renormalizes to max-abs = 1e9 integer
+    units, and the final sign is fixed so the first maximal-magnitude
+    component is positive. Returns the int64 vector in 1e-9 units."""
+    dim = G_int.shape[0]
+    Gf = G_int / GRAM_SCALE
+    x = np.zeros(dim, dtype=np.int64)
+    x[0] = 10 ** 9
+    for _ in range(iters):
+        xf = x / 1e9
+        T = Gf * xf[None, :] * 1e6
+        y = (np.sign(T) * np.floor(np.abs(T) + 0.5)) \
+            .astype(np.int64).sum(axis=1)
+        m = int(np.abs(y).max())
+        if m == 0:
+            break
+        scaled = (y * 10 ** 9).astype(np.float64) / m
+        x = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+            .astype(np.int64)
+    i_star = int(np.argmax(np.abs(x)))   # first max wins, both engines
+    if x[i_star] < 0:
+        x = -x
+    return x
+
+
+def pca_project_top1(corpus: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     extra_cols: tuple[str, ...] = (),
+                     dim: int = 64, iters: int = 24) -> DataFrame:
+    """Project every vector onto the corpus's top principal direction
+    (uncentered PCA — the spectral axis of Σ v·vᵀ): distributed Gram
+    build → driver-side power iteration (64×64, trivially bounded) →
+    one map-side JVM projection pass with the eigenvector embedded as
+    literals (no second shuffle, no Python in the scan). Projections
+    are exact int64 nano-units, so the result hashes identically on
+    any engine."""
+    x = power_iteration_top1(gram_matrix(corpus, vec_col, dim), iters)
+    xlits = F.array(*[F.lit(float(v / 1e9)) for v in x])
+    terms = F.zip_with(
+        F.col(vec_col), xlits,
+        lambda v, w: F.round(v.cast("double") * w * 1e9).cast("long"))
+    proj = F.aggregate(terms, F.lit(0).cast("long"),
+                       lambda acc, t: acc + t)
+    return corpus.select(id_col, *extra_cols, proj.alias("proj_nano"))

@@ -2362,3 +2362,71 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx",
         F.size(ck).cast("int").alias("chunk_tokens"),
         F.md5(F.array_join(ck, " ")).alias("chunk_hash"))
+
+
+def _pca_oracle_sql(iters: int = 24, dim: int = 64) -> str:
+    """ANSI-SQL re-derivation of the ENTIRE uncentered-PCA top-1
+    path: integer-unit Gram matrix, ``iters`` unrolled power-
+    iteration steps (1e6-unit HALF_UP term rounding → int64 sums,
+    max-abs renormalization to 1e9 integer units), first-maximal-
+    component sign fix, and the final integer-nano projection — the
+    same engine-exact discipline as the k-means oracles, applied to
+    spectral linear algebra. SUMs pass through CAST(... AS BIGINT)
+    because DuckDB widens BIGINT sums to HUGEINT."""
+    parts = [f"""
+    WITH corp AS MATERIALIZED (
+      SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      FROM embeddings),
+    gm AS MATERIALIZED (
+      SELECT i.i, j.j,
+             CAST(SUM(CAST(round(c.v[i.i] * c.v[j.j] * 1e12) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM corp c, range(1, {dim + 1}) i(i), range(1, {dim + 1}) j(j)
+      GROUP BY i.i, j.j),
+    x0 AS (SELECT i, CAST(CASE WHEN i = 1 THEN 1000000000 ELSE 0 END
+                          AS BIGINT) AS x
+           FROM range(1, {dim + 1}) t(i))"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    y{t} AS MATERIALIZED (
+      SELECT gm.i,
+             CAST(SUM(CAST(round(gm.g / 1e12 * (x.x / 1e9) * 1e6)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM gm JOIN x{t - 1} x ON x.i = gm.j GROUP BY gm.i),
+    m{t} AS (SELECT MAX(ABS(y)) AS m FROM y{t}),
+    x{t} AS MATERIALIZED (
+      SELECT y.i,
+             CAST(round(CAST(y.y * 1000000000 AS DOUBLE)
+                        / CAST(m.m AS DOUBLE)) AS BIGINT) AS x
+      FROM y{t} y, m{t} m)""")
+    parts.append(f""",
+    mx AS (SELECT MAX(ABS(x)) AS mx FROM x{iters}),
+    istar AS (SELECT MIN(i) AS i FROM x{iters}, mx
+              WHERE ABS(x{iters}.x) = mx.mx),
+    sgn AS (SELECT CASE WHEN w.x < 0 THEN -1 ELSE 1 END AS s
+            FROM x{iters} w, istar WHERE w.i = istar.i),
+    xf AS (SELECT i, x * s AS x FROM x{iters}, sgn)
+    SELECT e.vec_id, e.label,
+           CAST(SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE)
+                 * (x.x / 1e9) * 1e9) AS BIGINT)) AS BIGINT) AS proj_nano
+    FROM embeddings e, range(1, {dim + 1}) t(i)
+    JOIN xf x ON x.i = t.i
+    GROUP BY e.vec_id, e.label""")
+    return "".join(parts)
+
+
+@query("q_embed_pca", oracle=_pca_oracle_sql())
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spectral decomposition, the curation use being
+    'project the corpus onto its dominant embedding direction'
+    (drift/cluster-axis diagnostics, 1-D binning for stratified
+    sampling): a ONE-PASS integer-exact Gram matrix (mapInPandas
+    partials, 32 KB of state per partition — the sketch-build shape
+    applied to linear algebra), driver-side power iteration on the
+    64×64 result (bounded, deterministic, SQL-replicable step by
+    step), then a map-side JVM projection with the eigenvector as
+    literals — the corpus is scanned twice and shuffled never.
+    Output projections are exact int64 nano-units, so the whole
+    spectral pipeline hash-matches the oracle bit for bit."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.pca_project_top1(emb, extra_cols=("label",))

@@ -3339,3 +3339,88 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.parquet(out)
             .filter(F.col("lang").isin("en", "de"))
             .select("doc_id", "lang", "n_chars"))
+
+
+@query(
+    "q_anomaly_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+           (e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier detection per event type — the
+    robust companion to q_anomaly_zscore: quartiles instead of
+    mean/stddev, so a few extreme values can't drag the fence toward
+    themselves. Two-pass shape: a per-group exact-quantile aggregate
+    (group count is tiny → broadcast back), then one map-side fence
+    filter over the stream — the corpus is scanned, never shuffled.
+    Fence arithmetic happens on UNROUNDED quantiles on both engines;
+    the reported q1/q3 are rounded for display only."""
+    ev = read_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (ev.join(F.broadcast(q), "event_type")
+            .filter((F.col("value") < lo) | (F.col("value") > hi))
+            .select("event_id", "event_type", "value",
+                    F.round("q1", 6).alias("q1"),
+                    F.round("q3", 6).alias("q3"),
+                    ((F.col("value") < lo) | (F.col("value") > hi))
+                    .alias("is_outlier")))
+
+
+@query(
+    "q_rollup_timegrain",
+    oracle="""
+    SELECT grain, bucket, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM (
+      SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+             event_type, value FROM events
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), event_type, value FROM events
+      UNION ALL
+      SELECT 'week', date_trunc('week', ts), event_type, value
+      FROM events)
+    GROUP BY grain, bucket, event_type
+    """,
+)
+def q_rollup_timegrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain TIME rollup (hour/day/week in one result) — the
+    dashboard-materialization shape q_agg_rollup_cube covers for
+    dimensional hierarchies, applied to the time axis. Expressed as
+    an explode over the three truncations so the input is scanned
+    ONCE and the partial aggregate combines all grains before the
+    single shuffle (vs three separate queries = three scans). Sums
+    accumulate in integer cents (round-before-cast, both engines)."""
+    ev = read_table(spark, sf_dir, "events")
+    grains = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.explode(F.array(
+            F.struct(F.lit("hour").alias("grain"),
+                     F.date_trunc("hour", "ts").alias("bucket")),
+            F.struct(F.lit("day").alias("grain"),
+                     F.date_trunc("day", "ts").alias("bucket")),
+            F.struct(F.lit("week").alias("grain"),
+                     F.date_trunc("week", "ts").alias("bucket")),
+        )).alias("g"))
+    return (grains.groupBy(F.col("g.grain").alias("grain"),
+                           F.col("g.bucket").alias("bucket"),
+                           "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("value_cents")))

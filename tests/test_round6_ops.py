@@ -299,3 +299,78 @@ class TestChunkOverlap:
                     " ".join(ck).encode()).hexdigest()
                 covered = max(covered, start + len(ck))
             assert covered == n   # every token lands in some chunk
+
+
+class TestEmbedPCA:
+    def test_gram_partition_independent(self, spark):
+        """The integer-unit Gram matrix must be bit-identical under
+        any partition layout (order-independent int64 sums)."""
+        import numpy as np
+
+        from gasket_spark.operators import similarity as S
+
+        emb = read_table(spark, SF_SMALL, "embeddings")
+        g1 = S.gram_matrix(emb)
+        g2 = S.gram_matrix(emb.repartition(13))
+        assert np.array_equal(g1, g2)
+        assert np.array_equal(g1, g1.T)   # Gram symmetry survives
+
+    def test_direction_matches_numpy_eigenvector(self, spark):
+        """On a corpus with a DOMINANT direction (rank-1 spike), the
+        iterate must align with numpy's top eigenvector (>0.999); on
+        the natural near-isotropic fixture the eigengap is tiny, so
+        the claim there is the Rayleigh residual, not the axis."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from gasket_spark.operators import similarity as S
+
+        emb = read_table(spark, SF_SMALL, "embeddings")
+        spike_dir = np.zeros(64)
+        spike_dir[7], spike_dir[23] = 0.8, 0.6
+        spikes = spark.createDataFrame(
+            [Row(vec_id=100000 + i, embedding=(spike_dir * 2.0).tolist(),
+                 label=0) for i in range(50)])
+        spiked = emb.unionByName(spikes)
+        G = S.gram_matrix(spiked)
+        x = S.power_iteration_top1(G).astype(np.float64)
+        x /= np.linalg.norm(x)
+        w, V = np.linalg.eigh(G / S.GRAM_SCALE)
+        top = V[:, np.argmax(w)]
+        assert abs(float(np.dot(x, top))) > 0.999
+
+        # natural fixture: the iterate is an approximate eigenvector
+        # (small Rayleigh residual) even when the axis is ambiguous
+        Gn = S.gram_matrix(emb) / S.GRAM_SCALE
+        xn = S.power_iteration_top1(S.gram_matrix(emb)).astype(np.float64)
+        xn /= np.linalg.norm(xn)
+        gx = Gn @ xn
+        lam = float(xn @ gx)
+        assert np.linalg.norm(gx - lam * xn) / np.linalg.norm(gx) < 0.15
+
+        rows = QUERIES["q_embed_pca"](spark, SF_SMALL).collect()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in emb.collect()}
+        xq = S.power_iteration_top1(S.gram_matrix(emb)) / 1e9
+        for r in rows[:20]:
+            expect = float(np.dot(vecs[r.vec_id], xq))
+            assert r.proj_nano / 1e9 == pytest.approx(
+                expect, rel=1e-3, abs=1e-4)
+
+
+class TestAnomalyIQRAndTimegrain:
+    def test_iqr_outliers_outside_fences(self, spark):
+        rows = QUERIES["q_anomaly_iqr"](spark, SF_SMALL).collect()
+        assert rows and all(r.is_outlier for r in rows)
+        for r in rows:
+            iqr = r.q3 - r.q1
+            assert (r.value < r.q1 - 1.5 * iqr - 1e-5
+                    or r.value > r.q3 + 1.5 * iqr + -1e-5)
+
+    def test_timegrain_partitions_per_grain(self, spark):
+        total = read_table(spark, SF_SMALL, "events").count()
+        rows = QUERIES["q_rollup_timegrain"](spark, SF_SMALL).collect()
+        by_grain: dict[str, int] = {}
+        for r in rows:
+            by_grain[r.grain] = by_grain.get(r.grain, 0) + r.n_events
+        assert by_grain == {"hour": total, "day": total, "week": total}
