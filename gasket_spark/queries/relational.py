@@ -3424,3 +3424,98 @@ def q_rollup_timegrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("cents").alias("value_cents")))
+
+
+@query(
+    "q_sql_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through the SQL SURFACE — the
+    engine's spark.sql entry point is first-class, not just the
+    DataFrame API: three-table join, segment + date filters on both
+    sides, revenue aggregate, top-10. Catalyst plans it identically
+    to the DataFrame form (filter pushdown to all three scans,
+    broadcast dim, TakeOrdered instead of a global sort); revenue
+    accumulates in integer cents (round-before-cast on both engines).
+    The deterministic o_orderkey tiebreak makes the LIMIT stable."""
+    for t in ("customer", "orders", "lineitem"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q3_{t}")
+    return spark.sql("""
+        SELECT o.o_orderkey,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT)) AS revenue_cents,
+               o.o_orderdate
+        FROM _q3_customer c
+        JOIN _q3_orders o ON o.o_custkey = c.c_custkey
+        JOIN _q3_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue_cents DESC, o_orderkey
+        LIMIT 10
+    """)
+
+
+@query(
+    "q_sql_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_local_supplier_volume(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) via spark.sql — the 6-table
+    snowflake join with the subtle same-nation equi-constraint
+    between supplier and customer. Catalyst broadcast-joins the three
+    tiny dims (nation/region/supplier-side) and leaves one real
+    shuffle pair (orders⋈lineitem); join REORDERING is the optimizer
+    feature this query exists to exercise — the written order is
+    deliberately not the efficient one."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q5_{t}")
+    return spark.sql("""
+        SELECT n.n_name,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT)) AS revenue_cents
+        FROM _q5_customer c
+        JOIN _q5_orders o ON o.o_custkey = c.c_custkey
+        JOIN _q5_lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN _q5_supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+        JOIN _q5_nation n ON n.n_nationkey = s.s_nationkey
+        JOIN _q5_region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+        GROUP BY n.n_name
+    """)
