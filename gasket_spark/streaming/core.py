@@ -1190,3 +1190,79 @@ def idempotent_batch_sink(base_dir: str):
             os.path.join(base_dir, f"batch_id={batch_id}"))
 
     return _sink
+
+
+def typed_state_totals(events: DataFrame,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Spark 4 TYPED-STATE operator (``transformWithStateInPandas``) —
+    ENVIRONMENT-GATED like the Kafka connector: the typed-state
+    Python worker speaks a protobuf protocol to the JVM, so this
+    operator needs the ``protobuf`` package at RUNTIME (absent in
+    this container by design — the gated pytest skips loudly and the
+    operator raises the real ImportError when driven without it).
+    The plan/state design below is fully real and exercised wherever
+    protobuf exists.
+
+    API story —
+    the successor API to ``applyInPandasWithState`` (see
+    :func:`stateful_user_totals` for the classic form): state is
+    declared as named, schema'd variables on a handle (here a
+    ``ValueState`` for the user's running totals and a ``MapState``
+    keyed by event type for distinct-type tracking), with TTL and
+    timers available per variable. Each micro-batch folds its Arrow
+    batches into the typed state and emits ONE consistent row per
+    touched user: (n_events, total_cents, n_types, min_event_id) —
+    money in integer cents and the id as a MIN, so batch order and
+    partitioning can't change the final row. State is O(keys ×
+    types), never O(events)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT, min_eid BIGINT")
+            self._types = handle.getMapState(
+                "types", "event_type STRING", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents, min_eid = (self._totals.get()
+                                 if self._totals.exists()
+                                 else (0, 0, None))
+            touched: dict[str, int] = {}
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.round(pdf["value"].to_numpy(np.float64)
+                                      * 100).astype(np.int64).sum())
+                beid = int(pdf["event_id"].min())
+                min_eid = beid if min_eid is None else min(min_eid, beid)
+                for et, c in pdf["event_type"].value_counts().items():
+                    touched[et] = touched.get(et, 0) + int(c)
+            for et, c in touched.items():
+                prev = (self._types.getValue((et,))[0]
+                        if self._types.containsKey((et,)) else 0)
+                self._types.updateValue((et,), (prev + c,))
+            self._totals.update((n, cents, min_eid))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "total_cents": [cents], "n_types": [n_types],
+                "min_event_id": [min_eid]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Totals(),
+            outputStructType=("user_id BIGINT, n_events BIGINT, "
+                              "total_cents BIGINT, n_types BIGINT, "
+                              "min_event_id BIGINT"),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

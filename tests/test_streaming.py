@@ -809,3 +809,57 @@ class TestStreamCdcApply:
                          target_file_rows=10)
         got = {r.k: r.v for r in read_cdc_table(spark, tdir).collect()}
         assert got[7] == 777 and len(got) == 50
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason=(
+    "transformWithStateInPandas needs the protobuf package for its "
+    "worker protocol; not installed in this container"))
+def test_typed_state_totals_matches_batch(spark, events_json_dir):
+    """Spark 4 transformWithStateInPandas (ValueState + MapState):
+    the final per-user row after replaying real micro-batches must
+    equal the batch groupBy over the same events."""
+    from pyspark.sql import Window
+
+    from gasket_spark.streaming.core import typed_state_totals
+
+    stream = read_events_stream(spark, events_json_dir)
+    updates = run_to_completion(
+        typed_state_totals(stream, watermark="96 hours"),
+        "t_typed_state", output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (updates.withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") == 1))
+    batch = (read_table(spark, SF_SMALL, "events")
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("total_cents"),
+                  F.count_distinct("event_type").alias("n_types"),
+                  F.min("event_id").alias("min_event_id")))
+    cols = ["user_id", "n_events", "total_cents", "n_types",
+            "min_event_id"]
+    assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_typed_state_raises_cleanly_without_protobuf(spark,
+                                                    events_json_dir):
+    """Without protobuf the typed-state operator must fail LOUDLY at
+    stream start (the gated-dependency contract, like the Kafka
+    connector) — never silently degrade."""
+    if _has_protobuf():
+        pytest.skip("protobuf present; the gated path does not apply")
+    from gasket_spark.streaming.core import typed_state_totals
+
+    stream = read_events_stream(spark, events_json_dir)
+    with pytest.raises(Exception,
+                   match="protobuf|INITIALIZATION|TransformWithState|crashed"):
+        run_to_completion(typed_state_totals(stream, watermark="96 hours"),
+                          "t_typed_state_gate", output_mode="update")
