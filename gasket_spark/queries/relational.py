@@ -3519,3 +3519,100 @@ def q_sql_local_supplier_volume(spark: SparkSession,
           AND o.o_orderdate < DATE '1997-01-01'
         GROUP BY n.n_name
     """)
+
+
+@query(
+    "q_concurrency_peak",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, event_id, ts AS s,
+             ts + to_seconds(CAST(round(value * 60) AS BIGINT)) AS e
+      FROM events),
+    bounds AS (
+      SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta, event_id FROM iv),
+    sweep AS (
+      SELECT event_type, t, delta,
+             SUM(delta) OVER (PARTITION BY event_type
+               ORDER BY t, delta, event_id
+               ROWS UNBOUNDED PRECEDING) AS live
+      FROM bounds),
+    peak AS (
+      SELECT event_type, MAX(live) AS peak_concurrency FROM sweep
+      GROUP BY event_type)
+    SELECT p.event_type, CAST(p.peak_concurrency AS BIGINT)
+             AS peak_concurrency,
+           MIN(s.t) AS first_peak_at,
+           (SELECT COUNT(*) FROM iv i
+            WHERE i.event_type = p.event_type) AS n_intervals
+    FROM peak p JOIN sweep s
+      ON s.event_type = p.event_type
+     AND s.live = p.peak_concurrency
+    GROUP BY p.event_type, p.peak_concurrency
+    """,
+)
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line PEAK CONCURRENCY per event type — 'how many spans
+    were live at once, and when did the peak first happen': each
+    interval [ts, ts + value minutes) contributes a +1/-1 boundary
+    pair, a running sum over (time, delta, id) order walks the
+    sweep (half-open semantics: at an exact boundary instant, the
+    -1 sorts first so a span ending exactly when another starts
+    never double-counts), and the per-type max + its earliest
+    timestamp fall out of one more aggregate. One shuffle on
+    event_type; with very few types the sort-within-type is the
+    parallelism bound — at 100 TB you shard the sweep by
+    (type, coarse time bucket) and stitch bucket boundary offsets,
+    the same prefix-sum cascade as operators/packing.py."""
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type", "event_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.make_dt_interval(
+            secs=F.round(F.col("value") * 60).cast("long").cast("double"))
+         ).alias("e"))
+    bounds = (iv.select("event_type", F.col("s").alias("t"),
+                        F.lit(1).alias("delta"), "event_id")
+              .unionByName(iv.select("event_type", F.col("e").alias("t"),
+                                     F.lit(-1).alias("delta"),
+                                     "event_id")))
+    w = (Window.partitionBy("event_type")
+         .orderBy("t", "delta", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sweep = bounds.withColumn("live", F.sum("delta").over(w))
+    peak = sweep.groupBy("event_type").agg(
+        F.max("live").cast("bigint").alias("peak_concurrency"))
+    n_iv = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"))
+    return (sweep.join(F.broadcast(peak), "event_type")
+            .filter(F.col("live") == F.col("peak_concurrency"))
+            .groupBy("event_type", "peak_concurrency")
+            .agg(F.min("t").alias("first_peak_at"))
+            .join(F.broadcast(n_iv), "event_type")
+            .select("event_type", "peak_concurrency", "first_peak_at",
+                    "n_intervals"))
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) per
+    event type — the 'where does this row sit in its group's value
+    distribution' pack that complements q_window_ntile's bucketing.
+    Value ties share a rank on both engines (ORDER BY value alone),
+    so the result is deterministic without an id tie-break; one
+    shuffle on the partition key."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id", "event_type",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"))
