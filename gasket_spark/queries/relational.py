@@ -3616,3 +3616,62 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"))
+
+
+@query(
+    "q_pattern_match",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             substr(event_type, 1, 1) AS init,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id)
+                       <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS brk
+      FROM events),
+    i AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    j AS (
+      SELECT user_id, CAST(sid AS INT) AS session_id,
+             COUNT(*) AS n_events,
+             string_agg(init, '' ORDER BY ts, event_id) AS journey
+      FROM i GROUP BY user_id, sid)
+    SELECT user_id, session_id, n_events, journey,
+           regexp_matches(journey, 'v[^e]*c[^e]*p') AS converted
+    FROM j
+    """,
+)
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection — the 'did
+    this session convert' shape with a VETO: within each 30-minute-
+    gap session, find view → click → purchase with NO error event
+    between the stages (q_funnel counts ordered stages; this adds
+    the negative condition real clickstream analysis needs). The
+    session's ordered event-type initials collapse into one journey
+    string (deterministic: struct-sorted by (ts, event_id)), and the
+    pattern is a regex over it — sessions are human-scale, so the
+    string is bounded and the whole detection is ONE shuffle on
+    user_id plus map-side regex, no self-joins per stage. The
+    journey string itself is in the output, pinning content
+    cross-engine, not just the verdict."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.substring("event_type", 1, 1).alias("init"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    brk = F.when(gap <= F.expr("INTERVAL 30 MINUTES"), 0).otherwise(1)
+    sid = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "init"))),
+            lambda x: x["init"]), "")
+    return (ev.withColumn("sid", sid)
+            .groupBy("user_id", F.col("sid").cast("int")
+                     .alias("session_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 journey.alias("journey"))
+            .withColumn("converted",
+                        F.col("journey").rlike("v[^e]*c[^e]*p")))
