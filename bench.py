@@ -76,11 +76,14 @@ HEADLINE: dict[str, str] = {
     "q_cdc_read_pruned": "count",
     "q_agg_kll": "collect",
     # r6 additions: t-digest sketch, PQ compressed-domain ANN, the
-    # gaps-and-islands window family, degree-ordered triangle join
+    # gaps-and-islands window family, degree-ordered triangle join,
+    # one-pass spectral Gram build, the 6-table SQL-surface snowflake
     "q_agg_tdigest": "collect",
     "q_sim_pq": "count",
     "q_gaps_islands": "count",
     "q_graph_triangles": "count",
+    "q_embed_pca": "count",
+    "q_sql_local_supplier_volume": "collect",
 }
 
 

@@ -234,3 +234,122 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  spark=spark)
     return eng.pipe("curate",
                     input_df=read_table(spark, sf_dir, "documents"))
+
+
+# multimodal curation pipeline stages (module-level, deterministic)
+
+def _stage_attach_media(df: DataFrame, ctx) -> DataFrame:
+    from gasket_spark.operators import multimodal as M
+
+    return M.attach_media(df)
+
+
+def _stage_decode_features(df: DataFrame, ctx) -> DataFrame:
+    from gasket_spark.operators import multimodal as M
+
+    return M.extract_features(df)
+
+
+def _stage_dedup_media(df: DataFrame, ctx) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("checksum").orderBy("media_id")
+    return df.withColumn("_rk", F.row_number().over(w)) \
+        .filter(F.col("_rk") == 1).drop("_rk")
+
+
+def _stage_media_stats(df: DataFrame, ctx) -> DataFrame:
+    return df.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct("checksum").alias("n_distinct_checksums"),
+        F.sum(F.round(F.col("metric") * 1e6).cast("bigint"))
+        .alias("sum_metric_micro"))
+
+
+@query(
+    "q_pipeline_multimodal",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, length(text) AS lt,
+             4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             4 + doc_id % 5 AS vw, 2 + doc_id % 3 AS vh,
+             2 + doc_id % 4 AS vn
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CASE WHEN doc_id % 3 = 1 THEN CAST(44 + 2 * lt AS BIGINT)
+                  WHEN doc_id % 3 = 0
+                  THEN CAST(9 + length(CAST(w AS VARCHAR))
+                              + length(CAST(h AS VARCHAR))
+                              + 3 * w * h AS BIGINT)
+                  ELSE CAST(224 + vn * (8 + ((3 * vw + 3) // 4) * 4 * vh)
+                       AS BIGINT)
+             END AS n_bytes,
+             CASE WHEN doc_id % 3 = 1
+                  THEN md5(array_to_string(list_transform(
+                         range(0, lt),
+                         i -> (doc_id * 31 + i * 7) % 256 - 128), ','))
+                  WHEN doc_id % 3 = 0
+                  THEN md5(array_to_string(list_transform(
+                         range(0, 3 * w * h),
+                         i -> (doc_id * 13 + i * 5) % 256), ','))
+                  ELSE md5(array_to_string(list_transform(
+                         range(0, vn * 3 * vw * vh),
+                         k -> (doc_id * 17 + (k // (3 * vw * vh)) * 11
+                               + (k % (3 * vw * vh)) * 3) % 256), ','))
+             END AS checksum,
+             CASE WHEN doc_id % 3 = 1
+                  THEN CAST(round(sqrt(CAST(list_sum(list_transform(
+                         range(0, lt),
+                         i -> ((doc_id * 31 + i * 7) % 256 - 128)
+                            * ((doc_id * 31 + i * 7) % 256 - 128)))
+                       AS DOUBLE) / lt) * 1e6) AS BIGINT)
+                  WHEN doc_id % 3 = 0
+                  THEN CAST(round(CAST(list_sum(list_transform(
+                         range(0, 3 * w * h),
+                         i -> (doc_id * 13 + i * 5) % 256))
+                       AS DOUBLE) / (3 * w * h) * 1e6) AS BIGINT)
+                  ELSE CAST(round(CAST(list_sum(list_transform(
+                         range(0, vn * 3 * vw * vh),
+                         k -> (doc_id * 17 + (k // (3 * vw * vh)) * 11
+                               + (k % (3 * vw * vh)) * 3) % 256))
+                       AS DOUBLE) / (vn * 3 * vw * vh) * 1e6) AS BIGINT)
+             END AS metric_micro
+      FROM m),
+    deduped AS (
+      SELECT * FROM (
+        SELECT feat.*, row_number() OVER (
+          PARTITION BY checksum ORDER BY doc_id) AS rk
+        FROM feat) t
+      WHERE rk = 1)
+    SELECT modality, COUNT(*) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT checksum) AS BIGINT)
+             AS n_distinct_checksums,
+           CAST(SUM(metric_micro) AS BIGINT) AS sum_metric_micro
+    FROM deduped GROUP BY modality
+    """,
+)
+def q_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND flagship composition — the multimodal twin of
+    q_pipeline_curate: attach → REAL decode (WAV/PPM/AVI strict
+    parsers in one Arrow-batched mapInPandas stage) → exact dedup on
+    the decode-invariant content checksum (the canonicalized pixels/
+    samples, so re-containered copies of the same media collapse) →
+    per-modality corpus stats, declared as a gasket pipeline and
+    compiled by the Engine into one Catalyst tree. Decode is the only
+    Python crossing, dedup the only wide shuffle, and the stats ride
+    integer micro-units end to end — the oracle re-derives every
+    decoded byte in closed form, so the WHOLE four-stage pipeline is
+    hash-exact cross-engine."""
+    eng = Engine({"curate_media": [_stage_attach_media,
+                                   _stage_decode_features,
+                                   _stage_dedup_media,
+                                   _stage_media_stats]},
+                 spark=spark)
+    return eng.pipe("curate_media",
+                    input_df=read_table(spark, sf_dir, "documents"))

@@ -33,10 +33,16 @@ from pyspark.sql import functions as F
 def build_10x(spark, base: str, out: str, replicas: int = 10) -> None:
     from gasket_spark.io import read_table
 
-    li = read_table(spark, base, "lineitem").select("l_partkey", "l_suppkey")
+    li = read_table(spark, base, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey")
     parts = []
     for i in range(replicas):
+        # orderkey shift is a multiple of 10, so the triangle family's
+        # deterministic l_orderkey % 10 sample keeps the SAME orders in
+        # every replica -> the co-purchase graph is exactly ten
+        # disjoint copies of the base one
         parts.append(li.select(
+            (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
             (F.col("l_partkey") + i * 10_000_000).alias("l_partkey"),
             (F.col("l_suppkey") + i * 1_000_000).alias("l_suppkey")))
     big_li = parts[0]
@@ -88,7 +94,8 @@ def main() -> None:
     # cross-replica candidate-pair blowup in the band join)
     for qname, iters in [("q_pagerank", 8), ("q_dedup_components", None),
                          ("q_dedup_minhash", None),
-                         ("q_dedup_incremental", None)]:
+                         ("q_dedup_incremental", None),
+                         ("q_graph_triangles", None)]:
         for label, d in [("sf0.1", base), ("sf1 (10x)", out)]:
             t0 = time.time()
             n = QUERIES[qname](spark, d).count()
