@@ -278,6 +278,54 @@ class TestNewQueryPlanContracts:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_pattern_match_single_shuffle(self, spark):
+        """Sessionize + journey-string + regex is ONE exchange on
+        user_id — no per-stage self-joins ever appear."""
+        plan = _plan(QUERIES["q_pattern_match"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        assert "Join" not in plan
+
+    def test_chunk_overlap_is_pure_mapside(self, spark):
+        """RAG chunking must plan ZERO exchanges and zero Python —
+        sequence/explode/slice only."""
+        plan = _plan(QUERIES["q_chunk_overlap"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 0, plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_timegrain_single_scan_single_shuffle(self, spark):
+        """Three grains from ONE scan: a single exploded aggregate,
+        one exchange — not three unioned scans."""
+        plan = _plan(QUERIES["q_rollup_timegrain"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        # formatted mode prints each node twice (tree + detail):
+        # exactly one physical scan == two textual occurrences
+        assert plan.count("Scan parquet") == 2, plan
+
+    def test_multimodal_pipeline_shape(self, spark):
+        """The 4-stage media pipeline compiles to one tree: Arrow
+        decode stage present, at most the dedup + stats exchanges,
+        no joins."""
+        plan = _plan(QUERIES["q_pipeline_multimodal"](spark, SF_SMALL))
+        assert "MapInPandas" in plan
+        assert plan.count("Exchange (") <= 3, plan
+        assert "Join" not in plan
+
+    def test_sql_q3_take_ordered(self, spark):
+        """The SQL-surface TPC-H Q3 must plan TakeOrderedAndProject
+        for its LIMIT 10, never a global sort."""
+        plan = _plan(QUERIES["q_sql_shipping_priority"](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_pca_projection_is_mapside(self, spark):
+        """After the (pre-executed) Gram/power-iteration phase, the
+        projection itself is a pure map-side literal dot product:
+        zero exchanges, zero Python."""
+        plan = _plan(QUERIES["q_embed_pca"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 0, plan
+        assert "ArrowEvalPython" not in plan
+
     def test_pivot_is_single_conditional_aggregate(self, spark):
         """Conditional-aggregate pivot: ONE two-phase agg, one
         exchange — not the stacked pair native pivot() compiles to."""
