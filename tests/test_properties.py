@@ -119,3 +119,58 @@ def test_pack_shards_budget_property(spark, token_counts, target):
     for rows in by_shard.values():
         total = sum(r.n for r in rows)
         assert total <= target + max(r.n for r in rows)
+
+
+class TestCodecRoundTrips:
+    """Property-based round-trips for the pure-numpy media codecs:
+    decode must invert make_* for ARBITRARY content, not just the
+    closed-form fixtures — strides, odd widths, single frames and
+    extreme pixel values included."""
+
+    @given(
+        n=st.integers(1, 4), h=st.integers(1, 5), w=st.integers(1, 9),
+        seed=st.integers(0, 2 ** 31 - 1),
+    )
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_avi_roundtrip(self, n, h, w, seed):
+        import numpy as np
+
+        from gasket_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(seed)
+        fx = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        d = M.decode_avi(M.make_avi(fx))
+        assert d["feature"] == f"avi:{w}x{h}:{n}@{M.AVI_FPS}"
+        assert d["content"] == ",".join(
+            str(int(v)) for v in fx.reshape(-1))
+
+    @given(h=st.integers(1, 6), w=st.integers(1, 9),
+           seed=st.integers(0, 2 ** 31 - 1))
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_ppm_roundtrip(self, h, w, seed):
+        import numpy as np
+
+        from gasket_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = M.decode_ppm(M.make_ppm(px))
+        assert d["feature"] == f"ppm:{w}x{h}"
+        assert d["content"] == ",".join(
+            str(int(v)) for v in px.reshape(-1))
+
+    @given(n=st.integers(0, 64), seed=st.integers(0, 2 ** 31 - 1))
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_wav_roundtrip(self, n, seed):
+        import numpy as np
+
+        from gasket_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        d = M.decode_wav(M.make_wav(samples))
+        assert d["feature"] == f"wav:{M.WAV_RATE}:{n}"
+        assert d["content"] == ",".join(str(int(s)) for s in samples)
