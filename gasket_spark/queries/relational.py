@@ -3675,3 +3675,503 @@ def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                  journey.alias("journey"))
             .withColumn("converted",
                         F.col("journey").rlike("v[^e]*c[^e]*p")))
+
+
+# ---------------------------------------------------------------------------
+# round 6 (cont.): bag set ops, exact higher moments, EWMA, interpolation,
+# weighted shortest paths, more TPC-H through the SQL surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_setops_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey % 97 AS val FROM orders
+               WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey % 97 AS val FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    tagged AS (
+      SELECT 'union_all' AS op, val FROM
+        (SELECT val FROM a UNION ALL SELECT val FROM b)
+      UNION ALL
+      SELECT 'intersect_all' AS op, val FROM
+        (SELECT val FROM a INTERSECT ALL SELECT val FROM b)
+      UNION ALL
+      SELECT 'except_all' AS op, val FROM
+        (SELECT val FROM a EXCEPT ALL SELECT val FROM b))
+    SELECT op, val, COUNT(*) AS n FROM tagged GROUP BY op, val
+    """,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG (ALL) set-operation semantics — the multiplicity-preserving
+    twins of q_setops' DISTINCT trio: UNION ALL keeps every copy,
+    INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
+    multiplicities. Spark's unionAll/intersectAll/exceptAll map
+    straight onto the ANSI operators; the result is reported as
+    per-value multiplicities so the bag semantics themselves are what
+    the oracle hashes. intersectAll/exceptAll shuffle both sides on
+    the value (the only correct co-location); the overlapping input
+    legs (a is scanned by all three ops) stay separate scans so each
+    op pushes its own filter down to parquet."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = (orders.filter(F.col("o_orderstatus") == "O")
+         .select((F.col("o_custkey") % 97).alias("val")))
+    b = (orders.filter(F.col("o_orderpriority")
+                       .isin("1-URGENT", "2-HIGH"))
+         .select((F.col("o_custkey") % 97).alias("val")))
+    tagged = (
+        a.unionAll(b).withColumn("op", F.lit("union_all"))
+        .unionByName(a.intersectAll(b)
+                     .withColumn("op", F.lit("intersect_all")))
+        .unionByName(a.exceptAll(b)
+                     .withColumn("op", F.lit("except_all"))))
+    return (tagged.groupBy("op", "val")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 10) AS BIGINT) AS v
+      FROM events),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(v) AS DOUBLE) AS s1,
+             CAST(SUM(v * v) AS DOUBLE) AS s2,
+             CAST(SUM(v * v * v) AS DOUBLE) AS s3,
+             CAST(SUM((v * v) * (v * v)) AS DOUBLE) AS s4
+      FROM c GROUP BY event_type),
+    m AS (
+      SELECT event_type, n,
+             s1 / n AS mean, s2 / n AS ex2, s3 / n AS ex3, s4 / n AS ex4
+      FROM s),
+    k AS (
+      SELECT event_type, n, mean,
+             ex2 - mean * mean AS m2,
+             ex3 - 3 * mean * ex2 + 2 * mean * mean * mean AS m3,
+             ex4 - 4 * mean * ex3 + 6 * mean * mean * ex2
+                 - 3 * mean * mean * mean * mean AS m4
+      FROM m)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(mean, 9) AS mean_t,
+           round(m2, 9) AS var_t,
+           round(m3 / (m2 * sqrt(m2)), 9) AS skew_t,
+           round(m4 / (m2 * m2) - 3, 9) AS kurt_t
+    FROM k
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics pack (skewness + excess kurtosis per
+    event type) from EXACT integer power sums — the mergeable-moments
+    pattern: each partition contributes only (n, Σv, Σv², Σv³, Σv⁴),
+    all exact integers (decimal accumulators so sf-growth can't
+    overflow a BIGINT; DuckDB promotes to HUGEINT the same way), and
+    the holistic-looking statistics fall out of closed-form double
+    arithmetic AFTER the single partial-aggregate shuffle. sqrt
+    instead of pow(x,1.5): IEEE sqrt is correctly rounded on both
+    engines, pow is not — the same discipline as q_agg_stats. At
+    100 TB this is one map-side combine per partition + k tiny rows."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 10).cast("bigint")
+    c = ev.select("event_type", v.alias("v"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("v"))).cast("double").alias("s1"),
+        F.sum(dec(F.col("v") * F.col("v"))).cast("double").alias("s2"),
+        F.sum(dec(F.col("v") * F.col("v") * F.col("v")))
+         .cast("double").alias("s3"),
+        F.sum(dec((F.col("v") * F.col("v")) * (F.col("v") * F.col("v"))))
+         .cast("double").alias("s4"))
+    m = s.select(
+        "event_type", "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (F.col("s2") / F.col("n")).alias("ex2"),
+        (F.col("s3") / F.col("n")).alias("ex3"),
+        (F.col("s4") / F.col("n")).alias("ex4"))
+    mean = F.col("mean")
+    k = m.select(
+        "event_type", "n", "mean",
+        (F.col("ex2") - mean * mean).alias("m2"),
+        (F.col("ex3") - F.lit(3) * mean * F.col("ex2")
+         + F.lit(2) * mean * mean * mean).alias("m3"),
+        (F.col("ex4") - F.lit(4) * mean * F.col("ex3")
+         + F.lit(6) * mean * mean * F.col("ex2")
+         - F.lit(3) * mean * mean * mean * mean).alias("m4"))
+    m2 = F.col("m2")
+    return k.select(
+        "event_type", F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 9).alias("mean_t"),
+        F.round(m2, 9).alias("var_t"),
+        F.round(F.col("m3") / (m2 * F.sqrt(m2)), 9).alias("skew_t"),
+        F.round(F.col("m4") / (m2 * m2) - 3, 9).alias("kurt_t"))
+
+
+def _ewma_oracle_sql(k: int = 8) -> str:
+    """Fixed-point EWMA oracle: alpha = 1/2 over the last ``k`` events,
+    weights 2^(k-1-i) for lag i, renormalized over the lags that exist
+    — all-integer numerator/denominator, one double division at the
+    end, so both engines compute the identical value."""
+    num = [f"c * {1 << (k - 1)}"]
+    den = [str(1 << (k - 1))]
+    for i in range(1, k):
+        wgt = 1 << (k - 1 - i)
+        num.append(f"coalesce(lag(c, {i}) OVER w * {wgt}, 0)")
+        den.append(f"CASE WHEN lag(c, {i}) OVER w IS NOT NULL"
+                   f" THEN {wgt} ELSE 0 END")
+    return f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events)
+    SELECT user_id, event_id, c AS cents,
+           round(({" + ".join(num)}) * 1.0
+                 / ({" + ".join(den)}), 6) AS ewma_cents
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@query("q_window_ewma", oracle=_ewma_oracle_sql())
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 1/2,
+    8-event horizon) in FIXED-POINT arithmetic: the recursive EWMA
+    definition is unrolled into a finite weighted sum with power-of-
+    two integer weights (2^7..2^0), renormalized over however many
+    lags actually exist, so the whole computation is exact integer
+    adds + one final double division — partition-order independent
+    and bit-identical across engines. Truncating at 8 lags bounds the
+    error at 2^-8 of the true infinite-history EWMA while keeping the
+    operator a pure JVM window expression (no Python, no state store);
+    one shuffle on user_id."""
+    k = 8
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.select("user_id", "event_id", "ts",
+                  F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("c") * (1 << (k - 1))
+    den = F.lit(1 << (k - 1))
+    for i in range(1, k):
+        wgt = 1 << (k - 1 - i)
+        li = F.lag("c", i).over(w)
+        num = num + F.coalesce(li * wgt, F.lit(0))
+        den = den + F.when(li.isNotNull(), F.lit(wgt)).otherwise(0)
+    return c.select(
+        "user_id", "event_id", F.col("c").alias("cents"),
+        F.round(num * F.lit(1.0) / den, 6).alias("ewma_cents"))
+
+
+@query(
+    "q_resample_interp",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id,
+             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM users u CROSS JOIN bounds b),
+    gi AS (
+      SELECT user_id, hour,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY hour) AS BIGINT) AS idx
+      FROM grid),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS val_cents
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT g.user_id, g.hour, g.idx, h.val_cents
+      FROM gi g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.hour = h.hour),
+    x AS (
+      SELECT *,
+             last_value(val_cents IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN val_cents IS NOT NULL THEN idx END
+                        IGNORE NULLS) OVER wp AS pi,
+             first_value(val_cents IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN val_cents IS NOT NULL THEN idx END
+                         IGNORE NULLS) OVER wf AS ni
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY idx
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hour, val_cents,
+           CASE WHEN val_cents IS NOT NULL THEN CAST(val_cents AS DOUBLE)
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE round(pv + (nv - pv) * CAST(idx - pi AS DOUBLE)
+                                / CAST(ni - pi AS DOUBLE), 6)
+           END AS interp_cents
+    FROM x
+    """,
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR INTERPOLATION between observations —
+    q_resample_ffill's gap-fill twin for continuous signals: each
+    user's sparse hourly sums land on a dense grid, and every missing
+    hour gets prev + (next-prev) * elapsed/span, computed from exact
+    integer cents and integer grid indices with one double division
+    (bit-identical cross-engine). No extrapolation: hours before the
+    first or after the last observation stay NULL. The grid is
+    sequence()-exploded per user (no driver loop); the fill is two
+    IGNORE NULLS window passes — one forward, one backward — on the
+    same user partitioning, so the whole query is one shuffle plus
+    map-side window evaluation. At 100 TB the grid explode is
+    embarrassingly parallel and the per-user state is two scalars."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+               F.date_trunc("hour", F.max("ts")).alias("h1"))
+    users = ev.select("user_id").distinct()
+    grid = (users.crossJoin(F.broadcast(b))
+            .select("user_id",
+                    F.explode(F.sequence(
+                        "h0", "h1",
+                        F.expr("INTERVAL 1 HOUR"))).alias("hour")))
+    gi = grid.withColumn(
+        "idx", F.row_number().over(
+            Window.partitionBy("user_id").orderBy("hour")).cast("bigint"))
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   .cast("bigint").alias("val_cents")))
+    j = gi.join(hourly, ["user_id", "hour"], "left")
+    wp = (Window.partitionBy("user_id").orderBy("idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("idx")
+          .rowsBetween(1, Window.unboundedFollowing))
+    obs_idx = F.when(F.col("val_cents").isNotNull(), F.col("idx"))
+    x = (j.withColumn("pv", F.last("val_cents", ignorenulls=True).over(wp))
+         .withColumn("pi", F.last(obs_idx, ignorenulls=True).over(wp))
+         .withColumn("nv", F.first("val_cents", ignorenulls=True).over(wf))
+         .withColumn("ni", F.first(obs_idx, ignorenulls=True).over(wf)))
+    interp = F.round(
+        F.col("pv") + (F.col("nv") - F.col("pv"))
+        * (F.col("idx") - F.col("pi")).cast("double")
+        / (F.col("ni") - F.col("pi")).cast("double"), 6)
+    return x.select(
+        "user_id", "hour", "val_cents",
+        F.when(F.col("val_cents").isNotNull(),
+               F.col("val_cents").cast("double"))
+         .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+         .otherwise(interp).alias("interp_cents"))
+
+
+def _sssp_oracle_sql(max_hops: int = 4) -> str:
+    """Unrolled Bellman-Ford in ANSI SQL: one CTE per relaxation round,
+    each the MIN-merge of the previous distance map with every edge
+    relaxation out of it — the exact semantics of the Spark loop
+    (after round k every node holds the cheapest <=k-edge walk)."""
+    parts = [f"""
+    WITH {_BFS_EDGE_SQL},
+    we AS (SELECT u, v, 1 + (u + 2 * v) % 7 AS w FROM e),
+    und AS (SELECT u AS src, v AS dst, w FROM we
+            UNION ALL SELECT v AS src, u AS dst, w FROM we),
+    d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM und)"""]
+    for k in range(1, max_hops + 1):
+        parts.append(f""",
+    d{k} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT nd.dst AS node, f.dist + nd.w AS dist
+        FROM und nd JOIN d{k - 1} f ON nd.src = f.node) GROUP BY node)""")
+    parts.append(f"""
+    SELECT node AS part_node, CAST(dist AS BIGINT) AS dist
+    FROM d{max_hops}""")
+    return "".join(parts)
+
+
+@query("q_graph_sssp", oracle=_sssp_oracle_sql())
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest paths (Bellman-Ford, 4 rounds)
+    on the part co-purchase graph — q_graph_bfs's weighted twin.
+    Edge weights are deterministic integers (1 + (u+2v) mod 7 on the
+    canonical u<v edge, identical in both directions). The Spark loop
+    is FRONTIER-BASED relaxation: each round relaxes only edges out
+    of nodes whose distance improved last round (delta-stepping's
+    core pruning — identical results to full relaxation, but late
+    rounds touch a shrinking frontier instead of the whole distance
+    map), then MIN-merges candidates into the running map; both
+    frames localCheckpoint per round to truncate lineage. Per-round
+    cost: one equi-join shuffle (frontier x edges) + one min-combine
+    shuffle, state O(|V|) — the scalable SSSP shape (GraphX Pregel
+    computes exactly this dataflow)."""
+    e = _copurchase_edges(spark, sf_dir)
+    we = e.withColumn(
+        "w", F.lit(1) + (F.col("u") + F.lit(2) * F.col("v")) % 7)
+    und = (we.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+           .unionAll(we.select(F.col("v").alias("src"),
+                               F.col("u").alias("dst"), "w"))
+           .localCheckpoint())
+    root = und.agg(F.min("src")).collect()[0][0]
+    dist = spark.createDataFrame([(int(root), 0)],
+                                 "part_node bigint, dist bigint")
+    frontier = dist
+    for _ in range(4):
+        cand = (und.join(frontier.select(F.col("part_node").alias("src"),
+                                         F.col("dist").alias("fd")), "src")
+                .groupBy(F.col("dst").alias("part_node"))
+                .agg(F.min(F.col("fd") + F.col("w")).alias("nd")))
+        improved = (cand.join(dist, "part_node", "left")
+                    .filter(F.col("dist").isNull()
+                            | (F.col("nd") < F.col("dist")))
+                    .select("part_node", F.col("nd").alias("dist"))
+                    .localCheckpoint())
+        dist = (dist.unionByName(improved)
+                .groupBy("part_node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+        frontier = improved
+    return dist
+
+
+@query(
+    "q_sql_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                            * 100) AS BIGINT) AS volume_cents
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) via spark.sql — bilateral trade
+    volume between two nations by ship year. The interesting plan
+    property: the nation-pair disjunction touches BOTH ends of the
+    join chain (supplier side and customer side), so Catalyst must
+    keep the two nation dims distinct (self-join of nation), push the
+    name filters into both broadcast builds, and leave only the
+    orders⋈lineitem pair as a real shuffle. Revenue in integer cents
+    (round-before-cast both engines)."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q7_{t}")
+    return spark.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               SUM(volume_cents) AS revenue_cents
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+                       AS l_year,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT) AS volume_cents
+              FROM _q7_supplier s
+              JOIN _q7_lineitem l ON s.s_suppkey = l.l_suppkey
+              JOIN _q7_orders o ON o.o_orderkey = l.l_orderkey
+              JOIN _q7_customer c ON c.c_custkey = o.o_custkey
+              JOIN _q7_nation n1 ON n1.n_nationkey = s.s_nationkey
+              JOIN _q7_nation n2 ON n2.n_nationkey = c.c_nationkey
+              WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """)
+
+
+@query(
+    "q_sql_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           n.n_name, c.c_mktsegment
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) via spark.sql — top-20
+    customers by revenue lost to returns in a half-year window. Plan
+    shape: the returnflag filter prunes lineitem at the scan, the
+    date filter prunes orders, nation broadcasts, and the final
+    top-20 is a TakeOrdered (no global sort materialization). The
+    deterministic c_custkey tiebreak keeps LIMIT stable."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q10_{t}")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT)) AS revenue_cents,
+               n.n_name, c.c_mktsegment
+        FROM _q10_customer c
+        JOIN _q10_orders o ON o.o_custkey = c.c_custkey
+        JOIN _q10_lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN _q10_nation n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-07-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment
+        ORDER BY revenue_cents DESC, c_custkey
+        LIMIT 20
+    """)
+
+
+@query(
+    "q_sql_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(round(SUM(l.l_quantity)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY total_cents DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders) via spark.sql — the grouped
+    HAVING semi-join shape: an aggregate subquery picks qualifying
+    orderkeys, the outer 3-table join re-aggregates only those. The
+    IN-subquery plans as a LEFT SEMI join on the aggregated key set
+    (never a per-row subquery execution); at 100 TB both the inner
+    and outer lineitem aggregations are partial/map-side combined and
+    share the l_orderkey shuffle key. Quantities are integral doubles
+    (1..50), so SUM is exact and order-independent; round-before-cast
+    keeps the output integer-typed on both engines."""
+    for t in ("customer", "orders", "lineitem"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q18_{t}")
+    return spark.sql("""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(round(SUM(l.l_quantity)) AS BIGINT) AS sum_qty
+        FROM _q18_customer c
+        JOIN _q18_orders o ON o.o_custkey = c.c_custkey
+        JOIN _q18_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM _q18_lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY total_cents DESC, o_orderkey
+        LIMIT 100
+    """)
