@@ -702,3 +702,80 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_completion(deduped, _unique_name("t_oracle_sdedup"),
                             output_mode="append")
     return out.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'purchase'),
+    v1 AS (
+      SELECT user_id, ts AS last_ts, value_cents
+      FROM ch WHERE event_id % 4 <= 1
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+    vl AS (
+      SELECT user_id, ts AS last_ts, value_cents
+      FROM ch
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+    SELECT n.user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.last_ts <> o.last_ts
+                  OR n.value_cents <> o.value_cents THEN 'updated'
+                ELSE 'unchanged' END AS change,
+           o.value_cents AS old_cents, n.value_cents AS new_cents,
+           o.last_ts AS old_ts, n.last_ts AS new_ts
+    FROM vl n LEFT JOIN v1 o ON o.user_id = n.user_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL SNAPSHOT DIFF — 'what changed between table version
+    1 and now': the change feed is applied through
+    ``batch_cdc_apply`` in four DETERMINISTIC batches (membership =
+    event_id mod 4, so every intermediate version is a pure function
+    of the data, not of stream file chunking), then version 1 and
+    LATEST are both read back through the snapshot-isolated
+    DataSource and full-keyed-diffed into added / updated / unchanged
+    rows with old+new values. Because the merge is latest-wins
+    (confluent), version k ≡ 'latest-wins over batches 0..k' — which
+    is exactly what the oracle's two QUALIFY views state in SQL. Keys
+    never vanish without tombstones, so a LEFT join from the newer
+    snapshot is the complete diff. The diff itself is one shuffle
+    (user_id equi-join of two pruned snapshot scans); at 100 TB both
+    sides prune file groups from the same manifest stats and the
+    join co-locates on the merge key. Table build is stamp-cached
+    (``_cdc_fixture``) so bench times the diff, not the build."""
+    from gasket_spark.sources.cdc import read_cdc_table
+    from gasket_spark.streaming.core import batch_cdc_apply
+
+    def build(table_dir: str) -> None:
+        ch = (read_table(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "purchase")
+              .select("user_id", "ts", "event_id",
+                      F.round(F.col("value") * 100).cast("bigint")
+                      .alias("value_cents")))
+        batch_cdc_apply([ch.filter(F.col("event_id") % 4 == k)
+                         for k in range(4)],
+                        table_dir, key_cols=["user_id"],
+                        order_cols=["ts", "event_id"],
+                        n_buckets=4, target_file_rows=64)
+
+    table_dir = _cdc_fixture(spark, sf_dir, "diff-m4", build)
+    old = read_cdc_table(spark, table_dir, version=1).select(
+        "user_id", F.col("ts").alias("old_ts"),
+        F.col("value_cents").alias("old_cents"))
+    new = read_cdc_table(spark, table_dir).select(
+        "user_id", F.col("ts").alias("new_ts"),
+        F.col("value_cents").alias("new_cents"))
+    return (new.join(old, "user_id", "left")
+            .select(
+                "user_id",
+                F.when(F.col("old_ts").isNull(), "added")
+                 .when((F.col("new_ts") != F.col("old_ts"))
+                       | (F.col("new_cents") != F.col("old_cents")),
+                       "updated")
+                 .otherwise("unchanged").alias("change"),
+                "old_cents", "new_cents", "old_ts", "new_ts"))

@@ -697,6 +697,56 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
     stated explicitly."""
     import os
 
+    _apply = _cdc_apply_fn(table_dir, key_cols, order_cols, n_buckets,
+                           target_file_rows, delete_col)
+    q = changes.writeStream.foreachBatch(_apply) \
+        .trigger(availableNow=True) \
+        .option("checkpointLocation", os.path.join(table_dir, "_cp")) \
+        .start()
+    _await_or_raise(q, timeout)
+    return _cdc_table_paths(table_dir)
+
+
+def batch_cdc_apply(batches: list[DataFrame], table_dir: str,
+                    key_cols: list[str], order_cols: list[str],
+                    n_buckets: int = 8,
+                    target_file_rows: int = 1_000_000,
+                    delete_col: str | None = None) -> list[str]:
+    """Apply an EXPLICIT ordered sequence of change batches through the
+    exact same per-batch MERGE (latest-wins, manifest commit, version
+    snapshot per batch) that :func:`stream_cdc_apply` runs under
+    foreachBatch — the deterministic-batching driver: when the caller
+    controls batch membership (backfills, replays, reproducible
+    fixtures), every intermediate table VERSION is a pure function of
+    the change data, so time-travel reads of version k are exactly
+    'latest-wins over batches 0..k' — an assertable (and SQL-
+    expressible) contract rather than an artifact of stream file
+    chunking. Batch ids are the list positions; returns the final
+    manifest's file-group paths like stream_cdc_apply."""
+    _apply = _cdc_apply_fn(table_dir, key_cols, order_cols, n_buckets,
+                           target_file_rows, delete_col)
+    for i, b in enumerate(batches):
+        _apply(b, i)
+    return _cdc_table_paths(table_dir)
+
+
+def _cdc_table_paths(table_dir: str) -> list[str]:
+    import os
+
+    pointer = os.path.join(table_dir, "LATEST")
+    return sorted(ent["path"]
+                  for ents in _load_manifest(pointer)["buckets"].values()
+                  for ent in ents)
+
+
+def _cdc_apply_fn(table_dir: str, key_cols: list[str],
+                  order_cols: list[str], n_buckets: int,
+                  target_file_rows: int, delete_col: str | None):
+    """Factory for the per-batch CDC MERGE closure shared by the
+    streaming (foreachBatch) and explicit-batch drivers — one merge
+    implementation, two schedulers."""
+    import os
+
     base = os.path.join(table_dir, "versions")
     pointer = os.path.join(table_dir, "LATEST")
     bucket_expr = F.pmod(F.hash(*key_cols), F.lit(n_buckets))
@@ -843,14 +893,7 @@ def stream_cdc_apply(changes: DataFrame, table_dir: str,
                           .schema.jsonValue()})
         _commit_manifest(table_dir, committed, base_etag)
 
-    q = changes.writeStream.foreachBatch(_apply) \
-        .trigger(availableNow=True) \
-        .option("checkpointLocation", os.path.join(table_dir, "_cp")) \
-        .start()
-    _await_or_raise(q, timeout)
-    return sorted(ent["path"]
-                  for ents in _load_manifest(pointer)["buckets"].values()
-                  for ent in ents)
+    return _apply
 
 
 def compact_cdc_table(spark: SparkSession, table_dir: str,
