@@ -44,3 +44,41 @@ class TestPageRank:
         ranks = {r.v: r.rank for r in pagerank(g, max_iter=25).collect()}
         assert 0.99 < sum(ranks.values()) <= 1.0 + 1e-9
         assert ranks["b"] > ranks["a"]
+
+
+class TestSssp:
+    def test_matches_reference_bellman_ford(self, spark):
+        """The frontier-pruned Spark loop must equal a plain
+        4-round Bellman-Ford run in local Python over the collected
+        edge list (full relaxation, no pruning)."""
+        from gasket_spark.queries import QUERIES
+        from gasket_spark.queries.relational import _copurchase_edges
+        from tests.conftest import SF_SMALL
+
+        e = _copurchase_edges(spark, SF_SMALL).collect()
+        adj = []
+        for r in e:
+            w = 1 + (r["u"] + 2 * r["v"]) % 7
+            adj.append((r["u"], r["v"], w))
+            adj.append((r["v"], r["u"], w))
+        root = min(u for u, _, _ in adj)
+        dist = {root: 0}
+        for _ in range(4):
+            prev = dict(dist)
+            for u, v, w in adj:
+                if u in prev and prev[u] + w < dist.get(v, 1 << 60):
+                    dist[v] = min(dist.get(v, 1 << 60), prev[u] + w)
+        got = {r["part_node"]: r["dist"]
+               for r in QUERIES["q_graph_sssp"](spark, SF_SMALL).collect()}
+        assert got == dist
+
+    def test_weights_symmetric_and_positive(self, spark):
+        """Edge weights derive from the canonical u<v edge, so both
+        directions carry the same strictly positive weight."""
+        from gasket_spark.queries.relational import _copurchase_edges
+        from tests.conftest import SF_SMALL
+
+        e = _copurchase_edges(spark, SF_SMALL).collect()
+        for r in e:
+            w = 1 + (r["u"] + 2 * r["v"]) % 7
+            assert 1 <= w <= 7

@@ -332,3 +332,66 @@ class TestNewQueryPlanContracts:
         plan = _plan(QUERIES["q_pivot"](spark, SF_SMALL))
         assert plan.count("HashAggregate (") == 2
         assert plan.count("Exchange (") == 1
+
+    # ---- round-6 continuation batch ----------------------------------
+
+    def test_agg_moments_one_shuffle_two_phase(self, spark):
+        """Power sums are mergeable: partial+final aggregate around
+        ONE exchange, no Python anywhere."""
+        plan = _plan(QUERIES["q_agg_moments"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        assert plan.count("HashAggregate (") == 2, plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_window_ewma_single_window_pass(self, spark):
+        """The unrolled fixed-point EWMA is one window pass over one
+        user_id exchange — pure JVM expressions, codegen'd."""
+        plan = _plan(QUERIES["q_window_ewma"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        assert plan.count("Window (") == 1, plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_setops_all_pushes_both_leg_filters(self, spark):
+        """Each bag-op leg pushes its own predicate to its parquet
+        scan; no nested-loop join sneaks into the ALL semantics."""
+        plan = _plan(QUERIES["q_setops_all"](spark, SF_SMALL))
+        assert "EqualTo(o_orderstatus,O)" in plan
+        assert "In(o_orderpriority" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_resample_interp_no_python_bounded_plan(self, spark):
+        """Grid explode + both IGNORE NULLS fill passes stay JVM-side;
+        the only nested-loop joins are the two 1-row bounds
+        broadcasts (intentional)."""
+        plan = _plan(QUERIES["q_resample_interp"](spark, SF_SMALL))
+        assert "ArrowEvalPython" not in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+
+    def test_sql_q7_keeps_nation_self_join_distinct(self, spark):
+        """Q7's nation-pair disjunction needs nation joined twice:
+        6 physical scans (nation twice), every dim broadcast at this
+        size."""
+        plan = _plan(QUERIES["q_sql_volume_shipping"](spark, SF_SMALL))
+        assert plan.count("Scan parquet") == 12, plan
+        assert "SortMergeJoin" not in plan
+
+    def test_sql_q10_pushes_returnflag_take_ordered(self, spark):
+        plan = _plan(QUERIES["q_sql_returned_items"](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan
+        assert "EqualTo(l_returnflag,R)" in plan
+
+    def test_sql_q18_semi_join_take_ordered(self, spark):
+        """The HAVING subquery plans as a semi join on the aggregated
+        key set, and the LIMIT as TakeOrdered."""
+        plan = _plan(QUERIES["q_sql_large_orders"](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan
+        assert "LeftSemi" in plan
+
+    def test_snapshot_diff_two_pruned_scans_hash_join(self, spark):
+        """Both snapshot sides read through the gasket_cdc DataSource
+        (two BatchScans) and diff with a hash join — never a
+        nested-loop."""
+        plan = _plan(QUERIES["q_snapshot_diff"](spark, SF_SMALL))
+        assert plan.count("BatchScan") >= 2, plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -374,3 +374,31 @@ class TestAnomalyIQRAndTimegrain:
         for r in rows:
             by_grain[r.grain] = by_grain.get(r.grain, 0) + r.n_events
         assert by_grain == {"hour": total, "day": total, "week": total}
+
+
+class TestMomentsAgainstBuiltins:
+    def test_matches_spark_skewness_kurtosis(self, spark):
+        """The exact-integer-power-sum moments must agree with
+        Spark's native skewness()/kurtosis() (population form) to
+        float tolerance — an independent derivation of the same
+        statistics."""
+        from pyspark.sql import functions as F
+
+        from gasket_spark.io import read_table
+        from gasket_spark.queries import QUERIES
+        from tests.conftest import SF_SMALL
+
+        got = {r["event_type"]: r for r in
+               QUERIES["q_agg_moments"](spark, SF_SMALL).collect()}
+        ev = read_table(spark, SF_SMALL, "events").select(
+            "event_type",
+            F.round(F.col("value") * 10).cast("bigint")
+            .cast("double").alias("v"))
+        ref = {r["event_type"]: r for r in
+               ev.groupBy("event_type").agg(
+                   F.skewness("v").alias("sk"),
+                   F.kurtosis("v").alias("ku")).collect()}
+        assert set(got) == set(ref)
+        for k in got:
+            assert abs(got[k]["skew_t"] - ref[k]["sk"]) < 1e-6
+            assert abs(got[k]["kurt_t"] - ref[k]["ku"]) < 1e-6
