@@ -84,6 +84,13 @@ HEADLINE: dict[str, str] = {
     "q_graph_triangles": "count",
     "q_embed_pca": "count",
     "q_sql_local_supplier_volume": "collect",
+    # r6 continuation: frontier-pruned weighted SSSP, time-travel
+    # snapshot diff over the CDC DataSource (build stamp-cached in
+    # warmup), fixed-point EWMA window, and the Q7 nation self-join
+    "q_graph_sssp": "count",
+    "q_snapshot_diff": "count",
+    "q_window_ewma": "count",
+    "q_sql_volume_shipping": "collect",
 }
 
 
@@ -106,6 +113,7 @@ def main() -> None:
     # the pruned DataSource READ — the write path is benched separately
     # by the streaming suite, not conflated into a scan number
     QUERIES["q_cdc_read_pruned"](spark, sf_dir).count()
+    QUERIES["q_snapshot_diff"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, action in HEADLINE.items():

@@ -3303,21 +3303,9 @@ def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("value_cents").alias("price_at_click")))
 
 
-@query(
-    "q_scan_partition_pruned",
-    oracle="""
-    SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de')
-    """,
-)
-def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-style PARTITIONED dataset scan with partition pruning:
-    the documents table is written once partitioned by language
-    (``lang=en/``, ``lang=de/``, … directories; stamp-cached like the
-    ORC/NDJSON fixtures), and a language filter then prunes at the
-    DIRECTORY level — non-matching partitions are never listed into
-    the scan, the 100 TB difference between reading 2 languages and
-    reading 40. The plan contract (tests/test_plans.py) pins the
-    PartitionFilters entry; this query pins the values."""
+def _partdocs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stamp-cached hive-layout documents fixture (partitioned by
+    lang) shared by the partition-pruning scan and DPP join queries."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
     out = os.path.join(tempfile.gettempdir(), "gasket_spark_partdocs",
@@ -3336,6 +3324,25 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.write.mode("overwrite").partitionBy("lang").parquet(out)
         with open(marker, "w") as fh:
             fh.write(stamp)
+    return out
+
+
+@query(
+    "q_scan_partition_pruned",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de')
+    """,
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITIONED dataset scan with partition pruning:
+    the documents table is written once partitioned by language
+    (``lang=en/``, ``lang=de/``, … directories; stamp-cached like the
+    ORC/NDJSON fixtures), and a language filter then prunes at the
+    DIRECTORY level — non-matching partitions are never listed into
+    the scan, the 100 TB difference between reading 2 languages and
+    reading 40. The plan contract (tests/test_plans.py) pins the
+    PartitionFilters entry; this query pins the values."""
+    out = _partdocs_dir(spark, sf_dir)
     return (spark.read.parquet(out)
             .filter(F.col("lang").isin("en", "de"))
             .select("doc_id", "lang", "n_chars"))
@@ -4175,3 +4182,155 @@ def q_sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY total_cents DESC, o_orderkey
         LIMIT 100
     """)
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip with a PINNED schema — the customer table
+    serialized to headered CSV once (stamp-cached like the ORC/NDJSON
+    twins) and read back losslessly: Spark writes doubles in
+    shortest-round-trip form, so even c_acctbal survives the text
+    hop bit-exact. Schema is pinned (inference = an extra full read
+    at 100 TB); quoting/escaping is the writer's RFC-4180 default."""
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    cust = read_table(spark, sf_dir, "customer").select(*cols)
+    out = os.path.join(tempfile.gettempdir(), "gasket_spark_csv",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.join(sf_dir, "customer.parquet")
+    st = os.stat(src)
+    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(out, "_gasket_src_stamp")
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read() == stamp
+    except OSError:
+        pass
+    if not fresh:
+        cust.write.mode("overwrite").option("header", "true").csv(out)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    schema = ("c_custkey bigint, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    return (spark.read.schema(schema).option("header", "true").csv(out)
+            .select(*cols))
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, NULLIF(user_id % 7, 3) AS k
+      FROM events WHERE event_type = 'view'),
+    dim AS (
+      SELECT NULLIF(n_nationkey % 7, 3) AS k,
+             COUNT(*) AS n_nations, MIN(n_name) AS rep
+      FROM nation GROUP BY 1)
+    SELECT a.k, d.rep, d.n_nations, COUNT(*) AS n_events
+    FROM a JOIN dim d ON a.k IS NOT DISTINCT FROM d.k
+    GROUP BY a.k, d.rep, d.n_nations
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (Spark ``<=>`` ≡ ANSI IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of silently dropping —
+    the semantics a 'bucket of unknowns' dimension needs. Because
+    ``<=>`` is still an equality predicate, Catalyst plans a hash
+    join on the null-safe key (NULLs hash to one bucket), never a
+    nested-loop — the property this query pins. The dim aggregates
+    nation down to one row per residue class (including the NULL
+    class), broadcasts, and the event stream makes one narrow pass."""
+    ev = read_table(spark, sf_dir, "events")
+    a = (ev.filter(F.col("event_type") == "view")
+         .select("event_id",
+                 F.nullif(F.col("user_id") % 7, F.lit(3)).alias("k")))
+    nat = read_table(spark, sf_dir, "nation")
+    dim = (nat.groupBy(F.nullif(F.col("n_nationkey") % 7, F.lit(3))
+                       .alias("k"))
+           .agg(F.count(F.lit(1)).alias("n_nations"),
+                F.min("n_name").alias("rep")))
+    return (a.join(F.broadcast(dim), a["k"].eqNullSafe(dim["k"]))
+            .groupBy(a["k"].alias("k"), "rep", "n_nations")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@query(
+    "q_window_navigation",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(c) OVER w AS first_cents,
+           last_value(c) OVER w AS last_cents,
+           nth_value(c, 3) OVER w AS third_cents,
+           lead(c, 2, -1) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS lead2_cents
+    FROM (SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS c FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window pack — first_value / last_value / nth_value
+    over the FULL partition frame plus lead with an explicit default:
+    the 'align every event against its session anchors' shape.
+    The full-frame spec matters: last_value over the default frame
+    (UNBOUNDED PRECEDING..CURRENT ROW) is just the row itself — a
+    classic silent-wrong-answer; pinning the frame makes both
+    engines compute the partition-global anchors. One shuffle on
+    user_id, strict (ts, event_id) total order, all-integer values."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    wfull = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    wlead = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.first("c").over(wfull).alias("first_cents"),
+        F.last("c").over(wfull).alias("last_cents"),
+        F.nth_value("c", 3).over(wfull).alias("third_cents"),
+        F.lead("c", 2, -1).over(wlead).alias("lead2_cents"))
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT lang FROM documents
+      WHERE source IN ('src14', 'src18'))
+    SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN dim ON dim.lang = d.lang
+    GROUP BY d.lang
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the hive-partitioned documents
+    fixture joins a small filtered dimension on the PARTITION column,
+    and Catalyst injects the dim's key set into the fact scan as a
+    runtime partition filter (``dynamicpruning`` subquery in
+    PartitionFilters — pinned by tests/test_plans.py) — at 100 TB the
+    fact side lists and reads ONLY the partitions the dim survives,
+    the star-schema equivalent of static pruning when the pruning
+    values are data-dependent rather than literal in the query.
+    The dim's filter is on ``source``, NOT on the join key, so
+    Catalyst cannot infer any static lang predicate for the fact
+    side (constraint propagation would); the partition cut is
+    entirely the runtime subquery's doing."""
+    fact = spark.read.parquet(_partdocs_dir(spark, sf_dir))
+    docs = read_table(spark, sf_dir, "documents")
+    dim = (docs.filter(F.col("source").isin("src14", "src18"))
+           .select("lang").distinct())
+    return (fact.join(dim, "lang")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))

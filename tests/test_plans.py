@@ -395,3 +395,30 @@ class TestNewQueryPlanContracts:
         plan = _plan(QUERIES["q_snapshot_diff"](spark, SF_SMALL))
         assert plan.count("BatchScan") >= 2, plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_dpp_injects_runtime_partition_filter(self, spark):
+        """The fact scan's PartitionFilters must carry a
+        dynamicpruning subquery — and NO static lang literal (the
+        dim's filter is on source, so any lang pruning is runtime
+        DPP, not constraint propagation)."""
+        plan = _plan(QUERIES["q_join_dpp"](spark, SF_SMALL))
+        pf = [ln for ln in plan.splitlines()
+              if "PartitionFilters" in ln]
+        assert pf and "dynamicpruning" in pf[0], plan
+        assert "IN (en" not in pf[0], pf[0]
+
+    def test_null_safe_join_still_hash_joins(self, spark):
+        """eqNullSafe is an equality predicate: hash join, never a
+        nested-loop."""
+        plan = _plan(QUERIES["q_join_null_safe"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_window_navigation_single_pass(self, spark):
+        """All four navigation functions share one user_id window
+        partitioning: one exchange, at most two Window nodes (the
+        full-frame trio + the default-frame lead)."""
+        plan = _plan(QUERIES["q_window_navigation"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        assert plan.count("Window (") <= 2, plan
+        assert "ArrowEvalPython" not in plan
