@@ -569,3 +569,53 @@ def pca_project_top1(corpus: DataFrame, id_col: str = "vec_id",
     proj = F.aggregate(terms, F.lit(0).cast("long"),
                        lambda acc, t: acc + t)
     return corpus.select(id_col, *extra_cols, proj.alias("proj_nano"))
+
+
+@pandas_udf(LongType())
+def _maxsim_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched MaxSim (late interaction) between two 64-dim
+    vectors viewed as 8 sub-vectors of 8 dims: score = Σ_i max_j
+    (q_i · d_j), every sub-dot in HALF_UP integer-scaled units (the
+    ``_dot_scaled`` arithmetic) so max/sum are order-independent and
+    the SQL oracle reproduces the exact integer."""
+    av = np.stack(a.to_numpy()).astype(np.float64)
+    bv = np.stack(b.to_numpy()).astype(np.float64)
+    B, D = av.shape
+    n_sub = 8
+    d = D // n_sub
+    q = av.reshape(B, n_sub, 1, d)
+    c = bv.reshape(B, 1, n_sub, d)
+    scaled = q * c * SCALE                     # (B, i, j, k)
+    terms = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+        .astype(np.int64)
+    dots = terms.sum(axis=3)                   # (B, i, j) int64
+    return pd.Series(dots.max(axis=2).sum(axis=1))
+
+
+def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ColBERT-style LATE-INTERACTION top-k: each vector is treated as
+    a bag of 8 sub-vector 'token embeddings'; relevance is the sum
+    over query sub-vectors of their best-matching document sub-vector
+    (MaxSim) — the multi-vector retrieval scoring that single-vector
+    cosine can't express. Same scale shape as :func:`cosine_topk`:
+    queries broadcast, corpus streams map-side through one Arrow
+    batch kernel, per-query top-k via window on the exact integer
+    score (ties on neighbor id)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                _maxsim_batch(F.col("q_vec"), F.col("c_vec"))
+                .alias("score_i")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_i").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("score_i") / SCALE, 9).alias("maxsim"),
+                    F.col("rank").cast("int").alias("rank")))

@@ -2430,3 +2430,46 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     spectral pipeline hash-matches the oracle bit for bit."""
     emb = read_table(spark, sf_dir, "embeddings")
     return S.pca_project_top1(emb, extra_cols=("label",))
+
+
+@query(
+    "q_sim_maxsim",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 5),
+    p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               list_max(list_transform(range(0, 8), j ->
+                 CAST(list_sum(list_transform(range(0, 8), k ->
+                   CAST(round(CAST(q.qe[8*i + k + 1] AS DOUBLE)
+                              * CAST(e.embedding[8*j + k + 1] AS DOUBLE)
+                              * 1e15) AS BIGINT)))
+                   AS BIGINT)))))
+               AS BIGINT) AS score_i
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, round(score_i / 1e15, 9) AS maxsim,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_i DESC, neighbor_id) AS rnk FROM p)
+    WHERE rnk <= 3
+    """,
+)
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR late-interaction retrieval (ColBERT's MaxSim):
+    each 64-dim embedding is read as 8 sub-vector 'token embeddings'
+    and a document's relevance to a query is Σ_i max_j (q_i · d_j) —
+    rewarding documents where every query facet finds SOME strong
+    match, which single-vector cosine collapses away. Top-3 per query
+    (vec_id < 5), scored in one broadcast-join Arrow-batch pass over
+    the corpus (operators/similarity.py maxsim_topk); every sub-dot
+    is a HALF_UP integer-scaled sum, so the 8×8 max/sum lattice is
+    bit-identical in the numpy kernel and the oracle's unrolled
+    list-algebra. At 100 TB this is the rerank stage over an ANN
+    candidate set; the kernel is already candidate-set-shaped
+    (corpus side streams, no corpus shuffle)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.maxsim_topk(emb, queries, k=3)

