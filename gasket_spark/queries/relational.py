@@ -4391,3 +4391,180 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                .localCheckpoint())
     return (und.groupBy(F.col("src").alias("part_node"))
             .agg(F.count(F.lit(1)).alias("degree")))
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    g AS (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(c) OVER (PARTITION BY event_type) AS tot,
+             SUM(c) OVER w AS pfx,
+             CAST(row_number() OVER w AS BIGINT) AS i
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT event_type, event_id, ts,
+             n * pfx - i * tot AS s_scaled,
+             abs(n * pfx - i * tot) AS s_abs
+      FROM g),
+    m AS (
+      SELECT event_type, MAX(s_abs) AS s_max FROM s GROUP BY event_type)
+    SELECT s.event_type,
+           MIN(s.ts) AS cp_ts,
+           CAST(m.s_max AS BIGINT) AS s_max_scaled,
+           CAST(MAX(CASE WHEN s.s_scaled > 0 THEN 1 ELSE -1 END)
+                AS INT) AS direction
+    FROM s JOIN m ON m.event_type = s.event_type
+                 AND s.s_abs = m.s_max
+    GROUP BY s.event_type, m.s_max
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT detection per event type — 'where did the
+    level shift': the classic cumulative sum of deviations from the
+    series mean, S_i = Σ_{j<=i}(c_j − mean), peaks at the most likely
+    change point. Computed ENTIRELY in integer space by scaling
+    through n: n·S_i = n·prefix_i − i·total — a monotone transform,
+    so the argmax (and sign) are exact and partition-independent, no
+    float mean ever materialized. One window pass computes prefix
+    sums + per-type totals on the same (event_type) partitioning;
+    the argmax is the broadcast max-join + earliest-tie pattern of
+    q_concurrency_peak. At 100 TB: one shuffle, per-row state, and
+    the same coarse-time-bucket sharding story as the sweep-line."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.select("event_type", "event_id", "ts",
+                  F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    wfull = (Window.partitionBy("event_type")
+             .orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = (Window.partitionBy("event_type")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    g = c.select(
+        "event_type", "event_id", "ts",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("c").over(wall).alias("tot"),
+        F.sum("c").over(wfull).alias("pfx"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .cast("bigint").alias("i"))
+    s = g.select(
+        "event_type", "event_id", "ts",
+        (F.col("n") * F.col("pfx") - F.col("i") * F.col("tot"))
+        .alias("s_scaled"),
+        F.abs(F.col("n") * F.col("pfx") - F.col("i") * F.col("tot"))
+        .alias("s_abs"))
+    m = (s.groupBy("event_type").agg(F.max("s_abs").alias("s_max"))
+         .withColumnRenamed("event_type", "et_m"))
+    return (s.join(F.broadcast(m),
+                   (F.col("event_type") == F.col("et_m"))
+                   & (F.col("s_abs") == F.col("s_max")))
+            .groupBy("event_type", "s_max")
+            .agg(F.min("ts").alias("cp_ts"),
+                 F.max(F.when(F.col("s_scaled") > 0, 1).otherwise(-1))
+                 .cast("int").alias("direction"))
+            .select("event_type", "cp_ts",
+                    F.col("s_max").cast("bigint").alias("s_max_scaled"),
+                    "direction"))
+
+
+@query(
+    "q_join_size_estimate",
+    oracle="""
+    WITH ok AS (
+      SELECT o_custkey AS k, COUNT(*) AS a
+      FROM orders GROUP BY o_custkey),
+    ck AS (
+      SELECT c_custkey AS k, COUNT(*) AS b
+      FROM customer GROUP BY c_custkey),
+    j AS (
+      SELECT ok.k, ok.a * ck.b AS pairs,
+             ('0x' || substr(md5(CAST(ok.k AS VARCHAR)), 1, 15))::BIGINT
+               % 16 = 0 AS sampled
+      FROM ok JOIN ck ON ck.k = ok.k)
+    SELECT CAST(SUM(pairs) AS BIGINT) AS exact_pairs,
+           CAST(16 * SUM(CASE WHEN sampled THEN pairs ELSE 0 END)
+                AS BIGINT) AS est_pairs,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+             AS sampled_keys
+    FROM j
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION by consistent key-hash sampling — the
+    pre-flight a planner (or a human, before firing a 100 TB join)
+    runs: |A ⋈ B| = Σ_k a_k·b_k, estimated from the 1/16 of keys
+    whose md5-prefix hash lands in the sample — key sampling (not
+    row sampling) keeps each key's a_k·b_k product EXACT, so the
+    estimator is unbiased with variance from key-skew only. Both the
+    estimate and the exact size come back in one result so the
+    error is inspectable. Deterministic: the md5 hash family is the
+    oracle-replicable one (functions/text.py md5_prefix_hash). Scale
+    shape: two per-key count aggregates (map-side combined) + one
+    key join — never the join itself."""
+    from gasket_spark.functions.text import md5_prefix_hash
+
+    ok = (read_table(spark, sf_dir, "orders")
+          .groupBy(F.col("o_custkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("a")))
+    ck = (read_table(spark, sf_dir, "customer")
+          .groupBy(F.col("c_custkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("b")))
+    j = (ok.join(ck, "k")
+         .select((F.col("a") * F.col("b")).alias("pairs"),
+                 (md5_prefix_hash(F.col("k")) % 16 == 0).alias("sampled")))
+    return j.agg(
+        F.sum("pairs").cast("bigint").alias("exact_pairs"),
+        (16 * F.sum(F.when(F.col("sampled"), F.col("pairs"))
+                    .otherwise(0))).cast("bigint").alias("est_pairs"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("bigint")
+        .alias("sampled_keys"))
+
+
+@query(
+    "q_sample_consistent",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+              ::BIGINT % 20 = 0)
+    SELECT k.c_mktsegment,
+           COUNT(DISTINCT k.c_custkey) AS n_customers,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM keys k LEFT JOIN orders o ON o.o_custkey = k.c_custkey
+    GROUP BY k.c_mktsegment
+    """,
+)
+def q_sample_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIALLY-CONSISTENT sampling — the debug-subset trick for
+    100 TB pipelines: sample by hashing the JOIN KEY (custkey), not
+    rows, so the same 5% of customers survive in EVERY table and
+    joins over the sample remain complete (each sampled customer
+    keeps ALL their orders — no orphaned fact rows, no join-selectivity
+    distortion). The md5-prefix hash family makes membership a pure
+    function of the key, reproducible across engines, runs, and
+    tables. Map-side filters on both sides, one equi-join, LEFT so
+    zero-order customers stay visible."""
+    from gasket_spark.functions.text import md5_prefix_hash
+
+    cust = read_table(spark, sf_dir, "customer")
+    keys = (cust.filter(md5_prefix_hash(F.col("c_custkey")) % 20 == 0)
+            .select("c_custkey", "c_mktsegment"))
+    orders = read_table(spark, sf_dir, "orders")
+    return (keys.join(orders,
+                      orders["o_custkey"] == keys["c_custkey"], "left")
+            .groupBy("c_mktsegment")
+            .agg(F.count_distinct("c_custkey").alias("n_customers"),
+                 F.count("o_orderkey").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")).cast("bigint")
+                 .alias("revenue_cents")))

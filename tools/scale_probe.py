@@ -69,6 +69,28 @@ def build_10x(spark, base: str, out: str, replicas: int = 10) -> None:
                                                           "documents.parquet"))
 
 
+def build_10x_events(spark, base: str, out: str,
+                     replicas: int = 10) -> None:
+    """10x events: user_id/event_id shifted per replica, same time
+    span — ten disjoint user populations, so the resample grid and
+    the per-type sweep both face exactly 10x their base problem."""
+    from gasket_spark.io import read_table
+
+    ev = read_table(spark, base, "events")
+    parts = []
+    for i in range(replicas):
+        parts.append(ev.select(
+            (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            "event_type", "value", "props"))
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(os.path.join(out,
+                                                     "events.parquet"))
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else \
@@ -83,6 +105,10 @@ def main() -> None:
         t0 = time.time()
         build_10x(spark, base, out)
         print(f"built 10x corpus in {time.time() - t0:.1f}s -> {out}")
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        t0 = time.time()
+        build_10x_events(spark, base, out)
+        print(f"built 10x events in {time.time() - t0:.1f}s -> {out}")
 
     from gasket_spark.queries import QUERIES
 
@@ -95,7 +121,10 @@ def main() -> None:
     for qname, iters in [("q_pagerank", 8), ("q_dedup_components", None),
                          ("q_dedup_minhash", None),
                          ("q_dedup_incremental", None),
-                         ("q_graph_triangles", None)]:
+                         ("q_graph_triangles", None),
+                         ("q_graph_kcore", 6),
+                         ("q_resample_interp", None),
+                         ("q_concurrency_peak", None)]:
         for label, d in [("sf0.1", base), ("sf1 (10x)", out)]:
             t0 = time.time()
             n = QUERIES[qname](spark, d).count()
