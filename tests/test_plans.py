@@ -422,3 +422,31 @@ class TestNewQueryPlanContracts:
         assert plan.count("Exchange (") == 1, plan
         assert plan.count("Window (") <= 2, plan
         assert "ArrowEvalPython" not in plan
+
+    def test_cusum_shares_partitioning_no_python(self, spark):
+        """All CUSUM windows ride the one event_type partitioning;
+        integer-space arithmetic stays JVM-side."""
+        plan = _plan(QUERIES["q_cusum_changepoint"](spark, SF_SMALL))
+        assert "ArrowEvalPython" not in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange (") <= 3, plan
+
+    def test_join_size_estimate_never_joins_facts(self, spark):
+        """The estimator joins per-key COUNT tables (two-phase aggs on
+        both sides), never the raw fact tables."""
+        plan = _plan(QUERIES["q_join_size_estimate"](spark, SF_SMALL))
+        assert plan.count("HashAggregate (") >= 4, plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_consistent_sample_hash_joins(self, spark):
+        plan = _plan(QUERIES["q_sample_consistent"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_maxsim_broadcast_arrow_kernel(self, spark):
+        """Queries broadcast; the corpus streams through the Arrow
+        MaxSim kernel; one window exchange for per-query top-k."""
+        plan = _plan(QUERIES["q_sim_maxsim"](spark, SF_SMALL))
+        assert "ArrowEvalPython" in plan
+        assert plan.count("Exchange (") <= 2, plan
+        assert "SortMergeJoin" not in plan
