@@ -4568,3 +4568,44 @@ def q_sample_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.round(F.col("o_totalprice") * 100)
                        .cast("bigint")).cast("bigint")
                  .alias("revenue_cents")))
+
+
+@query(
+    "q_scalar_try_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 5 = 0 THEN NULL
+                ELSE CAST(o_orderkey AS DOUBLE) / (o_custkey % 5)
+           END AS td,
+           TRY_CAST(o_orderpriority AS INTEGER) AS tc_full,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS tc_first,
+           CASE WHEN o_orderkey > 0 THEN NULL
+                ELSE 9223372036854775807 + o_orderkey END AS ta,
+           ([o_orderkey, o_orderkey + 1][CAST(o_custkey % 4 + 1 AS INT)])
+             AS tea
+    FROM orders
+    """,
+)
+def q_scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode SAFE-ARITHMETIC pack — the ``try_*`` family that
+    turns would-be runtime errors into NULLs (the semantics a 100 TB
+    batch needs: one malformed row must not kill a 6-hour job):
+    try_divide (÷0 → NULL), try_cast (unparseable string → NULL, and
+    the parseable prefix succeeding right next to it), try_add
+    (bigint overflow → NULL), try_element_at (out-of-range index →
+    NULL). The oracle states each operator's CONTRACT explicitly
+    (CASE guards / TRY_CAST / native out-of-range-NULL indexing), so
+    a Spark semantics drift in any try_ op breaks the hash."""
+    od = read_table(spark, sf_dir, "orders")
+    arr = F.array(F.col("o_orderkey"), F.col("o_orderkey") + 1)
+    return od.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_orderkey"), F.col("o_custkey") % 5)
+         .alias("td"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("tc_full"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)")
+         .alias("tc_first"),
+        F.try_add(F.lit(9223372036854775807), F.col("o_orderkey"))
+         .alias("ta"),
+        F.try_element_at(arr, (F.col("o_custkey") % 4 + 1).cast("int"))
+         .alias("tea"))
