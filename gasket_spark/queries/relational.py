@@ -4609,3 +4609,146 @@ def q_scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("ta"),
         F.try_element_at(arr, (F.col("o_custkey") % 4 + 1).cast("int"))
          .alias("tea"))
+
+
+@query(
+    "q_basket_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_orderkey % 10 = 0),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+    cnt AS (SELECT pk, COUNT(*) AS c FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS c_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2)
+    SELECT p.part_a, p.part_b, CAST(p.c_ab AS BIGINT) AS support_cnt,
+           round(p.c_ab * 1.0 / ca.c, 9) AS confidence,
+           round(p.c_ab * n.n_orders * 1.0 / (ca.c * cb.c), 9) AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.pk = p.part_a
+    JOIN cnt cb ON cb.pk = p.part_b
+    CROSS JOIN n
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules (frequent pairs + confidence +
+    lift) over order baskets — the co-occurrence mining family
+    (q_collocations' PMI for text, restated for transactions with
+    the support/confidence/lift vocabulary). Pair generation is the
+    same self-equi-join-on-basket shape as the co-purchase graph —
+    O(Σ basket²), bounded by basket size, never corpus×corpus; a
+    support floor (≥2) prunes before the per-item count attach; both
+    stats tables are item-sized (broadcast). All counts exact
+    integers; confidence/lift are single double divisions of exact
+    ints, rounded — bit-stable cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = (li.filter(F.col("l_orderkey") % 10 == 0)
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pk")).distinct()
+             .localCheckpoint())
+    n_orders = items.select("ok").distinct().count()
+    cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (a.join(b, "ok")
+             .filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("c_ab"))
+             .filter(F.col("c_ab") >= 2))
+    ca = cnt.select(F.col("pk").alias("part_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("pk").alias("part_b"), F.col("c").alias("cb"))
+    return (pairs.join(F.broadcast(ca), "part_a")
+            .join(F.broadcast(cb), "part_b")
+            .select(
+                "part_a", "part_b",
+                F.col("c_ab").cast("bigint").alias("support_cnt"),
+                F.round(F.col("c_ab") * F.lit(1.0) / F.col("ca"), 9)
+                .alias("confidence"),
+                F.round(F.col("c_ab") * F.lit(n_orders) * F.lit(1.0)
+                        / (F.col("ca") * F.col("cb")), 9).alias("lift")))
+
+
+@query(
+    "q_period_over_period",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, rev_cents,
+           lag(rev_cents) OVER w AS prev_cents,
+           round((rev_cents - lag(rev_cents) OVER w) * 1.0
+                 / lag(rev_cents) OVER w, 9) AS pct_change
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD change — the BI time-intelligence staple
+    (day-over-day revenue delta per event type): daily integer-cents
+    rollup, then lag + one double division per row. First day per
+    type is NULL (no fabricated baseline). Two-phase agg into a tiny
+    (type, day) table, then a window over it — the window input is
+    grain-sized, not event-sized, so the sort is negligible at any
+    corpus size."""
+    ev = read_table(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              .cast("bigint").alias("rev_cents")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("rev_cents").over(w)
+    return d.select(
+        "event_type", "day", "rev_cents", prev.alias("prev_cents"),
+        F.round((F.col("rev_cents") - prev) * F.lit(1.0) / prev, 9)
+        .alias("pct_change"))
+
+
+@query(
+    "q_rolling_distinct",
+    oracle="""
+    WITH uh AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events),
+    contrib AS (
+      SELECT uh.user_id,
+             uh.h + unnest(generate_series(0, 23)) * INTERVAL 1 HOUR
+               AS bucket
+      FROM uh)
+    SELECT c.bucket, COUNT(DISTINCT c.user_id) AS active_users
+    FROM contrib c CROSS JOIN bounds b
+    WHERE c.bucket <= b.h1
+    GROUP BY c.bucket
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 24-HOUR DISTINCT users per hour (sliding MAU/DAU) —
+    the holistic sliding COUNT DISTINCT no window frame computes at
+    scale. The distributed shape: dedupe to (user, hour) presence
+    rows, then each presence CONTRIBUTES itself to the 24 hourly
+    buckets whose trailing window contains it (a bounded 24× explode
+    of the deduped presence table — NOT of raw events), and a plain
+    count-distinct per bucket finishes. One dedup shuffle + one
+    count-distinct shuffle, both on bounded keys; at 100 TB the
+    presence table is |users|×|hours| and the 24× fan-out stays
+    map-side. Buckets past the data's last hour are trimmed (their
+    windows are incomplete only at the leading edge, matching the
+    'trailing 24h as of hour b' definition)."""
+    ev = read_table(spark, sf_dir, "events")
+    uh = (ev.select("user_id",
+                    F.date_trunc("hour", "ts").alias("h")).distinct())
+    b = ev.agg(F.date_trunc("hour", F.max("ts")).alias("h1"))
+    contrib = uh.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"),
+        "h").select(
+        "user_id",
+        F.expr("timestampadd(HOUR, i, h)").alias("bucket"))
+    return (contrib.crossJoin(F.broadcast(b))
+            .filter(F.col("bucket") <= F.col("h1"))
+            .groupBy("bucket")
+            .agg(F.count_distinct("user_id").alias("active_users")))
