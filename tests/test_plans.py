@@ -450,3 +450,27 @@ class TestNewQueryPlanContracts:
         assert "ArrowEvalPython" in plan
         assert plan.count("Exchange (") <= 2, plan
         assert "SortMergeJoin" not in plan
+
+    def test_try_ops_pure_mapside(self, spark):
+        """The whole safe-arithmetic pack is a zero-exchange
+        map-side projection."""
+        plan = _plan(QUERIES["q_scalar_try_ops"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 0, plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_period_over_period_window_on_grain(self, spark):
+        """Two-phase daily rollup + window over the grain-sized
+        table: exactly two exchanges, one window."""
+        plan = _plan(QUERIES["q_period_over_period"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 2, plan
+        assert plan.count("Window (") == 1, plan
+
+    def test_rolling_distinct_explodes_presence_not_events(self, spark):
+        """The 24x fan-out (Generate) must sit ABOVE the presence
+        dedup aggregate, not on the raw scan — the plan's Generate
+        consumes an aggregated child."""
+        plan = _plan(QUERIES["q_rolling_distinct"](spark, SF_SMALL))
+        assert plan.count("Generate (") == 1, plan
+        # dedup agg (2 nodes) + distinct-count agg pair below/above
+        assert plan.count("HashAggregate (") >= 6, plan
+        assert "ArrowEvalPython" not in plan
