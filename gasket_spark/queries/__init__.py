@@ -82,12 +82,14 @@ _EDITED_R05: tuple[str, ...] = (
 # Queries whose implementation or oracle was EDITED in round 6
 # (engine-exact k-means quantizer + full-SQL IVF oracle; PPM image
 # decode; REAL RIFF/AVI video decode replacing the stub — all three
-# multimodal queries' payloads/oracles changed; CDC bench split):
-# pre-r6 signals no longer certify the current code — demote until an
-# r6+ driver row lands.
+# multimodal queries' payloads/oracles changed; CDC bench split; the
+# third work block's _cdc_apply_fn extraction touched the merge path
+# under every stream_cdc_apply consumer): pre-r6 signals no longer
+# certify the current code — demote until an r6+ driver row lands.
 _EDITED_R06: tuple[str, ...] = (
     "q_sim_ivf", "q_multimodal_decode", "q_cdc_read_pruned",
     "q_vocab_build", "q_multimodal_meta", "q_multimodal_frames",
+    "q_stream_cdc_apply", "q_cdc_deletes",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
