@@ -4752,3 +4752,170 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("bucket") <= F.col("h1"))
             .groupBy("bucket")
             .agg(F.count_distinct("user_id").alias("active_users")))
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             (user_id % 5) * 2000 + (user_id * 37) % 997 AS x,
+             (user_id % 7) * 2000 + (user_id * 61) % 997 AS y
+      FROM (SELECT DISTINCT user_id FROM events))
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             AS dist_sq
+    FROM pts a JOIN pts b ON a.user_id < b.user_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 1500 * 1500
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED SPATIAL PROXIMITY JOIN — radius search without
+    the all-pairs cross join: each point lands in a cell of side =
+    radius, one side explodes to its 3x3 cell neighborhood (any pair
+    within r is at most one cell apart per axis — the coverage
+    guarantee), candidates equi-join ON THE CELL, and the exact
+    integer distance check keeps true pairs only. The oracle is the
+    BRUTE-FORCE quadratic join — so the hash check proves the grid
+    pruning loses nothing (the property that matters before trusting
+    it at 100 TB, where the grid join is O(points x density) vs
+    brute-force's O(n²)). Coordinates are synthetic-but-deterministic
+    integers derived from user_id; each candidate pair matches in
+    exactly one (b-cell) bucket, so no dedup pass is needed."""
+    ev = read_table(spark, sf_dir, "events")
+    pts = (ev.select("user_id").distinct()
+           .select("user_id",
+                   ((F.col("user_id") % 5) * 2000
+                    + (F.col("user_id") * 37) % 997).alias("x"),
+                   ((F.col("user_id") % 7) * 2000
+                    + (F.col("user_id") * 61) % 997).alias("y")))
+    cell = 1500
+    a = pts.select(
+        F.col("user_id").alias("user_a"),
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx"),
+        (F.floor(F.col("x") / cell)).alias("cx0"),
+        (F.floor(F.col("y") / cell)).alias("cy0"))
+    a = a.select(
+        "user_a", "ax", "ay",
+        (F.col("cx0") + F.col("dx")).alias("cx"),
+        F.explode(F.array(*[(F.col("cy0") + F.lit(i))
+                            for i in (-1, 0, 1)])).alias("cy"))
+    b = pts.select(
+        F.col("user_id").alias("user_b"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.floor(F.col("x") / cell).alias("cx"),
+        F.floor(F.col("y") / cell).alias("cy"))
+    dsq = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+           + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    return (a.join(b, ["cx", "cy"])
+            .filter(F.col("user_a") < F.col("user_b"))
+            .filter(dsq <= cell * cell)
+            .select("user_a", "user_b", dsq.alias("dist_sq")))
+
+
+@query(
+    "q_decayed_topk",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                            date_trunc('day', max(ts))) AS BIGINT)
+        AS max_age FROM events),
+    w AS (
+      SELECT e.user_id,
+             SUM(CAST(round(e.value * 100) AS BIGINT)
+                 * (CAST(1 AS BIGINT) << CAST(m.max_age
+                    - date_diff('day', TIMESTAMP '2024-01-01',
+                                date_trunc('day', e.ts)) AS INT)))
+               AS decayed_fp
+      FROM events e CROSS JOIN m
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id)
+    SELECT user_id, CAST(decayed_fp AS BIGINT) AS decayed_fp,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY decayed_fp DESC, user_id) AS rnk FROM w)
+    WHERE rnk <= 10
+    """,
+)
+def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED leaderboard (half-life = 1 day) in EXACT fixed
+    point: each purchase contributes cents · 2^(max_age − age_days) —
+    integer shifts, so the decayed scores are exact integers whose
+    ORDER is identical to the real 2^-age decay (global scaling by
+    2^max_age is monotone), no float accumulation anywhere. The
+    recency-weighted ranking every feed/trending surface needs,
+    reduced to one map-side weight + one grouped sum + top-10
+    (TakeOrdered). The day span is bounded (30 here; cents·2^30
+    stays far under 2^63) — at longer horizons the same query drops
+    a windowed cutoff on age first."""
+    ev = read_table(spark, sf_dir, "events")
+    base = F.lit("2024-01-01").cast("timestamp")
+    age = F.datediff(F.date_trunc("day", F.col("ts")), base)
+    m = (ev.agg(F.datediff(F.date_trunc("day", F.max("ts")), base)
+                .cast("bigint").alias("max_age")))
+    w = (ev.filter(F.col("event_type") == "purchase")
+         .crossJoin(F.broadcast(m))
+         .withColumn("wexp", (F.col("max_age") - age).cast("int"))
+         .groupBy("user_id")
+         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")
+                    * F.expr("shiftleft(CAST(1 AS BIGINT), wexp)"))
+              .alias("decayed_fp")))
+    win = Window.orderBy(F.col("decayed_fp").desc(), F.col("user_id"))
+    return (w.withColumn("rank", F.row_number().over(win).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("user_id",
+                    F.col("decayed_fp").cast("bigint").alias("decayed_fp"),
+                    "rank"))
+
+
+@query(
+    "q_feature_scale",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, i.i AS dim,
+             CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6)
+                  AS BIGINT) AS v
+      FROM embeddings, (SELECT unnest(range(0, 3)) AS i) i),
+    s AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(v) AS DOUBLE) AS s1,
+             CAST(SUM(v * v) AS DOUBLE) AS s2
+      FROM d GROUP BY dim)
+    SELECT d.vec_id, d.dim,
+           round((d.v - s.s1 / s.n)
+                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)),
+                 9) AS z
+    FROM d JOIN s ON s.dim = d.dim
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION FEATURE STANDARDIZATION (z-score the first 3
+    embedding dimensions) — the fit+transform pattern of large-scale
+    feature engineering: dimension stats from exact integer micro-
+    unit sums (one two-phase agg over an exploded (vec, dim) view),
+    broadcast back, one map-side transform. The explode is bounded
+    (x3 here, x dim generally); the stats table is dim-sized. Same
+    float discipline as q_agg_moments: exact integer sums → one
+    closed-form double expression → round(…, 9)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("dim")
+    ).withColumn(
+        "v", F.round(F.element_at("embedding", (F.col("dim") + 1)
+                                  .cast("int")).cast("double") * 1e6)
+        .cast("bigint")).drop("embedding")
+    s = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).cast("double")
+        .alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .cast("double").alias("s2"))
+    mean = F.col("s1") / F.col("n")
+    return (d.join(F.broadcast(s), "dim")
+            .select("vec_id", "dim",
+                    F.round((F.col("v") - mean)
+                            / F.sqrt(F.col("s2") / F.col("n")
+                                     - mean * mean), 9).alias("z")))
