@@ -4862,9 +4862,13 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")
                     * F.expr("shiftleft(CAST(1 AS BIGINT), wexp)"))
               .alias("decayed_fp")))
+    # top-10 via orderBy+limit (plans TakeOrderedAndProject — never a
+    # single-partition global window); the rank window then runs on
+    # the 10 surviving rows only
+    top = (w.orderBy(F.col("decayed_fp").desc(), F.col("user_id"))
+           .limit(10))
     win = Window.orderBy(F.col("decayed_fp").desc(), F.col("user_id"))
-    return (w.withColumn("rank", F.row_number().over(win).cast("int"))
-            .filter(F.col("rank") <= 10)
+    return (top.withColumn("rank", F.row_number().over(win).cast("int"))
             .select("user_id",
                     F.col("decayed_fp").cast("bigint").alias("decayed_fp"),
                     "rank"))

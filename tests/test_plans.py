@@ -474,3 +474,27 @@ class TestNewQueryPlanContracts:
         # dedup agg (2 nodes) + distinct-count agg pair below/above
         assert plan.count("HashAggregate (") >= 6, plan
         assert "ArrowEvalPython" not in plan
+
+    def test_spatial_grid_hash_joins_on_cells(self, spark):
+        """The proximity join must equi-join on cells — no quadratic
+        nested-loop anywhere (that's what the oracle runs)."""
+        plan = _plan(QUERIES["q_join_spatial_grid"](spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Generate (") == 2, plan
+
+    def test_decayed_topk_take_ordered_not_global_window(self, spark):
+        """Top-10 plans as TakeOrdered; the only nested-loop is the
+        1-row max_age broadcast; no single-partition window over the
+        full user table."""
+        plan = _plan(QUERIES["q_decayed_topk"](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan
+        # the rank window runs on 10 rows, AFTER the limit
+        assert plan.index("TakeOrderedAndProject") \
+            > plan.index("Window"), "window must consume the limit"
+
+    def test_feature_scale_bounded_explode_broadcast_stats(self, spark):
+        plan = _plan(QUERIES["q_feature_scale"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange (") <= 2, plan
