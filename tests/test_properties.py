@@ -174,3 +174,90 @@ class TestCodecRoundTrips:
         d = M.decode_wav(M.make_wav(samples))
         assert d["feature"] == f"wav:{M.WAV_RATE}:{n}"
         assert d["content"] == ",".join(str(int(s)) for s in samples)
+
+
+# ---------------------------------------------------------------------------
+# round-6 kernel invariants (pure numpy/python, no Spark)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(min_value=0, max_value=100_000),
+                min_size=1, max_size=40))
+def test_ewma_fixed_point_invariants(cents):
+    """The unrolled fixed-point EWMA (q_window_ewma arithmetic) is a
+    true weighted average: between min and max of the lagged values,
+    exactly the newest value when history is length-1, and its
+    denominator always the sum of the weights actually present."""
+    K = 8
+    for t in range(len(cents)):
+        lags = cents[max(0, t - K + 1): t + 1][::-1]  # newest first
+        num = sum(c * (1 << (K - 1 - i)) for i, c in enumerate(lags))
+        den = sum(1 << (K - 1 - i) for i in range(len(lags)))
+        ewma = num / den
+        assert min(lags) <= ewma <= max(lags)
+        if t == 0:
+            assert ewma == cents[0]
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=2, max_size=60))
+def test_cusum_scaled_transform_is_monotone(xs):
+    """n·prefix_i − i·total (q_cusum_changepoint's integer transform)
+    equals n · Σ(x_j − mean): same argmax, same sign, no float
+    mean — the property that makes the all-integer argmax exact."""
+    n, tot = len(xs), sum(xs)
+    pfx = 0
+    for i, x in enumerate(xs, start=1):
+        pfx += x
+        scaled = n * pfx - i * tot
+        true = sum(xs[:i]) - i * tot / n
+        assert scaled == pytest.approx(n * true)
+
+
+@given(st.lists(st.tuples(st.integers(0, 20_000), st.integers(0, 20_000)),
+                min_size=2, max_size=60, unique=True))
+def test_spatial_grid_join_is_lossless(pts):
+    """Grid pruning coverage (q_join_spatial_grid): with cell size =
+    radius, every pair within the radius shares a cell after one side
+    expands to its 3x3 neighborhood — the brute-force pair set is
+    recovered exactly, and no pair is produced twice."""
+    cell = 1500
+    brute = {(i, j) for i in range(len(pts)) for j in range(len(pts))
+             if i < j and (pts[i][0] - pts[j][0]) ** 2
+             + (pts[i][1] - pts[j][1]) ** 2 <= cell * cell}
+    got = []
+    for i, (ax, ay) in enumerate(pts):
+        for j, (bx, by) in enumerate(pts):
+            if i >= j:
+                continue
+            acx, acy = ax // cell, ay // cell
+            bcx, bcy = bx // cell, by // cell
+            hits = sum(1 for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                       if (acx + dx, acy + dy) == (bcx, bcy))
+            if hits and (ax - bx) ** 2 + (ay - by) ** 2 <= cell * cell:
+                got.extend([(i, j)] * hits)
+    assert set(got) == brute
+    assert len(got) == len(set(got))  # each pair found exactly once
+
+
+@given(st.integers(1, 8), st.integers(0, 2**32 - 1))
+def test_maxsim_bounds_cosinelike(n_vec_seed, seed):
+    """MaxSim invariants (q_sim_maxsim kernel): score of a vector
+    against itself >= score against any other vector whose sub-dots
+    are elementwise <= its own; and MaxSim >= the aligned-sum (sum of
+    diagonal sub-dots), since max_j >= the j=i term."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    q = rng.randn(64)
+    d = rng.randn(64)
+    SCALE = 1e15
+
+    def sub_dot(a, b, i, j):
+        prods = a[8 * i:8 * i + 8] * b[8 * j:8 * j + 8] * SCALE
+        return int((np.sign(prods) * np.floor(np.abs(prods) + 0.5))
+                   .astype(np.int64).sum())
+
+    maxsim = sum(max(sub_dot(q, d, i, j) for j in range(8))
+                 for i in range(8))
+    aligned = sum(sub_dot(q, d, i, i) for i in range(8))
+    assert maxsim >= aligned
