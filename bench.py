@@ -91,6 +91,12 @@ HEADLINE: dict[str, str] = {
     "q_snapshot_diff": "count",
     "q_window_ewma": "count",
     "q_sql_volume_shipping": "collect",
+    # r6 third block: Arrow MaxSim kernel, 24x presence fan-out
+    # distinct, cell-join spatial pruning, basket self-join mining
+    "q_sim_maxsim": "count",
+    "q_rolling_distinct": "count",
+    "q_join_spatial_grid": "count",
+    "q_basket_rules": "collect",
 }
 
 
