@@ -91,6 +91,26 @@ def build_10x_events(spark, base: str, out: str,
                                                      "events.parquet"))
 
 
+def build_10x_embeddings(spark, base: str, out: str,
+                         replicas: int = 10) -> None:
+    """10x embeddings: vec_id shifted per replica (labels carried).
+    The q_sim_maxsim/q_sim_topk query set (vec_id < k) exists only in
+    replica 0, so the probe measures pure CORPUS-side scaling of the
+    broadcast-join scoring kernels — 10x candidate rows, same
+    queries."""
+    from gasket_spark.io import read_table
+
+    emb = read_table(spark, base, "embeddings")
+    parts = [emb.select(
+        (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+        "embedding", "label") for i in range(replicas)]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(os.path.join(out,
+                                                     "embeddings.parquet"))
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else \
@@ -109,6 +129,10 @@ def main() -> None:
         t0 = time.time()
         build_10x_events(spark, base, out)
         print(f"built 10x events in {time.time() - t0:.1f}s -> {out}")
+    if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+        t0 = time.time()
+        build_10x_embeddings(spark, base, out)
+        print(f"built 10x embeddings in {time.time() - t0:.1f}s -> {out}")
 
     from gasket_spark.queries import QUERIES
 
@@ -124,7 +148,9 @@ def main() -> None:
                          ("q_graph_triangles", None),
                          ("q_graph_kcore", 6),
                          ("q_resample_interp", None),
-                         ("q_concurrency_peak", None)]:
+                         ("q_concurrency_peak", None),
+                         ("q_sim_maxsim", None),
+                         ("q_rolling_distinct", None)]:
         for label, d in [("sf0.1", base), ("sf1 (10x)", out)]:
             t0 = time.time()
             n = QUERIES[qname](spark, d).count()
