@@ -4923,3 +4923,130 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("v") - mean)
                             / F.sqrt(F.col("s2") / F.col("n")
                                      - mean * mean), 9).alias("z")))
+
+
+def _labelprop_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation in ANSI SQL (MATERIALIZED
+    CTEs — each round table is referenced by the next two): per round
+    each node takes the MODE of its neighbors' labels, ties to the
+    smallest label; isolated behavior is impossible (every node in the
+    edge list has degree >= 1). Deterministic and engine-identical."""
+    parts = [f"""
+    WITH {_BFS_EDGE_SQL},
+    und AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM und)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    c{r} AS MATERIALIZED (
+      SELECT nd.dst AS node, lp.label, COUNT(*) AS cnt
+      FROM und nd JOIN l{r - 1} lp ON lp.node = nd.src
+      GROUP BY nd.dst, lp.label),
+    l{r} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY cnt DESC, label) AS rk
+        FROM c{r}) WHERE rk = 1)""")
+    parts.append(f"""
+    SELECT label AS community, COUNT(*) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM l{rounds} GROUP BY label""")
+    return "".join(parts)
+
+
+@query("q_graph_labelprop", oracle=_labelprop_oracle_sql())
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (3
+    rounds) on the part co-purchase graph — the mode-of-neighbors
+    dynamics that finds densely-connected clusters, where
+    q_dedup_components' min-label finds mere reachability. Each
+    round is one edge⋈label join + one (node, label) count + one
+    per-node arg-max (deterministic: ties to the smallest label —
+    synchronous updates + total-order tie-break make the fixture's
+    'random' algorithm exactly reproducible). Per-round cost
+    O(|E|) shuffle on the destination node; labels are node ids so
+    state is O(|V|); localCheckpoint truncates lineage per round —
+    the Pregel community-detection dataflow. Output aggregates to
+    (community, size, min member) so the full labeling is pinned
+    without a |V|-row result."""
+    e = _copurchase_edges(spark, sf_dir)
+    und = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionAll(e.select(F.col("v").alias("src"),
+                              F.col("u").alias("dst")))
+           .localCheckpoint())
+    labels = (und.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(3):
+        cnt = (und.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+        w = Window.partitionBy("node").orderBy(
+            F.col("cnt").desc(), F.col("label"))
+        labels = (cnt.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1).select("node", "label")
+                  .localCheckpoint())
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("node").cast("bigint").alias("min_node")))
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id)
+                       <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS brk
+      FROM events),
+    i AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    s AS (
+      SELECT user_id, CAST(sid AS INT) AS session_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase,
+             COUNT(*) AS n_events
+      FROM i GROUP BY user_id, sid)
+    SELECT user_id, session_id, n_events, first_view,
+           CASE WHEN first_view IS NOT NULL
+                 AND first_purchase > first_view
+                THEN CAST(date_diff('second', first_view,
+                                    first_purchase) AS BIGINT)
+           END AS secs_to_convert
+    FROM s
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION TIME-TO-CONVERT — seconds from a session's first view
+    to its first subsequent purchase (NULL when it never converts or
+    purchases precede any view): the funnel-latency companion to
+    q_pattern_match on the same 30-minute sessionization. One
+    shuffle on user_id; both anchors come from conditional MINs in
+    the same grouped aggregate (no per-stage self-joins); the delta
+    is exact integer seconds."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    brk = F.when(gap <= F.expr("INTERVAL 30 MINUTES"), 0).otherwise(1)
+    sid = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = (ev.withColumn("sid", sid)
+         .groupBy("user_id",
+                  F.col("sid").cast("int").alias("session_id"))
+         .agg(F.min(F.when(F.col("event_type") == "view",
+                           F.col("ts"))).alias("first_view"),
+              F.min(F.when(F.col("event_type") == "purchase",
+                           F.col("ts"))).alias("first_purchase"),
+              F.count(F.lit(1)).alias("n_events")))
+    delta = (F.unix_timestamp("first_purchase")
+             - F.unix_timestamp("first_view")).cast("bigint")
+    return s.select(
+        "user_id", "session_id", "n_events", "first_view",
+        F.when(F.col("first_view").isNotNull()
+               & (F.col("first_purchase") > F.col("first_view")),
+               delta).alias("secs_to_convert"))
