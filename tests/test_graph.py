@@ -95,3 +95,19 @@ class TestKcore:
         rows = QUERIES["q_graph_kcore"](spark, SF_SMALL).collect()
         assert rows, "3-core unexpectedly empty"
         assert min(r["degree"] for r in rows) >= 3
+
+
+class TestLabelProp:
+    def test_labels_partition_the_vertex_set(self, spark):
+        """Communities partition V: sizes sum to |V|, every community
+        label is itself a vertex id."""
+        from gasket_spark.queries import QUERIES
+        from gasket_spark.queries.relational import _copurchase_edges
+        from tests.conftest import SF_SMALL
+
+        rows = QUERIES["q_graph_labelprop"](spark, SF_SMALL).collect()
+        e = _copurchase_edges(spark, SF_SMALL).collect()
+        nodes = {r["u"] for r in e} | {r["v"] for r in e}
+        assert sum(r["n_nodes"] for r in rows) == len(nodes)
+        assert all(r["community"] in nodes for r in rows)
+        assert all(r["min_node"] in nodes for r in rows)

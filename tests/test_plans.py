@@ -498,3 +498,11 @@ class TestNewQueryPlanContracts:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert plan.count("Exchange (") <= 2, plan
+
+    def test_time_to_convert_single_shuffle(self, spark):
+        """Sessionize + both conversion anchors in ONE grouped
+        aggregate on the user_id partitioning: window + agg share
+        one exchange, no self-joins."""
+        plan = _plan(QUERIES["q_time_to_convert"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1, plan
+        assert "Join" not in plan
