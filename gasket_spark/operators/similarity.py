@@ -505,11 +505,18 @@ def gram_matrix(corpus: DataFrame, vec_col: str = "embedding",
 
     def partial(batches):
         acc = np.zeros((dim, dim), dtype=np.int64)
+        # bounded row slices: a full 10k-row Arrow batch would
+        # materialize two ~330 MB (n, dim, dim) tensors per task;
+        # 512-row slices keep the identical order-independent integer
+        # sums at ~2% of that peak
+        step = 512
         for pdf in batches:
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            P = np.einsum("ni,nj->nij", V, V) * GRAM_SCALE
-            acc += (np.sign(P) * np.floor(np.abs(P) + 0.5)) \
-                .astype(np.int64).sum(axis=0)
+            for s in range(0, V.shape[0], step):
+                Vs = V[s:s + step]
+                P = np.einsum("ni,nj->nij", Vs, Vs) * GRAM_SCALE
+                acc += (np.sign(P) * np.floor(np.abs(P) + 0.5)) \
+                    .astype(np.int64).sum(axis=0)
         yield pd.DataFrame({"idx": np.arange(dim * dim, dtype=np.int32),
                             "g": acc.reshape(-1)})
 
@@ -541,7 +548,12 @@ def power_iteration_top1(G_int: np.ndarray, iters: int = 24) -> np.ndarray:
         m = int(np.abs(y).max())
         if m == 0:
             break
-        scaled = (y * 10 ** 9).astype(np.float64) / m
+        # renormalize in DOUBLE space: int64 y * 1e9 would wrap once
+        # |y| > ~9.2e9 (reachable at ~10^4 spike-dominated vectors).
+        # double(y) * 1e9 / double(m) is the identical IEEE op
+        # sequence the SQL oracle runs, so engine-exactness holds at
+        # every scale (int64→double conversion rounds identically).
+        scaled = y.astype(np.float64) * 1e9 / float(m)
         x = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
             .astype(np.int64)
     i_star = int(np.argmax(np.abs(x)))   # first max wins, both engines

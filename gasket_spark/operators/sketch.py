@@ -655,13 +655,19 @@ def tdigest_sketch(df: DataFrame, group_cols: list[str], value_col: str,
                    delta: float = _TD_DELTA) -> DataFrame:
     """Distributed t-digest build. Returns
     (group_cols…, means: array<double>, weights: array<double>,
-    n_rows: long) — mergeable, storable, ≤ ~2δ centroids per group."""
+    n_rows: long) — mergeable, storable, ≤ ~2δ centroids per group.
+
+    NULL values are dropped before the build (standard SQL aggregate
+    semantics) — without the filter a single NULL becomes NaN, sorts
+    last, merges into the top centroid and silently poisons every
+    upper-quantile estimate."""
     from pyspark.sql.types import (
         ArrayType, DoubleType, LongType, StructField, StructType,
     )
 
-    src = df.select(*group_cols, F.col(value_col).cast("double")
-                    .alias("_v"))
+    src = (df.filter(F.col(value_col).isNotNull())
+           .select(*group_cols, F.col(value_col).cast("double")
+                   .alias("_v")))
     gfields = [src.schema[c] for c in group_cols]
     sk_schema = StructType(list(gfields) + [
         StructField("means", ArrayType(DoubleType())),

@@ -2396,7 +2396,7 @@ def _pca_oracle_sql(iters: int = 24, dim: int = 64) -> str:
     m{t} AS (SELECT MAX(ABS(y)) AS m FROM y{t}),
     x{t} AS MATERIALIZED (
       SELECT y.i,
-             CAST(round(CAST(y.y * 1000000000 AS DOUBLE)
+             CAST(round(CAST(y.y AS DOUBLE) * 1000000000
                         / CAST(m.m AS DOUBLE)) AS BIGINT) AS x
       FROM y{t} y, m{t} m)""")
     parts.append(f""",

@@ -4648,7 +4648,10 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("l_orderkey").alias("ok"),
                      F.col("l_partkey").alias("pk")).distinct()
              .localCheckpoint())
-    n_orders = items.select("ok").distinct().count()
+    # n_orders joins as a broadcast 1-row aggregate (the
+    # q_decayed_topk shape) — no eager driver-side count job, and
+    # the plan stays lazy/self-contained
+    n = items.agg(F.count_distinct("ok").alias("n_orders"))
     cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
     a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
     b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
@@ -4661,12 +4664,13 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cnt.select(F.col("pk").alias("part_b"), F.col("c").alias("cb"))
     return (pairs.join(F.broadcast(ca), "part_a")
             .join(F.broadcast(cb), "part_b")
+            .crossJoin(F.broadcast(n))
             .select(
                 "part_a", "part_b",
                 F.col("c_ab").cast("bigint").alias("support_cnt"),
                 F.round(F.col("c_ab") * F.lit(1.0) / F.col("ca"), 9)
                 .alias("confidence"),
-                F.round(F.col("c_ab") * F.lit(n_orders) * F.lit(1.0)
+                F.round(F.col("c_ab") * F.col("n_orders") * F.lit(1.0)
                         / (F.col("ca") * F.col("cb")), 9).alias("lift")))
 
 

@@ -364,8 +364,12 @@ class TestAnomalyIQRAndTimegrain:
         assert rows and all(r.is_outlier for r in rows)
         for r in rows:
             iqr = r.q3 - r.q1
-            assert (r.value < r.q1 - 1.5 * iqr - 1e-5
-                    or r.value > r.q3 + 1.5 * iqr + -1e-5)
+            # q1/q3 are rounded to 1e-6 in the output, so LOOSEN both
+            # fences by the rounding slack (+1e-5 on the lower fence,
+            # -1e-5 on the upper) — tightening would flag genuine
+            # outliers sitting within the slack as failures
+            assert (r.value < r.q1 - 1.5 * iqr + 1e-5
+                    or r.value > r.q3 + 1.5 * iqr - 1e-5)
 
     def test_timegrain_partitions_per_grain(self, spark):
         total = read_table(spark, SF_SMALL, "events").count()
@@ -402,3 +406,21 @@ class TestMomentsAgainstBuiltins:
         for k in got:
             assert abs(got[k]["skew_t"] - ref[k]["sk"]) < 1e-6
             assert abs(got[k]["kurt_t"] - ref[k]["ku"]) < 1e-6
+
+
+class TestPowerIterationOverflow:
+    def test_large_eigenvalue_no_int64_wrap(self):
+        """Regression: the renormalization step must not wrap int64.
+        A rank-1 Gram with huge entries (the shape a spike-dominated
+        10^4+-vector corpus produces) drives |y| far past 2^63/1e9;
+        the double-space renorm still recovers the uniform top
+        eigenvector exactly."""
+        import numpy as np
+
+        from gasket_spark.operators import similarity as S
+
+        G = np.full((64, 64), int(1.4e17), dtype=np.int64)  # rank-1 ones
+        x = S.power_iteration_top1(G).astype(np.float64)
+        # top eigenvector of the ones matrix is uniform: every
+        # component renormalizes to exactly +1e9
+        assert np.all(x == 1e9)
