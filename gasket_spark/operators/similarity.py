@@ -251,6 +251,48 @@ def _int_dots(V: np.ndarray, C: np.ndarray) -> np.ndarray:
     return out
 
 
+def _hash_ordered_sample(corpus: DataFrame, n: int, id_col: str,
+                         vec_col: str) -> np.ndarray:
+    """Content-addressed training sample, unit-normalized: collect the
+    first ``n`` vectors in md5(id) order (TakeOrderedAndProject —
+    per-partition heaps, partition-layout independent) and normalize
+    rows with integer-scaled norms. The shared front half of every
+    engine-exact k-means trainer (IVF coarse quantizer, PQ
+    codebooks)."""
+    sample = (corpus
+              .orderBy(F.md5(F.col(id_col).cast("string")).asc(),
+                       F.col(id_col).asc())
+              .limit(n)
+              .select(vec_col).collect())
+    V = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    norm = np.maximum(np.sqrt(_scaled_int_sum(V * V) / SCALE), 1e-30)
+    return V / norm[:, None]
+
+
+def _lloyd_engine_exact(X: np.ndarray, n_centroids: int,
+                        iters: int) -> np.ndarray:
+    """The shared engine-exact Lloyd loop: init = first K rows,
+    assignment by integer-scaled dots (np.argmax → ties to the lowest
+    cluster id), centroid means accumulated in KM_SCALE integer
+    units, integer-space norm²>0 guard, keep-on-empty. Bit-replicable
+    in ANSI SQL — ONE implementation so the IVF and PQ trainers (and
+    their oracles) can never silently diverge."""
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(_int_dots(X, C), axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if not len(members):
+                continue
+            M = _round_half_away(members * KM_SCALE).astype(np.int64) \
+                .sum(axis=0)
+            m = M / KM_SCALE
+            n2 = int(_scaled_int_sum(m[None, :] * m[None, :])[0])
+            if n2 >= 1:  # integer-space norm²>0 test, engine-exact
+                C[j] = m / np.sqrt(n2 / SCALE)
+    return C
+
+
 def sampled_kmeans_centroids(corpus: DataFrame, n_centroids: int,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
@@ -275,30 +317,9 @@ def sampled_kmeans_centroids(corpus: DataFrame, n_centroids: int,
 
     Empty/degenerate clusters keep their previous centroid (no respawn
     jitter). Returns a row-normalized (K, dim) float64 matrix."""
-    sample = (corpus
-              .orderBy(F.md5(F.col(id_col).cast("string")).asc(),
-                       F.col(id_col).asc())
-              .limit(n_centroids * sample_mult)
-              .select(vec_col).collect())
-    V = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
-    # unit-normalize with integer-scaled norms (order-independent)
-    norm = np.maximum(np.sqrt(_scaled_int_sum(V * V) / SCALE), 1e-30)
-    S = V / norm[:, None]
-    C = S[:n_centroids].copy()  # init: first K in hash order
-    for _ in range(iters):
-        # np.argmax: first max wins → ties go to the lowest cluster id
-        assign = np.argmax(_int_dots(S, C), axis=1)
-        for j in range(n_centroids):
-            members = S[assign == j]
-            if not len(members):
-                continue
-            M = _round_half_away(members * KM_SCALE).astype(np.int64) \
-                .sum(axis=0)
-            m = M / KM_SCALE
-            n2 = int(_scaled_int_sum(m[None, :] * m[None, :])[0])
-            if n2 >= 1:  # integer-space norm²>0 test, engine-exact
-                C[j] = m / np.sqrt(n2 / SCALE)
-    return C
+    S = _hash_ordered_sample(corpus, n_centroids * sample_mult,
+                             id_col, vec_col)
+    return _lloyd_engine_exact(S, n_centroids, iters)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -369,35 +390,16 @@ def pq_codebooks(corpus: DataFrame, n_sub: int = 8, n_centroids: int = 16,
     ANSI SQL). Sample vectors are unit-normalized as FULL vectors
     first (so subvector magnitudes reflect their share of the
     original), then sliced. Returns (n_sub, K, dim/n_sub) float64."""
-    sample = (corpus
-              .orderBy(F.md5(F.col(id_col).cast("string")).asc(),
-                       F.col(id_col).asc())
-              .limit(n_centroids * sample_mult)
-              .select(vec_col).collect())
-    V = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
-    norm = np.maximum(np.sqrt(_scaled_int_sum(V * V) / SCALE), 1e-30)
-    S = V / norm[:, None]
+    S = _hash_ordered_sample(corpus, n_centroids * sample_mult,
+                             id_col, vec_col)
     dim = S.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sd = dim // n_sub
     books = np.empty((n_sub, n_centroids, sd))
     for m in range(n_sub):
-        X = S[:, m * sd:(m + 1) * sd]
-        C = X[:n_centroids].copy()
-        for _ in range(iters):
-            assign = np.argmax(_int_dots(X, C), axis=1)
-            for j in range(n_centroids):
-                members = X[assign == j]
-                if not len(members):
-                    continue
-                M = _round_half_away(members * KM_SCALE) \
-                    .astype(np.int64).sum(axis=0)
-                mv = M / KM_SCALE
-                n2 = int(_scaled_int_sum(mv[None, :] * mv[None, :])[0])
-                if n2 >= 1:
-                    C[j] = mv / np.sqrt(n2 / SCALE)
-        books[m] = C
+        books[m] = _lloyd_engine_exact(S[:, m * sd:(m + 1) * sd],
+                                       n_centroids, iters)
     return books
 
 
