@@ -863,3 +863,58 @@ def test_typed_state_raises_cleanly_without_protobuf(spark,
                    match="protobuf|INITIALIZATION|TransformWithState|crashed"):
         run_to_completion(typed_state_totals(stream, watermark="96 hours"),
                           "t_typed_state_gate", output_mode="update")
+
+
+class TestBatchCdcApply:
+    def test_versions_equal_prefix_folds_and_replay_noops(
+            self, spark, tmp_path):
+        """batch_cdc_apply's contract: version k == latest-wins over
+        batches 0..k (confluence), LATEST == the full fold, and
+        re-applying the same batch list is a no-op (fingerprint
+        replay guard)."""
+        from gasket_spark.sources.cdc import read_cdc_table
+        from gasket_spark.streaming.core import batch_cdc_apply
+
+        rows = [(k % 4, t, k, 100 + k) for t, k in enumerate(range(12))]
+        df = spark.createDataFrame(
+            rows, "k int, o int, change_id int, val int")
+        batches = [df.filter(F.col("change_id") % 3 == i)
+                   for i in range(3)]
+        tdir = str(tmp_path / "cdc")
+        batch_cdc_apply(batches, tdir, key_cols=["k"], order_cols=["o"],
+                        n_buckets=2, target_file_rows=4)
+
+        def fold(prefix):
+            import itertools
+            best = {}
+            for i in range(prefix + 1):
+                for r in [x for x in rows if x[2] % 3 == i]:
+                    cur = best.get(r[0])
+                    if cur is None or r[1] > cur[1]:
+                        best[r[0]] = r
+            return {(r[0], r[1], r[3]) for r in best.values()}
+
+        for v in range(3):
+            got = {(r["k"], r["o"], r["val"])
+                   for r in read_cdc_table(spark, tdir, version=v)
+                   .collect()}
+            assert got == fold(v), f"version {v}"
+        latest = {(r["k"], r["o"], r["val"])
+                  for r in read_cdc_table(spark, tdir).collect()}
+        assert latest == fold(2)
+
+        # exact replay: same list, same ids, same content -> no-op
+        batch_cdc_apply(batches, tdir, key_cols=["k"], order_cols=["o"],
+                        n_buckets=2, target_file_rows=4)
+        again = {(r["k"], r["o"], r["val"])
+                 for r in read_cdc_table(spark, tdir).collect()}
+        assert again == latest
+
+        # replay with DIFFERENT content under a committed batch id
+        # must refuse loudly, not drop changes
+        bad = [df.filter(F.col("change_id") % 3 == 2),
+               df.filter(F.col("change_id") % 3 == 1),
+               df.filter(F.col("change_id") % 3 == 0)]
+        with pytest.raises(Exception, match="fingerprint|regression"):
+            batch_cdc_apply(bad, tdir, key_cols=["k"], order_cols=["o"],
+                            n_buckets=2, target_file_rows=4)
