@@ -97,7 +97,48 @@ HEADLINE: dict[str, str] = {
     "q_rolling_distinct": "count",
     "q_join_spatial_grid": "count",
     "q_basket_rules": "collect",
+    # r7 additions: scan-bound conditional aggregates (Q6/Q14 shapes),
+    # exact discrete percentiles, cell-level density convolution,
+    # removal-effect attribution
+    "q_sql_forecast_revenue": "collect",
+    "q_sql_promo_share": "collect",
+    "q_agg_percentile_disc": "collect",
+    "q_join_grid_density": "collect",
+    "q_attribution_removal": "collect",
 }
+
+
+def _common_prev(timings: dict[str, float]) -> dict | None:
+    """Like-for-like subtotal vs the LATEST committed BENCH_r{N}.json:
+    the sum of this run's timings restricted to the queries the
+    previous round also timed, next to the previous round's sum over
+    the same subset — so a growing headline set can't masquerade as a
+    regression (or hide one). Carried in the artifact itself per the
+    r6 verdict (#7), not just in NOTES.md."""
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    rnd, path = max(rounds)
+    try:
+        with open(os.path.join(root, path)) as fh:
+            prev = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return None
+    common = sorted(set(prev) & set(timings))
+    if not common:
+        return None
+    cur = round(sum(timings[q] for q in common), 3)
+    old = round(sum(prev[q] for q in common), 3)
+    return {"vs_round": rnd, "n_queries": len(common),
+            "value": cur, "prev_value": old,
+            "ratio": round(cur / old, 3) if old else None}
 
 
 def main() -> None:
@@ -145,6 +186,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    cp = _common_prev(timings)
+    if cp is not None:
+        out["common_prev"] = cp
     print(json.dumps(out))
 
 

@@ -160,6 +160,47 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def stamp_cached(out: str, src: str, build, version: int | str = 1) -> str:
+    """Build-once fixture cache keyed by the SOURCE file's identity.
+
+    ``build(out)`` materializes a derived dataset (NDJSON/ORC/CSV
+    copies, hive-partitioned layouts, CDC tables) under ``out``; a
+    marker file records ``(version, src path, size, mtime_ns)`` so
+    repeated harness runs reuse the build and a changed source — or a
+    bumped ``version`` after a write-path semantics change — forces a
+    clean rebuild (stale contents are rmtree'd first, so no orphan
+    files from a previous layout survive). Returns ``out``.
+
+    This centralizes the pattern previously copied at five sites
+    (NDJSON/ORC/CSV scans, partitioned-docs, CDC fixture)."""
+    import shutil
+
+    st = os.stat(src)
+    stamp = f"v{version}:{src}:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(out, "_gasket_src_stamp")
+    try:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+    except OSError:
+        pass
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    build(out)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+def source_stamp(src: str) -> str:
+    """The (size, mtime_ns) identity token of a source file — the same
+    freshness signal :func:`stamp_cached` uses, for in-memory caches
+    (e.g. the graph edge cache) that must drop entries when the
+    underlying parquet is rewritten."""
+    st = os.stat(src)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def drop_managed_table(spark: SparkSession, table: str) -> None:
     """Drop a managed table AND its warehouse directory. A fresh
     session's in-memory catalog doesn't know tables a previous session

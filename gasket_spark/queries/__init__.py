@@ -92,6 +92,27 @@ _EDITED_R06: tuple[str, ...] = (
     "q_stream_cdc_apply", "q_cdc_deletes",
 )
 
+# Queries whose implementation, oracle, or a shared helper they call
+# was EDITED in round 7: the stamp-cache fixture extraction
+# (NDJSON/ORC/CSV/partitioned-docs/CDC scans), the graph edge-cache
+# key change (source stamp + dead-session eviction), semi_join_auto
+# replacing the static dup/eval-set broadcasts, the q_agg_moments
+# HUGEINT/decimal per-row-product fix, the q_decayed_topk 31-day
+# window bound — plus the r6-refactor-touched similarity queries the
+# verdict asked to rotate (quantizer dedup commit; q_embed_pca's
+# changed kernel+oracle was never added to _EDITED_R06). Pre-r7
+# driver greens no longer certify this code — demote until an r7+
+# row lands (self-expiring via the <= 6.0 guard).
+_EDITED_R07: tuple[str, ...] = (
+    "q_agg_moments", "q_decayed_topk",
+    "q_scan_ndjson", "q_scan_orc", "q_scan_csv",
+    "q_scan_partition_pruned", "q_join_dpp",
+    "q_graph_triangles", "q_graph_bfs", "q_graph_sssp",
+    "q_graph_kcore", "q_graph_labelprop",
+    "q_dedup_segments", "q_dedup_chunks", "q_decontaminate",
+    "q_embed_pca", "q_sim_ann", "q_sim_pq",
+)
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -200,6 +221,10 @@ def _signal_rank() -> dict[str, float]:
             # once an r6+ green lands).
             if 0 < rank.get(n, 0.0) <= 5.0:
                 rank[n] = 1.2
+        for n in _EDITED_R07:
+            # r7-edited: same rule, one round later again.
+            if 0 < rank.get(n, 0.0) <= 6.0:
+                rank[n] = 1.15
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

@@ -27,6 +27,7 @@ from pyspark.sql.functions import pandas_udf
 from gasket_spark.functions import text as T
 from gasket_spark.io import read_table
 from gasket_spark.operators import dedup as D
+from gasket_spark.operators import semi_join_auto
 from gasket_spark.operators import multimodal as M
 from gasket_spark.operators import similarity as S
 from gasket_spark.queries import query
@@ -1162,10 +1163,11 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     newline-free corpus as consecutive 10-token segments: a segment is
     duplicated if it appears in ≥ 2 distinct docs, and each doc
     reports its duplicated-segment fraction (the curation filter key).
-    One explode + two hash aggregates + a semi-join on the (small)
-    duplicated-segment set — at 100 TB the dup set is broadcast-sized
-    relative to the corpus because cross-doc repeated segments are
-    precisely the rare thing being hunted."""
+    One explode + two hash aggregates + a size-guarded semi-join
+    (``semi_join_auto``) on the duplicated-segment set — rare by
+    construction, so AQE broadcasts it at 100 TB; a pathological
+    everything-duplicated input degrades to a shuffle semi-join
+    instead of an executor OOM."""
     corpus = _docs_with_near_dups(spark, sf_dir)
     w = F.split(F.col("text"), " ")
     n_seg = F.ceil(F.size(w) / F.lit(10.0)).cast("int")
@@ -1178,7 +1180,7 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = (segs.groupBy("seg")
            .agg(F.countDistinct("doc_id").alias("_nd"))
            .filter(F.col("_nd") >= 2).select("seg"))
-    marked = segs.join(F.broadcast(dup), "seg", "left_semi") \
+    marked = semi_join_auto(segs, dup, "seg") \
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
     return (
         segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
@@ -1311,8 +1313,9 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream of the edit. Boundaries are pure md5 arithmetic —
     engine-identical, no seeds. Plan: one explode, two windows over
     (doc, pos) — the SAME single doc-keyed shuffle serves both via
-    one sort — then chunk-group aggregation and a broadcast semi-join
-    on the (rare) cross-doc duplicate chunk set."""
+    one sort — then chunk-group aggregation and a size-guarded
+    semi-join (``semi_join_auto``: AQE broadcast when small, shuffle
+    fallback when not) on the (rare) cross-doc duplicate chunk set."""
     corpus = _docs_with_near_dups(spark, sf_dir)
     toks = corpus.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
@@ -1336,7 +1339,7 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = (chunks.groupBy("chunk")
            .agg(F.countDistinct("doc_id").alias("_nd"))
            .filter(F.col("_nd") >= 2).select("chunk"))
-    marked = chunks.join(F.broadcast(dup), "chunk", "left_semi") \
+    marked = semi_join_auto(chunks, dup, "chunk") \
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
     return (
         chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
@@ -1708,10 +1711,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any
     token-3-gram with the eval set (synthetic split: doc_id % 97), and
     how many they share. The eval side's distinct shingle set is tiny
-    relative to any real corpus, so it BROADCASTS — the corpus-side
-    scan never shuffles, which is what makes n-gram decontamination
-    tractable at 100 TB (in production: 13-grams, same plan). Flagged
-    docs would be dropped or span-redacted downstream."""
+    relative to any real corpus, so the join goes through
+    ``semi_join_auto``: AQE sees the eval aggregate's actual size and
+    broadcasts it (the local-shuffle-reader then elides the corpus
+    side's network exchange), while an eval set that unexpectedly
+    grew 1000× degrades to a shuffle join instead of an executor OOM
+    — unconditionally 100 TB-safe (in production: 13-grams, same
+    plan). Flagged docs would be dropped or span-redacted downstream."""
     from gasket_spark.functions import text as T
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1722,7 +1728,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsh = train.select(
         "doc_id", F.explode(T.distinct_shingles("text", 3)).alias("s"))
     return (
-        tsh.join(F.broadcast(esh), "s")
+        semi_join_auto(tsh, esh, "s", how="inner")
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
     )
 

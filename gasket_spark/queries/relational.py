@@ -27,7 +27,9 @@ from pyspark.sql.types import (
 )
 
 from gasket_spark.functions.numeric import iscaled, money_avg, money_sum
-from gasket_spark.io import df_to_ndjson, read_table
+from gasket_spark.io import (
+    df_to_ndjson, read_table, source_stamp, stamp_cached,
+)
 from gasket_spark.queries import query
 
 
@@ -68,25 +70,14 @@ def q_scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inference = an extra full read)."""
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props")
-    out = os.path.join(tempfile.gettempdir(), "gasket_spark_ndjson",
-                       os.path.basename(os.path.normpath(sf_dir)))
-    # Rewrite the NDJSON copy only when the source fixture changed
-    # (size+mtime marker): repeated harness runs pay the serialization
-    # once, and a stale copy can never survive a fixture update.
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
-    marker = os.path.join(out, "_gasket_src_stamp")
-    fresh = False
-    try:
-        with open(marker) as fh:
-            fresh = fh.read() == stamp
-    except OSError:
-        pass
-    if not fresh:
-        df_to_ndjson(ev).write.mode("overwrite").text(out)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+    # Rewrite the NDJSON copy only when the source fixture changed:
+    # repeated harness runs pay the serialization once, and a stale
+    # copy can never survive a fixture update.
+    out = stamp_cached(
+        os.path.join(tempfile.gettempdir(), "gasket_spark_ndjson",
+                     os.path.basename(os.path.normpath(sf_dir))),
+        os.path.join(sf_dir, "events.parquet"),
+        lambda d: df_to_ndjson(ev).write.mode("overwrite").text(d))
     return spark.read.schema(_NDJSON_SCHEMA).json(out).select(
         "event_id", "user_id", "event_type", "value", "props")
 
@@ -109,22 +100,11 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus",
             "o_totalprice", "o_orderpriority"]
     od = read_table(spark, sf_dir, "orders").select(*cols)
-    out = os.path.join(tempfile.gettempdir(), "gasket_spark_orc",
-                       os.path.basename(os.path.normpath(sf_dir)))
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
-    marker = os.path.join(out, "_gasket_src_stamp")
-    fresh = False
-    try:
-        with open(marker) as fh:
-            fresh = fh.read() == stamp
-    except OSError:
-        pass
-    if not fresh:
-        write_orc(od, out)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+    out = stamp_cached(
+        os.path.join(tempfile.gettempdir(), "gasket_spark_orc",
+                     os.path.basename(os.path.normpath(sf_dir))),
+        os.path.join(sf_dir, "orders.parquet"),
+        lambda d: write_orc(od, d))
     return read_orc(spark, out).select(*cols)
 
 
@@ -2832,7 +2812,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph: triangle counting / BFS (round 6)
 # ---------------------------------------------------------------------------
 
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2840,15 +2820,23 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: parts sharing an order are adjacent; every 10th order keeps
     the graph a deterministic sample. Materialized once
     (localCheckpoint) because every graph query fans it into several
-    join arms — and CACHED per (session, sf_dir): six graph queries
-    share one edge build instead of each paying the items self-join.
-    Keyed by applicationId so a checkpointed frame from a dead
-    session can never be served to a new one."""
-    key = (spark.sparkContext.applicationId,
-           os.path.normpath(sf_dir))
+    join arms — and CACHED per (session, sf_dir, source stamp): six
+    graph queries share one edge build instead of each paying the
+    items self-join. Keyed by applicationId so a checkpointed frame
+    from a dead session can never be served to a new one, and by the
+    lineitem parquet's (size, mtime_ns) stamp so a rewritten fixture
+    can't be served stale edges. Entries from other applicationIds
+    are evicted on each miss — dead sessions' frames don't accumulate."""
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.normpath(sf_dir),
+           source_stamp(os.path.join(sf_dir, "lineitem.parquet")))
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
+    stale = [k for k in _EDGE_CACHE
+             if k[0] != app or (k[1] == key[1] and k[2] != key[2])]
+    for k in stale:
+        del _EDGE_CACHE[k]
     li = read_table(spark, sf_dir, "lineitem")
     items = (li.filter(F.col("l_orderkey") % 10 == 0)
              .select(F.col("l_orderkey").alias("ok"),
@@ -3321,23 +3309,12 @@ def _partdocs_dir(spark: SparkSession, sf_dir: str) -> str:
     lang) shared by the partition-pruning scan and DPP join queries."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
-    out = os.path.join(tempfile.gettempdir(), "gasket_spark_partdocs",
-                       os.path.basename(os.path.normpath(sf_dir)))
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
-    marker = os.path.join(out, "_gasket_src_stamp")
-    fresh = False
-    try:
-        with open(marker) as fh:
-            fresh = fh.read() == stamp
-    except OSError:
-        pass
-    if not fresh:
-        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
-    return out
+    return stamp_cached(
+        os.path.join(tempfile.gettempdir(), "gasket_spark_partdocs",
+                     os.path.basename(os.path.normpath(sf_dir))),
+        os.path.join(sf_dir, "documents.parquet"),
+        lambda d: docs.write.mode("overwrite")
+                      .partitionBy("lang").parquet(d))
 
 
 @query(
@@ -3752,7 +3729,7 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_moments",
     oracle="""
     WITH c AS (
-      SELECT event_type, CAST(round(value * 10) AS BIGINT) AS v
+      SELECT event_type, CAST(CAST(round(value * 10) AS BIGINT) AS HUGEINT) AS v
       FROM events),
     s AS (
       SELECT event_type, COUNT(*) AS n,
@@ -3784,8 +3761,10 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment statistics pack (skewness + excess kurtosis per
     event type) from EXACT integer power sums — the mergeable-moments
     pattern: each partition contributes only (n, Σv, Σv², Σv³, Σv⁴),
-    all exact integers (decimal accumulators so sf-growth can't
-    overflow a BIGINT; DuckDB promotes to HUGEINT the same way), and
+    all exact integers — v is widened to decimal(38,0) (Spark) /
+    HUGEINT (oracle) BEFORE any multiply, so the per-row v⁴ products
+    are exact too, not just the sums (BIGINT v⁴ wraps silently in
+    non-ANSI Spark past |v|≈55k while DuckDB raises) — and
     the holistic-looking statistics fall out of closed-form double
     arithmetic AFTER the single partial-aggregate shuffle. sqrt
     instead of pow(x,1.5): IEEE sqrt is correctly rounded on both
@@ -3794,15 +3773,13 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 10).cast("bigint")
     c = ev.select("event_type", v.alias("v"))
-    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    dv = F.col("v").cast("decimal(38,0)")
     s = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("v"))).cast("double").alias("s1"),
-        F.sum(dec(F.col("v") * F.col("v"))).cast("double").alias("s2"),
-        F.sum(dec(F.col("v") * F.col("v") * F.col("v")))
-         .cast("double").alias("s3"),
-        F.sum(dec((F.col("v") * F.col("v")) * (F.col("v") * F.col("v"))))
-         .cast("double").alias("s4"))
+        F.sum(dv).cast("double").alias("s1"),
+        F.sum(dv * dv).cast("double").alias("s2"),
+        F.sum(dv * dv * dv).cast("double").alias("s3"),
+        F.sum((dv * dv) * (dv * dv)).cast("double").alias("s4"))
     m = s.select(
         "event_type", "n",
         (F.col("s1") / F.col("n")).alias("mean"),
@@ -4214,22 +4191,12 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
             "c_mktsegment"]
     cust = read_table(spark, sf_dir, "customer").select(*cols)
-    out = os.path.join(tempfile.gettempdir(), "gasket_spark_csv",
-                       os.path.basename(os.path.normpath(sf_dir)))
-    src = os.path.join(sf_dir, "customer.parquet")
-    st = os.stat(src)
-    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
-    marker = os.path.join(out, "_gasket_src_stamp")
-    fresh = False
-    try:
-        with open(marker) as fh:
-            fresh = fh.read() == stamp
-    except OSError:
-        pass
-    if not fresh:
-        cust.write.mode("overwrite").option("header", "true").csv(out)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+    out = stamp_cached(
+        os.path.join(tempfile.gettempdir(), "gasket_spark_csv",
+                     os.path.basename(os.path.normpath(sf_dir))),
+        os.path.join(sf_dir, "customer.parquet"),
+        lambda d: cust.write.mode("overwrite")
+                      .option("header", "true").csv(d))
     schema = ("c_custkey bigint, c_name string, c_nationkey int, "
               "c_acctbal double, c_mktsegment string")
     return (spark.read.schema(schema).option("header", "true").csv(out)
@@ -4848,6 +4815,8 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS decayed_fp
       FROM events e CROSS JOIN m
       WHERE e.event_type = 'purchase'
+        AND m.max_age - date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', e.ts)) <= 30
       GROUP BY e.user_id)
     SELECT user_id, CAST(decayed_fp AS BIGINT) AS decayed_fp,
            CAST(rnk AS INT) AS rank
@@ -4864,9 +4833,13 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^max_age is monotone), no float accumulation anywhere. The
     recency-weighted ranking every feed/trending surface needs,
     reduced to one map-side weight + one grouped sum + top-10
-    (TakeOrdered). The day span is bounded (30 here; cents·2^30
-    stays far under 2^63) — at longer horizons the same query drops
-    a windowed cutoff on age first."""
+    (TakeOrdered). The leaderboard is DEFINED over the trailing
+    31-day window (``wexp <= 30``, enforced in BOTH engines), which
+    structurally bounds the shift: cents·2^30 stays far under 2^63
+    regardless of how wide the fixture's time span grows — a wider
+    span changes which events qualify, never silently wraps a score
+    (Spark's shiftleft masks the shift amount mod 64; DuckDB's <<
+    doesn't — unguarded they'd diverge past 63 half-lives)."""
     ev = read_table(spark, sf_dir, "events")
     base = F.lit("2024-01-01").cast("timestamp")
     age = F.datediff(F.date_trunc("day", F.col("ts")), base)
@@ -4875,6 +4848,7 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (ev.filter(F.col("event_type") == "purchase")
          .crossJoin(F.broadcast(m))
          .withColumn("wexp", (F.col("max_age") - age).cast("int"))
+         .filter(F.col("wexp") <= 30)
          .groupBy("user_id")
          .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")
                     * F.expr("shiftleft(CAST(1 AS BIGINT), wexp)"))
@@ -5067,3 +5041,259 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("first_view").isNotNull()
                & (F.col("first_purchase") > F.col("first_view")),
                delta).alias("secs_to_convert"))
+
+
+# ---------------------------------------------------------------------------
+# round 7: conditional aggregates (TPC-H Q6/Q14 shapes), discrete
+# percentiles, grid density, attribution removal effects
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sql_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_fp,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast-revenue-change): a pure filtered
+    aggregate whose entire cost is the scan — shipdate + quantity
+    predicates push to the parquet footers (PushedFilters, pinned in
+    tests/test_plans.py), the 4-column ReadSchema prunes the other 12,
+    and ONE partial+final agg pair reduces everything map-side; no
+    join, no wide shuffle, so at 100 TB the runtime is IO-bound by
+    row groups that survive min/max pruning. Revenue is summed in
+    exact fixed point (cents × discount-percent, both pre-rounded
+    integers — the discount filter itself compares the INTEGER
+    percent, sidestepping float-literal equality across engines)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & disc.between(5, 7) & (F.col("l_quantity") < 24))
+        .agg(F.sum(cents * disc).cast("bigint").alias("revenue_fp"),
+             F.count(F.lit(1)).alias("n_items")))
+
+
+@query(
+    "q_sql_promo_share",
+    oracle="""
+    WITH j AS (
+      SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents,
+             CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'),
+    g AS (
+      SELECT ship_month,
+             CAST(SUM(CASE WHEN is_promo = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS promo_cents,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM j GROUP BY ship_month)
+    SELECT ship_month, promo_cents, total_cents,
+           round(100.0 * promo_cents / total_cents, 9) AS promo_share
+    FROM g
+    """,
+)
+def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion-effect): the CONDITIONAL aggregate —
+    CASE WHEN inside SUM — computing promo revenue share per ship
+    month. The part dimension broadcasts (explicit hint: its size is
+    known by schema, unlike the data-dependent sets behind
+    semi_join_auto), so the fact table makes one narrow pass:
+    filter → broadcast join → two-phase agg with BOTH conditional
+    sums folded into the same partial aggregate (one shuffle of
+    month-sized partials, never rows). Numerator and denominator stay
+    exact integer cents; the share is one double division at the
+    end, round(…, 9) — same discipline as q_agg_moments."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("bigint")
+    j = (li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+         .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+         .select(F.date_trunc("month", "l_shipdate").alias("ship_month"),
+                 cents.alias("cents"),
+                 F.col("p_type").like("PROMO%").alias("is_promo")))
+    g = (j.groupBy("ship_month")
+         .agg(F.sum(F.when(F.col("is_promo"), F.col("cents"))
+                    .otherwise(0)).cast("bigint").alias("promo_cents"),
+              F.sum("cents").cast("bigint").alias("total_cents")))
+    return g.select(
+        "ship_month", "promo_cents", "total_cents",
+        F.round(F.lit(100.0) * F.col("promo_cents")
+                / F.col("total_cents"), 9).alias("promo_share"))
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    p AS (SELECT UNNEST([25, 50, 75, 95]) AS pct)
+    SELECT r.event_type, p.pct, round(r.value, 9) AS pct_value
+    FROM r CROSS JOIN p
+    WHERE r.rn = (p.pct * r.n + 99) // 100
+    """,
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc semantics: the smallest
+    actual value whose rank covers p — never interpolated, so the
+    result is always a real observation) at p ∈ {25,50,75,95} per
+    event type. Twin of q_agg_percentile's continuous quantiles. The
+    rank arithmetic is ALL-INTEGER on both engines — rn = ⌈p·n/100⌉
+    computed as (p·n + 99) div 100 — so no float rank can straddle a
+    boundary differently across engines. Plan: one shuffle on
+    event_type for the rank window, then a map-side explode(4) +
+    filter; ties in value are rank-order-free because the value AT a
+    given rank is unique regardless of how row_number broke the tie."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = (Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    r = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 95)]))
+    return (r.withColumn("pct", pcts)
+            .filter(F.col("rn")
+                    == F.expr("(pct * n + 99) div 100"))
+            .select("event_type", "pct",
+                    F.round("value", 9).alias("pct_value")))
+
+
+@query(
+    "q_join_grid_density",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             (user_id % 5) * 2000 + (user_id * 37) % 997 AS x,
+             (user_id % 7) * 2000 + (user_id * 61) % 997 AS y
+      FROM (SELECT DISTINCT user_id FROM events)),
+    cells AS (
+      SELECT CAST(floor(x / 1500.0) AS BIGINT) AS cx,
+             CAST(floor(y / 1500.0) AS BIGINT) AS cy,
+             COUNT(*) AS n_points
+      FROM pts GROUP BY 1, 2),
+    nb AS (
+      SELECT c.cx + dx.dx AS cx, c.cy + dy.dy AS cy,
+             SUM(c.n_points) AS n_nbhd
+      FROM cells c,
+           (SELECT UNNEST([-1, 0, 1]) AS dx) dx,
+           (SELECT UNNEST([-1, 0, 1]) AS dy) dy
+      GROUP BY 1, 2)
+    SELECT c.cx, c.cy, c.n_points, nb.n_nbhd,
+           round(c.n_points * 1.0 / nb.n_nbhd, 9) AS density_ratio
+    FROM cells c JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy
+    """,
+)
+def q_join_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CELL DENSITY STATS over the q_join_spatial_grid geometry:
+    each cell's point count plus its 3×3-neighborhood total (the
+    local-density denominator a spatial sampler or hotspot detector
+    needs). The key scale property: the neighborhood convolution runs
+    on the CELL AGGREGATE (|cells| rows), never on points — points
+    are reduced to cells in one two-phase agg, then the 9-offset
+    explode + re-agg touches only cell-sized data, so the whole
+    smoothing step is O(|cells|·9) regardless of corpus size. The
+    density ratio is one double division over exact integer counts."""
+    ev = read_table(spark, sf_dir, "events")
+    cell = 1500
+    pts = (ev.select("user_id").distinct()
+           .select(((F.col("user_id") % 5) * 2000
+                    + (F.col("user_id") * 37) % 997).alias("x"),
+                   ((F.col("user_id") % 7) * 2000
+                    + (F.col("user_id") * 61) % 997).alias("y")))
+    cells = (pts.groupBy(
+                F.floor(F.col("x") / cell).cast("bigint").alias("cx"),
+                F.floor(F.col("y") / cell).cast("bigint").alias("cy"))
+             .agg(F.count(F.lit(1)).alias("n_points")))
+    offs = [F.lit(i) for i in (-1, 0, 1)]
+    nb = (cells
+          .withColumn("dx", F.explode(F.array(*offs)))
+          .withColumn("dy", F.explode(F.array(*offs)))
+          .groupBy((F.col("cx") + F.col("dx")).alias("cx"),
+                   (F.col("cy") + F.col("dy")).alias("cy"))
+          .agg(F.sum("n_points").alias("n_nbhd")))
+    return (cells.join(nb, ["cx", "cy"])
+            .select("cx", "cy", "n_points", "n_nbhd",
+                    F.round(F.col("n_points") * F.lit(1.0)
+                            / F.col("n_nbhd"), 9)
+                    .alias("density_ratio")))
+
+
+@query(
+    "q_attribution_removal",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    touched AS (
+      SELECT DISTINCT e.user_id, e.event_type AS channel
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'),
+    tot AS (SELECT COUNT(*) AS n_conv FROM conv),
+    ch AS (SELECT channel, COUNT(*) AS n_touched
+           FROM touched GROUP BY channel),
+    s AS (SELECT SUM(n_touched) AS total_touches FROM ch)
+    SELECT ch.channel, ch.n_touched, tot.n_conv,
+           round(ch.n_touched * 1.0 / tot.n_conv, 9) AS removal_effect,
+           round(ch.n_touched * 1.0 / s.total_touches, 9)
+             AS attribution_share
+    FROM ch CROSS JOIN tot CROSS JOIN s
+    """,
+)
+def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMOVAL-EFFECT attribution over pre-conversion journeys — the
+    counting core of Markov-chain attribution (companion to
+    q_markov_transitions' transition matrix): a channel's removal
+    effect is the fraction of conversions whose path would be BLOCKED
+    if the channel vanished, estimated path-exactly as converters who
+    touched the channel strictly before their first purchase / all
+    converters (the path-blocking estimator; the full absorbing-chain
+    solve refines the same counts). attribution_share renormalizes to
+    a budget split. Plan: one agg for first-purchase, one key-key
+    join on user_id (no hint — both sides are user-cardinality; AQE
+    picks), one distinct + one channel-sized agg; the two 1-row
+    scalars broadcast. Every output is exact counting + one double
+    division, round(…, 9)."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_purchase")))
+    touched = (ev.filter(F.col("event_type") != "purchase")
+               .join(conv, "user_id")
+               .filter(F.col("ts") < F.col("first_purchase"))
+               .select("user_id", F.col("event_type").alias("channel"))
+               .distinct())
+    tot = conv.agg(F.count(F.lit(1)).alias("n_conv"))
+    ch = touched.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touched"))
+    s = ch.agg(F.sum("n_touched").alias("total_touches"))
+    return (ch.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(s))
+            .select("channel", "n_touched", "n_conv",
+                    F.round(F.col("n_touched") * F.lit(1.0)
+                            / F.col("n_conv"), 9).alias("removal_effect"),
+                    F.round(F.col("n_touched") * F.lit(1.0)
+                            / F.col("total_touches"), 9)
+                    .alias("attribution_share")))

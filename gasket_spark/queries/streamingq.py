@@ -541,26 +541,13 @@ def _cdc_fixture(spark: SparkSession, sf_dir: str, tag: str,
     it scans. A size+mtime stamp of events.parquet plus a version
     token invalidates the cache on fixture or write-path changes;
     ``build(table_dir)`` performs the actual stream_cdc_apply."""
-    import shutil
+    from gasket_spark.io import stamp_cached
 
-    out = os.path.join(tempfile.gettempdir(), "gasket_spark_cdc",
-                       f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}")
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    stamp = f"v{_CDC_FIXTURE_VERSION}:{src}:{st.st_size}:{st.st_mtime_ns}"
-    marker = os.path.join(out, "_gasket_src_stamp")
-    try:
-        with open(marker) as fh:
-            if fh.read() == stamp:
-                return out
-    except OSError:
-        pass
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    build(out)
-    with open(marker, "w") as fh:
-        fh.write(stamp)
-    return out
+    return stamp_cached(
+        os.path.join(tempfile.gettempdir(), "gasket_spark_cdc",
+                     f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}"),
+        os.path.join(sf_dir, "events.parquet"),
+        build, version=_CDC_FIXTURE_VERSION)
 
 
 @query(

@@ -46,11 +46,48 @@ class TestPlanContracts:
         assert "codegen id" in plan
 
     def test_decontaminate_broadcasts_eval_side(self, spark):
-        """The corpus-side scan must never shuffle: the eval shingle
-        set joins as a broadcast."""
-        plan = _plan(QUERIES["q_decontaminate"](spark, SF_SMALL))
+        """The eval shingle set joins through semi_join_auto: no
+        static hint, but AQE must convert to a broadcast join at
+        runtime once it sees the eval aggregate's actual size — so
+        the FINAL adaptive plan (post-execution) is the contract."""
+        df = QUERIES["q_decontaminate"](spark, SF_SMALL)
+        df.collect()
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan
         assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+
+    def test_semi_join_auto_two_regimes(self, spark):
+        """semi_join_auto's contract: AQE broadcast below the
+        threshold, shuffle semi-join above it (simulated by disabling
+        the broadcast thresholds) — never a static hint that could
+        OOM on a pathological key set."""
+        from gasket_spark.operators import semi_join_auto
+
+        docs = read_table(spark, SF_SMALL, "documents") \
+            .select("doc_id", "lang")
+        keys = (docs.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= 1).select("lang"))
+        out = semi_join_auto(docs, keys, "lang")
+        out.collect()
+        plan = _plan(out)
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            out2 = semi_join_auto(docs, keys, "lang")
+            out2.collect()
+            plan2 = _plan(out2)
+            assert "BroadcastHashJoin" not in plan2
+            assert ("SortMergeJoin" in plan2
+                    or "ShuffledHashJoin" in plan2)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold")
 
     def test_lm_score_broadcasts_model_tables(self, spark):
         """Both the bigram and unigram count tables are vocab-sized —
@@ -506,3 +543,51 @@ class TestNewQueryPlanContracts:
         plan = _plan(QUERIES["q_time_to_convert"](spark, SF_SMALL))
         assert plan.count("Exchange (") == 1, plan
         assert "Join" not in plan
+
+
+class TestRound7PlanContracts:
+    def test_forecast_revenue_pushes_filters_to_scan(self, spark):
+        """Q6 shape: the whole query is the scan — shipdate/quantity
+        predicates reach the parquet reader and the ReadSchema is
+        pruned to the 4 referenced columns; one two-phase agg."""
+        plan = _plan(QUERIES["q_sql_forecast_revenue"](spark, SF_SMALL))
+        assert "PushedFilters: [IsNotNull" in plan
+        read_schema = [ln for ln in plan.splitlines()
+                       if "ReadSchema" in ln][0]
+        assert read_schema.count(",") <= 4
+        assert plan.count("HashAggregate (") == 2
+        assert "Join" not in plan
+
+    def test_promo_share_broadcasts_part_two_phase_agg(self, spark):
+        """Q14 shape: part dim broadcasts; both conditional sums fold
+        into ONE partial+final aggregate pair (never two scans)."""
+        plan = _plan(QUERIES["q_sql_promo_share"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("HashAggregate (") == 2
+
+    def test_percentile_disc_single_shuffle(self, spark):
+        """One exchange on event_type feeds both rank windows via one
+        sort; the pct explode is map-side."""
+        plan = _plan(QUERIES["q_agg_percentile_disc"](spark, SF_SMALL))
+        assert plan.count("Exchange (") == 1
+        assert "Generate (" in plan  # the explode
+
+    def test_grid_density_convolves_cells_not_points(self, spark):
+        """The 9-offset explode must sit ABOVE the cell aggregate
+        (cell-sized), not on the raw point set: the plan has the
+        point->cell agg before any Generate node."""
+        plan = _plan(QUERIES["q_join_grid_density"](spark, SF_SMALL))
+        # tree is printed leaves-last in formatted mode's details, so
+        # assert structurally: two Generates (dx, dy), and the join of
+        # cells x neighborhood aggregates
+        assert plan.count("Generate (") == 2
+        assert plan.count("HashAggregate (") >= 4  # distinct+cells+nb
+
+    def test_attribution_scalars_broadcast(self, spark):
+        """The two 1-row scalar aggregates join back as broadcast
+        nested loop joins (1-row side), never a shuffle."""
+        plan = _plan(QUERIES["q_attribution_removal"](spark, SF_SMALL))
+        # tree-form node count (details re-mention each node)
+        assert plan.count("BroadcastNestedLoopJoin Cross") == 2
+        assert "CartesianProduct" not in plan
