@@ -105,6 +105,10 @@ HEADLINE: dict[str, str] = {
     "q_agg_percentile_disc": "collect",
     "q_join_grid_density": "collect",
     "q_attribution_removal": "collect",
+    "q_agg_corr": "collect",
+    "q_anomaly_mad": "count",
+    "q_seq_trigrams": "collect",
+    "q_pareto_share": "count",
 }
 
 

@@ -5297,3 +5297,212 @@ def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_touched") * F.lit(1.0)
                             / F.col("total_touches"), 9)
                     .alias("attribution_share")))
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT) AS x,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  AS HUGEINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM c GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+             AS corr_qty_price,
+           round((sxy - sx * sy / n) / (n - 1), 9) AS cov_qty_price
+    FROM s
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + sample covariance between
+    quantity and price from EXACT integer power sums — the same
+    mergeable-moments pattern as q_agg_moments (one partial+final agg
+    pair, k tiny rows shuffled), extended to the CROSS moment Σxy.
+    Inputs are widened to decimal(38,0)/HUGEINT before any multiply
+    (Σy² alone passes 2^63 at sf0.1), the closed-form corr/cov are one
+    double expression over the exact sums, round(…, 9). Spark's
+    built-in corr() is a float accumulator whose result depends on
+    partition association order — this formulation is bit-stable
+    under any partitioning."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint").cast("decimal(38,0)")
+    y = (F.round(F.col("l_extendedprice") * 100)
+         .cast("bigint").cast("decimal(38,0)"))
+    c = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
+    n = F.col("n")
+    return s.select(
+        "l_returnflag", n.cast("bigint").alias("n"),
+        F.round((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                         * (n * F.col("syy") - F.col("sy") * F.col("sy"))),
+                9).alias("corr_qty_price"),
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / n)
+                / (n - 1), 9).alias("cov_qty_price"))
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 1e6) AS BIGINT) AS v
+      FROM events),
+    m AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med
+      FROM c GROUP BY event_type),
+    d AS (
+      SELECT c.event_id, c.event_type,
+             CAST(abs(2 * c.v - CAST(round(2 * m.med) AS BIGINT))
+                  AS BIGINT) AS dev2
+      FROM c JOIN m ON m.event_type = c.event_type),
+    md AS (
+      SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+      FROM d GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.dev2, md.mad2,
+           d.dev2 > 3 * md.mad2 AS is_outlier
+    FROM d JOIN md ON md.event_type = d.event_type
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-ABSOLUTE-DEVIATION outlier flags per event type — the
+    robust third leg of the anomaly family (zscore is mean-based,
+    IQR is quartile-based; MAD survives 50% contamination). The
+    doubled-deviation trick keeps everything in EXACT integer space:
+    values scale to micro-units, the median of integers is integer-
+    or half-valued, so 2·|v − med| = |2v − 2med| is an exact BIGINT —
+    the second (MAD) percentile again runs over integers, and the
+    3-sigma-equivalent cut compares exactly. Two group-sized
+    broadcast joins; the corpus makes two narrow passes (the two
+    medians are inherently sequential)."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.select("event_id", "event_type",
+                  F.round(F.col("value") * 1e6).cast("bigint").alias("v"))
+    m = c.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("med"))
+    d = (c.join(F.broadcast(m), "event_type")
+         .select("event_id", "event_type",
+                 F.abs(2 * F.col("v")
+                       - F.round(2 * F.col("med")).cast("bigint"))
+                 .alias("dev2")))
+    md = d.groupBy("event_type").agg(
+        F.percentile("dev2", F.lit(0.5)).alias("mad2"))
+    return (d.join(F.broadcast(md), "event_type")
+            .select("event_id", "event_type", "dev2", "mad2",
+                    (F.col("dev2") > 3 * F.col("mad2"))
+                    .alias("is_outlier")))
+
+
+@query(
+    "q_seq_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS t0,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+    FROM s WHERE t2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q_seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral PATH MINING: top-20 event-type trigrams across user
+    journeys — the order-3 extension of q_markov_transitions' bigram
+    matrix (funnel discovery, anomalous-flow detection). ONE window
+    shuffle on user_id serves both LEADs via the same sort, the
+    trigram paths reduce through a two-phase count (|types|³ ≤ 125
+    partials), and top-20 plans as TakeOrderedAndProject — no global
+    sort ever materializes."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"))
+    return (s.filter(F.col("t2").isNotNull())
+            .select(F.concat_ws(">", "t0", "t1", "t2").alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "path").limit(20))
+
+
+@query(
+    "q_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT c_nationkey, c_custkey, cents,
+             CAST(SUM(cents) OVER (
+               PARTITION BY c_nationkey ORDER BY cents DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents,
+             CAST(SUM(cents) OVER (PARTITION BY c_nationkey)
+               AS BIGINT) AS nation_cents,
+             row_number() OVER (
+               PARTITION BY c_nationkey ORDER BY cents DESC, c_custkey)
+               AS rnk
+      FROM rev)
+    SELECT c_nationkey, c_custkey, cents, CAST(rnk AS INT) AS rnk,
+           round(cum_cents * 1.0 / nation_cents, 9) AS cum_share,
+           cum_cents * 10 <= nation_cents * 8 AS in_head
+    FROM w
+    """,
+)
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE CONCENTRATION (Pareto / 80-20 analysis) per nation:
+    each customer's running cumulative share of their nation's
+    revenue, ranked by spend, with the 80%-head flag decided by
+    INTEGER cross-multiplication (cum·10 ≤ total·8 — no float
+    boundary can flip membership across engines). The windows are
+    PARTITIONED by nation — the global-Pareto anti-pattern (one
+    unpartitioned running sum = single-partition exchange) never
+    appears; at 100 TB each nation's ledger sorts independently.
+    One join-agg to customer grain, then one window shuffle."""
+    cust = read_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    orders = read_table(spark, sf_dir, "orders") \
+        .select("o_custkey", "o_totalprice")
+    rev = (orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_nationkey", "c_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint").alias("cents")))
+    wo = (Window.partitionBy("c_nationkey")
+          .orderBy(F.desc("cents"), "c_custkey"))
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = (Window.partitionBy("c_nationkey")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    w = rev.select(
+        "c_nationkey", "c_custkey", "cents",
+        F.sum("cents").over(wcum).cast("bigint").alias("cum_cents"),
+        F.sum("cents").over(wall).cast("bigint").alias("nation_cents"),
+        F.row_number().over(wo).alias("rnk"))
+    return w.select(
+        "c_nationkey", "c_custkey", "cents",
+        F.col("rnk").cast("int").alias("rnk"),
+        F.round(F.col("cum_cents") * F.lit(1.0)
+                / F.col("nation_cents"), 9).alias("cum_share"),
+        (F.col("cum_cents") * 10 <= F.col("nation_cents") * 8)
+        .alias("in_head"))

@@ -591,3 +591,32 @@ class TestRound7PlanContracts:
         # tree-form node count (details re-mention each node)
         assert plan.count("BroadcastNestedLoopJoin Cross") == 2
         assert "CartesianProduct" not in plan
+
+    def test_agg_corr_is_single_two_phase_agg(self, spark):
+        """All five cross/power sums come from ONE partial+final
+        aggregate pair — never a second scan or a sort fallback."""
+        plan = _plan(QUERIES["q_agg_corr"](spark, SF_SMALL))
+        assert plan.count("HashAggregate (") == 2
+        assert plan.count("Exchange (") == 1
+        assert "SortAggregate" not in plan
+
+    def test_anomaly_mad_broadcasts_both_medians(self, spark):
+        """Both group-sized median tables broadcast back over the
+        event scan; the corpus never shuffles."""
+        plan = _plan(QUERIES["q_anomaly_mad"](spark, SF_SMALL))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_seq_trigrams_one_window_sort_topk(self, spark):
+        """Both LEADs share one user_id window sort; top-20 is
+        TakeOrdered, not a global sort."""
+        plan = _plan(QUERIES["q_seq_trigrams"](spark, SF_SMALL))
+        assert plan.count("Window (") == 1
+        assert "TakeOrderedAndProject" in plan
+
+    def test_pareto_share_windows_are_partitioned(self, spark):
+        """The running-share windows partition by nation — a global
+        Pareto would plan Exchange SinglePartition."""
+        plan = _plan(QUERIES["q_pareto_share"](spark, SF_SMALL))
+        assert "Exchange SinglePartition" not in plan
+        assert "hashpartitioning(c_nationkey" in plan
