@@ -109,6 +109,7 @@ HEADLINE: dict[str, str] = {
     "q_anomaly_mad": "count",
     "q_seq_trigrams": "collect",
     "q_pareto_share": "count",
+    "q_stream_ewma": "count",
 }
 
 

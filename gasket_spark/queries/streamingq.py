@@ -766,3 +766,56 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "updated")
                  .otherwise("unchanged").alias("change"),
                 "old_cents", "new_cents", "old_ts", "new_ts"))
+
+
+@query(
+    "q_stream_ewma",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    r AS (
+      SELECT user_id, c,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rd,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM c)
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_seen,
+           round(SUM(CASE WHEN rd <= 8
+                          THEN c * (CAST(1 AS BIGINT) << (8 - rd))
+                          ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN rd <= 8
+                            THEN CAST(1 AS BIGINT) << (8 - rd)
+                            ELSE 0 END), 6) AS ewma_cents
+    FROM r GROUP BY user_id
+    """,
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EWMA (alpha = 1/2, 8-event horizon) per user,
+    computed BY Structured Streaming with bounded custom state
+    (``stateful_user_ewma``, applyInPandasWithState): the order-
+    sensitive recursive statistic is made CONFLUENT by keeping the
+    top-8 events by (ts, event_id) as the state — a semilattice
+    merge, so the unordered file-stream replay folds to the exact
+    value the batch oracle states for each user's final event. The
+    exact integer numerator/denominator cross the stream boundary;
+    the one float division + round happens batch-side. This is the
+    r6 verdict's q_stream_ewma ask, landed on the protobuf-free
+    stateful API (transformWithStateInPandas stays env-gated —
+    NOTES.md)."""
+    from pyspark.sql import Window
+
+    from gasket_spark.streaming.core import (
+        run_to_completion, stateful_user_ewma)
+
+    stream = _events_as_stream(spark, sf_dir)
+    updates = run_to_completion(
+        stateful_user_ewma(stream, watermark=_REPLAY_WM),
+        _unique_name("t_stream_ewma"), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (updates.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("user_id", "n_seen",
+                    F.round(F.col("ewma_num") * F.lit(1.0)
+                            / F.col("ewma_den"), 6).alias("ewma_cents")))

@@ -22,7 +22,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 EVENTS_SCHEMA = StructType([
@@ -173,6 +174,80 @@ def stateful_user_totals(events: DataFrame,
             _fold,
             outputStructType=STATEFUL_TOTALS_SCHEMA,
             stateStructType=_TOTALS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+STATEFUL_EWMA_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_seen", LongType()),
+    StructField("ewma_num", LongType()),
+    StructField("ewma_den", LongType()),
+])
+
+_EWMA_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("ts_us", ArrayType(LongType())),
+    StructField("eid", ArrayType(LongType())),
+    StructField("cents", ArrayType(LongType())),
+])
+
+
+def stateful_user_ewma(events: DataFrame, k: int = 8,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming EWMA per user (alpha = 1/2 over the last ``k``
+    events) as a CONFLUENT stateful operator: state per key is the
+    top-``k`` events by (ts, event_id) plus a total count — a
+    semilattice merge (top-k of a union is the top-k of top-k's), so
+    ANY micro-batching of the same records, in any order, folds to
+    the same final state. That is what makes a recursive, order-
+    sensitive statistic hash-verifiable against a batch oracle on an
+    unordered replay source — the same confluence discipline as
+    ``stream_cdc_apply``'s latest-wins merge.
+
+    State is O(k) per key (k longs, never the event history); the
+    emitted row carries the EXACT integer numerator/denominator
+    (cents·2^(k−1−lag) weights, renormalized over the lags that
+    exist) so the single float division and rounding happen once,
+    BATCH-side, where Spark and DuckDB round identically — no Python
+    float rounding in the loop. Weights match q_window_ewma's
+    fixed-point scheme at each user's final event."""
+    import numpy as np
+    import pandas as pd
+
+    def _fold(key, pdf_iter, state):
+        if state.exists:
+            n, ts_us, eid, cents = state.get
+            rows = list(zip(ts_us, eid, cents))
+        else:
+            n, rows = 0, []
+        for pdf in pdf_iter:
+            n += len(pdf)
+            ts_i = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            eid_i = pdf["event_id"].to_numpy("int64")
+            c_i = np.round(pdf["value"].to_numpy(np.float64)
+                           * 100).astype("int64")
+            rows.extend(zip(ts_i.tolist(), eid_i.tolist(), c_i.tolist()))
+        rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        rows = rows[:k]
+        state.update((n, [r[0] for r in rows], [r[1] for r in rows],
+                      [r[2] for r in rows]))
+        num = sum(c << (k - 1 - i) for i, (_, _, c) in enumerate(rows))
+        den = sum(1 << (k - 1 - i) for i in range(len(rows)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n],
+                            "ewma_num": [num], "ewma_den": [den]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=STATEFUL_EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

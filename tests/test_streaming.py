@@ -234,6 +234,46 @@ class TestStatefulOperator:
         cols = ["user_id", "n_events", "total_cents"]
         assert _rows(final, cols) == _rows(batch, cols)
 
+    def test_stateful_ewma_equals_batch(self, spark, events_json_dir):
+        """Confluent last-8 EWMA state: the final update per user must
+        equal the batch window formula at that user's last event —
+        regardless of the replay's micro-batch boundaries (files
+        arrive one per trigger here, a different batching than the
+        selfcheck oracle's two-per-trigger replay)."""
+        from pyspark.sql import Window
+
+        from gasket_spark.streaming.core import (
+            read_events_stream, run_to_completion, stateful_user_ewma)
+
+        stream = read_events_stream(spark, events_json_dir,
+                                    max_files_per_trigger=1)
+        got = run_to_completion(stateful_user_ewma(stream), "t_ewma_ut",
+                                output_mode="update")
+        w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+        final = (got.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") == 1)
+                 .select("user_id", "n_seen", "ewma_num", "ewma_den"))
+
+        ev = read_table(spark, SF_SMALL, "events")
+        wo = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        wn = Window.partitionBy("user_id")
+        r = ev.select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+            F.row_number().over(wo).alias("rd"),
+            F.count(F.lit(1)).over(wn).alias("n"))
+        batch = (r.groupBy("user_id")
+                 .agg(F.max("n").cast("bigint").alias("n_seen"),
+                      F.sum(F.when(F.col("rd") <= 8, F.col("c") * F.expr(
+                          "shiftleft(CAST(1 AS BIGINT), 8 - rd)"))
+                            .otherwise(0)).alias("ewma_num"),
+                      F.sum(F.when(F.col("rd") <= 8, F.expr(
+                          "shiftleft(CAST(1 AS BIGINT), 8 - rd)"))
+                            .otherwise(0)).alias("ewma_den")))
+        cols = ["user_id", "n_seen", "ewma_num", "ewma_den"]
+        assert _rows(final, cols) == _rows(batch, cols)
+
     def test_state_accumulates_across_batches(self, spark, events_json_dir):
         """With maxFilesPerTrigger=1 the input arrives over ≥4
         micro-batches; users seen in several batches must emit strictly
