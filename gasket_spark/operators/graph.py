@@ -35,7 +35,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # No .distinct() on sym: the per-round groupBy-min absorbs
     # duplicate edges (they only pad the join output), so the
     # symmetrize pass stays shuffle-free — one fewer exchange +
-    # materialization before the loop.
+    # materialization before the loop. (A repartition("u") +
+    # shuffle-hash loop like pagerank()'s was A/B-measured 2.7×
+    # SLOWER here: the near-dup pair graph is tiny, so the per-round
+    # exchange it would save costs less than the setup shuffle —
+    # the loop-invariant-partitioning trick only pays on edge tables
+    # big enough for the per-round sort/exchange to dominate.)
     sc = edges.sparkSession.sparkContext
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -144,9 +149,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         ranks = verts.withColumn(
             "r", F.lit(SCALE // n).cast("long")).localCheckpoint()
         for _ in range(max_iter):
+            # SHUFFLE_HASH hint on the vertex-sized side: both joins
+            # are already co-partitioned (no exchange), but the SMJ
+            # default re-SORTS the cached edge partitions every round
+            # — a per-round O(E log E) the hash build avoids. Build
+            # side is one rank-table partition (O(V/P), near-uniform
+            # hash keys), so the build is bounded at any scale;
+            # measured ~0.3 s/round at sf0.1. Results are unchanged
+            # by construction (join strategy can't affect the
+            # fixed-point integer arithmetic).
             contrib = (
-                out.join(ranks.select(F.col("v").alias("u"), "deg", "r"),
-                         "u")
+                out.join(ranks.select(F.col("v").alias("u"), "deg", "r")
+                         .hint("shuffle_hash"), "u")
                 .select("w", (F.col("r") / F.col("deg"))
                         .cast("long").alias("c"))
                 .groupBy("w").agg(F.sum("c").alias("in_mass"))
@@ -168,7 +182,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                     .alias("_base"))
             )
             ranks = (
-                verts.join(contrib.withColumnRenamed("w", "v"), "v", "left")
+                verts.join(contrib.withColumnRenamed("w", "v")
+                           .hint("shuffle_hash"), "v", "left")
                 .crossJoin(F.broadcast(base_df))
                 .select("v", "deg",
                         (F.col("_base") + F.coalesce("in_mass", F.lit(0))
