@@ -110,6 +110,9 @@ HEADLINE: dict[str, str] = {
     "q_seq_trigrams": "collect",
     "q_pareto_share": "count",
     "q_stream_ewma": "count",
+    "q_time_weighted_avg": "count",
+    "q_rfm_segments": "count",
+    "q_sql_top_supplier": "collect",
 }
 
 

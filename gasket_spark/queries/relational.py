@@ -5506,3 +5506,169 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("nation_cents"), 9).alias("cum_share"),
         (F.col("cum_cents") * 10 <= F.col("nation_cents") * 8)
         .alias("in_head"))
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             date_diff('microsecond', ts,
+                       LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dur
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(SUM(cents * dur) AS BIGINT) AS num_cents_us,
+           CAST(SUM(dur) AS BIGINT) AS den_us,
+           round(SUM(cents * dur) * 1.0 / SUM(dur), 6) AS twa_cents
+    FROM s WHERE dur IS NOT NULL
+    GROUP BY user_id HAVING SUM(dur) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE (TWAP-style) per user: each observation
+    holds until the next one, so its weight is the EXACT microsecond
+    gap to the successor (sub-second components matter — the fixture
+    has them — so second-truncated math would drift between engines).
+    One window shuffle for the LEAD + one two-phase agg; weights and
+    the num/den accumulators are exact integers, the single division
+    rounds at the end. The last observation per user carries no
+    duration and is excluded — the standard left-continuous step
+    integral every monitoring/billing pipeline computes."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))).alias("dur"))
+    return (s.filter(F.col("dur").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum(F.col("cents") * F.col("dur")).cast("bigint")
+                 .alias("num_cents_us"),
+                 F.sum("dur").cast("bigint").alias("den_us"))
+            .filter(F.col("den_us") > 0)
+            .select("user_id", "n_intervals", "num_cents_us", "den_us",
+                    F.round(F.col("num_cents_us") * F.lit(1.0)
+                            / F.col("den_us"), 6).alias("twa_cents")))
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate),
+                            (SELECT mxd FROM mx)) AS BIGINT) AS r_days,
+             COUNT(*) AS f_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+             quantile_cont(f_orders, [0.2, 0.4, 0.6, 0.8]) AS fb,
+             quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+      FROM cust)
+    SELECT c.o_custkey AS custkey, c.r_days,
+           CAST(c.f_orders AS BIGINT) AS f_orders, c.m_cents,
+           CAST(1 + (c.r_days < b.rb[1])::INT + (c.r_days < b.rb[2])::INT
+                  + (c.r_days < b.rb[3])::INT + (c.r_days < b.rb[4])::INT
+                AS INT) AS r_score,
+           CAST(1 + (c.f_orders > b.fb[1])::INT + (c.f_orders > b.fb[2])::INT
+                  + (c.f_orders > b.fb[3])::INT + (c.f_orders > b.fb[4])::INT
+                AS INT) AS f_score,
+           CAST(1 + (c.m_cents > b.mb[1])::INT + (c.m_cents > b.mb[2])::INT
+                  + (c.m_cents > b.mb[3])::INT + (c.m_cents > b.mb[4])::INT
+                AS INT) AS m_score
+    FROM cust c CROSS JOIN b
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintile scores) — the GLOBAL-NTILE-WITHOUT-A-GLOBAL-WINDOW
+    pattern: a naive ntile(5) OVER () is a single-partition exchange
+    of every customer; instead the four quintile BOUNDARIES per
+    metric come from one exact percentile aggregate (1 row) that
+    broadcasts back, and each customer's scores are four map-side
+    comparisons. Integer metrics against interpolated-double
+    boundaries compare identically on both engines (the boundary is
+    either an integer or a true fraction — never within an ulp of a
+    distinct integer). Two aggs + one broadcast: scales to any
+    customer count."""
+    orders = read_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    cust = (orders.crossJoin(F.broadcast(mx))
+            .groupBy("o_custkey")
+            .agg(F.datediff(F.first("mxd"), F.max("o_orderdate"))
+                 .cast("bigint").alias("r_days"),
+                 F.count(F.lit(1)).alias("f_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .cast("bigint").alias("m_cents")))
+    qs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
+    b = cust.agg(F.percentile("r_days", qs).alias("rb"),
+                 F.percentile("f_orders", qs).alias("fb"),
+                 F.percentile("m_cents", qs).alias("mb"))
+
+    def score(col, arr, lower_is_better=False):
+        op = (lambda i: (F.col(col) < F.element_at(arr, i)).cast("int")) \
+            if lower_is_better else \
+            (lambda i: (F.col(col) > F.element_at(arr, i)).cast("int"))
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + op(i)
+        return s.cast("int")
+
+    return (cust.crossJoin(F.broadcast(b))
+            .select(F.col("o_custkey").alias("custkey"), "r_days",
+                    F.col("f_orders").cast("bigint").alias("f_orders"),
+                    "m_cents",
+                    score("r_days", F.col("rb"), lower_is_better=True)
+                    .alias("r_score"),
+                    score("f_orders", F.col("fb")).alias("f_score"),
+                    score("m_cents", F.col("mb")).alias("m_score")))
+
+
+@query(
+    "q_sql_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1),
+    m AS (SELECT MAX(total_cents) AS mx FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s JOIN rev r ON r.suppkey = s.s_suppkey
+    CROSS JOIN m WHERE r.total_cents = m.mx
+    """,
+)
+def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): aggregate-then-argmax-join —
+    the revenue view reduces the fact table to supplier grain
+    (two-phase agg behind a pushed quarter filter), the 1-row MAX
+    broadcasts back as a filter (ties all surface, per the spec),
+    and the supplier dim attaches by broadcast. No window, no global
+    sort — the argmax of a grouped aggregate is a scalar broadcast
+    at any scale. Exact integer revenue throughout."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("bigint")
+    rev = (li.filter(
+              (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+              & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+           .groupBy(F.col("l_suppkey").alias("suppkey"))
+           .agg(F.sum(cents).cast("bigint").alias("total_cents")))
+    m = rev.agg(F.max("total_cents").alias("mx"))
+    return (rev.crossJoin(F.broadcast(m))
+            .filter(F.col("total_cents") == F.col("mx"))
+            .join(F.broadcast(sup),
+                  F.col("suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_cents"))

@@ -620,3 +620,26 @@ class TestRound7PlanContracts:
         plan = _plan(QUERIES["q_pareto_share"](spark, SF_SMALL))
         assert "Exchange SinglePartition" not in plan
         assert "hashpartitioning(c_nationkey" in plan
+
+    def test_time_weighted_avg_one_window_one_agg(self, spark):
+        """One user_id window for the LEAD, one two-phase agg — the
+        window's shuffle is reused by the agg (same key)."""
+        plan = _plan(QUERIES["q_time_weighted_avg"](spark, SF_SMALL))
+        assert plan.count("Window (") == 1
+        assert plan.count("HashAggregate (") >= 2
+
+    def test_rfm_has_no_global_window(self, spark):
+        """Quintile scores come from broadcast boundaries, never an
+        unpartitioned ntile — no single-partition exchange."""
+        plan = _plan(QUERIES["q_rfm_segments"](spark, SF_SMALL))
+        assert "Exchange SinglePartition" not in plan \
+            or "Window" not in plan
+        assert "Window (" not in plan
+
+    def test_top_supplier_argmax_is_broadcast(self, spark):
+        """The 1-row MAX and the supplier dim both broadcast; no
+        window, no global sort."""
+        plan = _plan(QUERIES["q_sql_top_supplier"](spark, SF_SMALL))
+        assert "Window (" not in plan
+        assert "Sort (" not in plan
+        assert "BroadcastHashJoin" in plan
