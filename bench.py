@@ -113,6 +113,7 @@ HEADLINE: dict[str, str] = {
     "q_time_weighted_avg": "count",
     "q_rfm_segments": "count",
     "q_sql_top_supplier": "collect",
+    "q_dedup_prefix": "count",
 }
 
 

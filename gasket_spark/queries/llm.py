@@ -2479,3 +2479,43 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.maxsim_topk(emb, queries, k=3)
+
+
+@query(
+    "q_dedup_prefix",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_DUP_SQL}),
+    inv AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS s
+      FROM corpus),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 similarity join via PREFIX FILTERING
+    (operators/dedup.py prefix_filter_pairs): only each doc's
+    rarest-first prefix shingles are indexed, hot/boilerplate
+    shingles structurally never enter the join, and the measure
+    stays EXACT (unlike the df-capped inverted index, which bounds
+    the join by changing what it measures). The oracle is the
+    BRUTE-FORCE all-pairs Jaccard — so the hash check proves the
+    prefix principle loses no pair, the property that lets you
+    trust it at 100 TB (same oracle discipline as
+    q_join_spatial_grid's grid pruning)."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return D.prefix_filter_pairs(corpus, threshold=0.5)

@@ -587,3 +587,30 @@ class TestHotShingleCap:
         assert D.ngram_jaccard_pairs(df, threshold=0.1).count() == 0
         assert D.ngram_jaccard_pairs(df, threshold=0.1,
                                      max_doc_freq=None).count() > 0
+
+
+class TestPrefixFilter:
+    def test_prefix_pairs_equal_uncapped_exact(self, spark):
+        """Prefix filtering is a LOSSLESS candidate filter: over the
+        same hashed shingle space, its pair set must equal the
+        uncapped inverted-index exact Jaccard join, pair for pair."""
+        docs = read_table(spark, SF_SMALL, "documents") \
+            .select("doc_id", "text")
+        want = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                D.ngram_jaccard_pairs(docs, threshold=0.5,
+                                      max_doc_freq=None).collect()}
+        got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+               D.prefix_filter_pairs(docs, threshold=0.5).collect()}
+        assert got == want
+
+    def test_prefix_skips_boilerplate_shingles(self, spark):
+        """High-df shingles sort to the back of every doc's canonical
+        order, so a corpus of identical boilerplate still joins ONLY
+        through each doc's bounded prefix — and the true duplicate
+        pairs are all found (J = 1.0 here, prefix can't lose them)."""
+        df = spark.createDataFrame(
+            [(i, "common boilerplate shingle text here") for i in range(6)],
+            "doc_id long, text string")
+        pairs = D.prefix_filter_pairs(df, threshold=0.5)
+        assert pairs.count() == 15  # C(6,2), all J=1.0
+        assert pairs.filter(F.col("jaccard") < 1.0).count() == 0
