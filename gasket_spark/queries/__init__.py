@@ -111,6 +111,10 @@ _EDITED_R07: tuple[str, ...] = (
     "q_graph_kcore", "q_graph_labelprop",
     "q_dedup_segments", "q_dedup_chunks", "q_decontaminate",
     "q_embed_pca", "q_sim_ann", "q_sim_pq",
+    # r7 third block: per-round shuffle-hash joins in pagerank()
+    # (hash-identical by construction, but the loop's physical plan
+    # changed — re-certify)
+    "q_pagerank",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
