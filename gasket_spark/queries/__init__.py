@@ -113,8 +113,9 @@ _EDITED_R07: tuple[str, ...] = (
     "q_embed_pca", "q_sim_ann", "q_sim_pq",
     # r7 third block: per-round shuffle-hash joins in pagerank()
     # (hash-identical by construction, but the loop's physical plan
-    # changed — re-certify)
-    "q_pagerank",
+    # changed — re-certify); the shared near-dup pair cache
+    # (_neardup_pairs) under both ngram-family consumers
+    "q_pagerank", "q_dedup_ngram", "q_dedup_components",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

@@ -175,6 +175,39 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
+_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped exact n-gram Jaccard pair graph over the
+    near-dup corpus (threshold 0.5, max_doc_freq 8) — built once per
+    (session, sf_dir, documents-stamp) and shared by q_dedup_ngram
+    and q_dedup_components (the same discipline as the graph family's
+    `_EDGE_CACHE` in relational.py: two queries fan out of one
+    materialized build; applicationId in the key so a dead session's
+    checkpoint can't leak; the source stamp so a rewritten fixture
+    can't serve stale pairs; other-app/stale entries evicted on
+    miss)."""
+    import os as _os
+
+    from gasket_spark.io import source_stamp
+
+    app = spark.sparkContext.applicationId
+    key = (app, _os.path.normpath(sf_dir),
+           source_stamp(_os.path.join(sf_dir, "documents.parquet")))
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _PAIR_CACHE
+              if k[0] != app or (k[1] == key[1] and k[2] != key[2])]:
+        del _PAIR_CACHE[k]
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        corpus, threshold=0.5, max_doc_freq=8).localCheckpoint()
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
+
 _NEAR_DUP_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -223,8 +256,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle's df on a real corpus. Jaccard is computed over the
     df-filtered shingle space on BOTH sides, so the query stays fully
     oracle-verified with the cap binding."""
-    corpus = _docs_with_near_dups(spark, sf_dir)
-    return D.ngram_jaccard_pairs(corpus, threshold=0.5, max_doc_freq=8)
+    return _neardup_pairs(spark, sf_dir)
 
 
 @query(
@@ -1127,8 +1159,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure over the identically-capped pair set."""
     from gasket_spark.operators.graph import connected_components
 
-    corpus = _docs_with_near_dups(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5, max_doc_freq=8)
+    pairs = _neardup_pairs(spark, sf_dir)
     return connected_components(pairs).select(
         F.col("v").alias("doc_id"), "component_id")
 
