@@ -109,7 +109,6 @@ HEADLINE: dict[str, str] = {
     "q_anomaly_mad": "count",
     "q_seq_trigrams": "collect",
     "q_pareto_share": "count",
-    "q_stream_ewma": "count",
     "q_time_weighted_avg": "count",
     "q_rfm_segments": "count",
     "q_sql_top_supplier": "collect",
@@ -137,7 +136,10 @@ def _common_prev(timings: dict[str, float]) -> dict | None:
     rnd, path = max(rounds)
     try:
         with open(os.path.join(root, path)) as fh:
-            prev = json.load(fh).get("queries", {})
+            doc = json.load(fh)
+        # driver artifacts wrap the bench line under "parsed"
+        prev = (doc.get("queries")
+                or doc.get("parsed", {}).get("queries") or {})
     except (OSError, ValueError):
         return None
     common = sorted(set(prev) & set(timings))
