@@ -174,3 +174,65 @@ class TestOrcRoundtrip:
         plan = back2.filter(F.col("id") < 10)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "PushedFilters: [" in plan and "LessThan(id,10)" in plan
+
+
+class TestStampCached:
+    def test_builds_once_then_reuses(self, tmp_path):
+        from gasket_spark.io import stamp_cached
+
+        src = tmp_path / "src.bin"
+        src.write_bytes(b"v1-contents")
+        calls = []
+
+        def build(out):
+            calls.append(out)
+            (tmp_path / "out" / "data").write_text("built")
+
+        out = str(tmp_path / "out")
+        assert stamp_cached(out, str(src), build) == out
+        assert stamp_cached(out, str(src), build) == out
+        assert len(calls) == 1  # second call served from cache
+
+    def test_rebuilds_on_source_change_and_clears_stale(self, tmp_path):
+        import os
+        import time
+
+        from gasket_spark.io import stamp_cached
+
+        src = tmp_path / "src.bin"
+        src.write_bytes(b"v1")
+        out = str(tmp_path / "out")
+
+        def build1(d):
+            (tmp_path / "out" / "old_layout_file").write_text("x")
+
+        stamp_cached(out, str(src), build1)
+        # rewrite the source (content + mtime change)
+        time.sleep(0.01)
+        src.write_bytes(b"v2!")
+
+        def build2(d):
+            (tmp_path / "out" / "new_layout_file").write_text("y")
+
+        stamp_cached(out, str(src), build2)
+        # stale layout from the previous build must be GONE (rmtree)
+        assert not os.path.exists(tmp_path / "out" / "old_layout_file")
+        assert os.path.exists(tmp_path / "out" / "new_layout_file")
+
+    def test_version_bump_invalidates(self, tmp_path):
+        from gasket_spark.io import stamp_cached
+
+        src = tmp_path / "src.bin"
+        src.write_bytes(b"same")
+        out = str(tmp_path / "out")
+        calls = []
+
+        def build(d):
+            calls.append(d)
+            (tmp_path / "out" / "f").write_text("z")
+
+        stamp_cached(out, str(src), build, version=1)
+        stamp_cached(out, str(src), build, version=1)
+        assert len(calls) == 1
+        stamp_cached(out, str(src), build, version=2)
+        assert len(calls) == 2  # version token is part of the stamp
