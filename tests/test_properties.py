@@ -261,3 +261,30 @@ def test_maxsim_bounds_cosinelike(n_vec_seed, seed):
                  for i in range(8))
     aligned = sum(sub_dot(q, d, i, i) for i in range(8))
     assert maxsim >= aligned
+
+
+@given(st.lists(st.sets(st.integers(0, 30), min_size=1, max_size=12),
+                min_size=2, max_size=10),
+       st.sampled_from([0.3, 0.5, 0.7, 0.8]))
+def test_prefix_filter_principle_lossless(sets, t):
+    """The prefix principle behind operators/dedup.prefix_filter_pairs:
+    with every set's elements under ONE global canonical order
+    (df ascending, ties by element), any pair with J >= t must share
+    an element within each side's first |s| - ceil(t*|s|) + 1 — for
+    ARBITRARY set families, not just the fixture corpus. (The Spark
+    plumbing is pinned separately against the brute-force oracle.)"""
+    import math
+    from collections import Counter
+
+    df = Counter(e for s in sets for e in s)
+    prefixes = []
+    for s in sets:
+        ordered = sorted(s, key=lambda e: (df[e], e))
+        p = len(s) - math.ceil(t * len(s)) + 1
+        prefixes.append(set(ordered[:p]))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            uni = len(sets[i] | sets[j])
+            if uni and inter / uni >= t:
+                assert prefixes[i] & prefixes[j]
