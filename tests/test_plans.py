@@ -632,8 +632,7 @@ class TestRound7PlanContracts:
         """Quintile scores come from broadcast boundaries, never an
         unpartitioned ntile — no single-partition exchange."""
         plan = _plan(QUERIES["q_rfm_segments"](spark, SF_SMALL))
-        assert "Exchange SinglePartition" not in plan \
-            or "Window" not in plan
+        assert "Exchange SinglePartition" not in plan
         assert "Window (" not in plan
 
     def test_top_supplier_argmax_is_broadcast(self, spark):
