@@ -213,7 +213,14 @@ def stateful_user_ewma(events: DataFrame, k: int = 8,
     exist) so the single float division and rounding happen once,
     BATCH-side, where Spark and DuckDB round identically — no Python
     float rounding in the loop. Weights match q_window_ewma's
-    fixed-point scheme at each user's final event."""
+    fixed-point scheme at each user's final event.
+
+    The merge dedups on (ts, event_id) before taking the top-k, so a
+    REPLAYED record (at-least-once delivery) cannot double-weight
+    the EWMA — the VALUE is replay-idempotent. ``n_seen`` counts
+    processed records (the monotone version used to pick the final
+    update); it equals the true event count only under exactly-once
+    delivery — a distinct count would need unbounded state."""
     import numpy as np
     import pandas as pd
 
@@ -230,7 +237,9 @@ def stateful_user_ewma(events: DataFrame, k: int = 8,
             c_i = np.round(pdf["value"].to_numpy(np.float64)
                            * 100).astype("int64")
             rows.extend(zip(ts_i.tolist(), eid_i.tolist(), c_i.tolist()))
-        rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        uniq = {(ts, eid): c for ts, eid, c in rows}
+        rows = sorted(((ts, eid, c) for (ts, eid), c in uniq.items()),
+                      key=lambda r: (r[0], r[1]), reverse=True)
         rows = rows[:k]
         state.update((n, [r[0] for r in rows], [r[1] for r in rows],
                       [r[2] for r in rows]))

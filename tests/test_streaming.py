@@ -274,6 +274,42 @@ class TestStatefulOperator:
         cols = ["user_id", "n_seen", "ewma_num", "ewma_den"]
         assert _rows(final, cols) == _rows(batch, cols)
 
+    def test_stateful_ewma_replay_idempotent(self, spark, events_json_dir):
+        """At-least-once delivery: replaying every record must not
+        double-weight the EWMA — the (ts, event_id) dedup in the
+        state merge makes the VALUE identical to the exactly-once
+        run (n_seen, the processed-record version counter, doubles
+        — by design)."""
+        from pyspark.sql import Window
+
+        from gasket_spark.streaming.core import (
+            read_events_stream, run_to_completion, stateful_user_ewma)
+
+        def final_ewma(json_dir, name):
+            stream = read_events_stream(spark, json_dir,
+                                        max_files_per_trigger=1)
+            got = run_to_completion(stateful_user_ewma(stream), name,
+                                    output_mode="update")
+            w = Window.partitionBy("user_id")                 .orderBy(F.col("n_seen").desc())
+            return {(r.user_id, r.ewma_num, r.ewma_den) for r in
+                    got.withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") == 1)
+                    .select("user_id", "ewma_num", "ewma_den")
+                    .collect()}
+
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        dup_dir = tempfile.mkdtemp(prefix="gasket_ewma_dup_")
+        for i, f in enumerate(sorted(
+                glob.glob(os.path.join(events_json_dir, "*")))):
+            if os.path.isfile(f):
+                shutil.copy(f, os.path.join(dup_dir, f"a{i}.json"))
+                shutil.copy(f, os.path.join(dup_dir, f"b{i}.json"))
+        assert final_ewma(dup_dir, "t_ewma_dup") ==             final_ewma(events_json_dir, "t_ewma_once")
+
     def test_state_accumulates_across_batches(self, spark, events_json_dir):
         """With maxFilesPerTrigger=1 the input arrives over ≥4
         micro-batches; users seen in several batches must emit strictly
