@@ -25,15 +25,31 @@ TABLES = (
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — which Spark has no
     native type for (it reads them as nanos-since-epoch longs under the
-    ``nanosAsLong`` legacy conf)."""
+    ``nanosAsLong`` legacy conf).
+
+    Checked against the parquet PHYSICAL schema, not the Arrow view:
+    legacy INT96 timestamps (Spark's own default output type) also
+    surface as ``timestamp[ns]`` in Arrow, but Spark reads INT96
+    natively as TIMESTAMP — flagging them would break every
+    Spark-written table. Only INT64 + logical Timestamp(nanoseconds)
+    needs the long-read conversion."""
     try:
         import pyarrow.dataset as pads
-        schema = pads.dataset(path).schema
+        import pyarrow.parquet as pq
+        files = pads.dataset(path).files
+        if not files:
+            return []
+        sch = pq.ParquetFile(files[0]).schema
     except Exception:  # pragma: no cover - pyarrow is a baked-in dep
         return []
-    import pyarrow as pa
-    return [f.name for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    out = []
+    for i in range(len(sch)):
+        c = sch.column(i)
+        lt = str(c.logical_type)
+        if (c.physical_type == "INT64" and lt.startswith("Timestamp")
+                and "timeUnit=nanoseconds" in lt):
+            out.append(c.name)
+    return out
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
