@@ -133,8 +133,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # persisted: a cached DataFrame keeps its hash partitioning, so
     # every iteration's join shuffles only the vertex-sized rank table
     # — the edge table (the big side at 100 TB) never moves again.
+    # repartition("u") FIRST, dedup second: hash(u) co-locates every
+    # copy of an (u, w) edge, and Spark recognizes that
+    # HashPartitioning(u) satisfies the dedup's ClusteredDistribution
+    # on (u, w) — so the dedup needs NO second exchange (one setup
+    # shuffle where distinct().repartition("u") paid two).
     out = (edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
-           .distinct().repartition("u"))
+           .repartition("u").dropDuplicates())
     deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # verts carries the out-degree (NULL = dangling) for the loop's
     # lifetime, so every rank table inherits it for free.
