@@ -5275,7 +5275,9 @@ def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a budget split. Plan: one agg for first-purchase, one key-key
     join on user_id (no hint — both sides are user-cardinality; AQE
     picks), one distinct + one channel-sized agg; the two 1-row
-    scalars broadcast. Every output is exact counting + one double
+    scalars broadcast, and their repeated subtrees dedup at runtime
+    via ReusedExchange (verified in the final adaptive plan — no
+    extra corpus scans). Every output is exact counting + one double
     division, round(…, 9)."""
     ev = read_table(spark, sf_dir, "events")
     conv = (ev.filter(F.col("event_type") == "purchase")
