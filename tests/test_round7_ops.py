@@ -82,3 +82,66 @@ class TestParetoHeadFlagBoundary:
         assert rows[10].in_head is True     # cum 8000*10 == 10000*8
         assert rows[20].in_head is False
         assert rows[10].rnk == 1 and rows[20].rnk == 2
+
+
+class TestAttributionEdges:
+    def test_converter_with_no_prior_events_dilutes_effects(
+            self, spark, tmp_path):
+        base = datetime.datetime(2024, 1, 1)
+
+        def at(m):
+            return base + datetime.timedelta(minutes=m)
+
+        _write_events(spark, str(tmp_path), [
+            (1, at(0), 1, "view", 1.0),       # A touches view...
+            (2, at(5), 1, "purchase", 9.0),   # ...then converts
+            (3, at(0), 2, "purchase", 9.0),   # B converts cold
+            (4, at(9), 2, "view", 1.0),       # post-conversion: ignored
+        ])
+        rows = QUERIES["q_attribution_removal"](
+            spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.channel, r.n_touched, r.n_conv) == ("view", 1, 2)
+        assert r.removal_effect == 0.5      # blocks 1 of 2 conversions
+        assert r.attribution_share == 1.0   # only touched channel
+
+
+class TestTopSupplierTies:
+    def test_equal_max_revenue_suppliers_all_surface(self, spark,
+                                                     tmp_path):
+        t = datetime.datetime(1996, 2, 1)
+        li = spark.createDataFrame(
+            [(1, 101, 100.0, 0.0, t), (2, 202, 50.0, 0.0, t),
+             (3, 202, 50.0, 0.0, t), (4, 303, 99.0, 0.0, t)],
+            "l_orderkey long, l_suppkey long, l_extendedprice double, "
+            "l_discount double, l_shipdate timestamp")
+        sup = spark.createDataFrame(
+            [(101, "a"), (202, "b"), (303, "c")],
+            "s_suppkey long, s_name string")
+        li.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/lineitem.parquet")
+        sup.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/supplier.parquet")
+        rows = QUERIES["q_sql_top_supplier"](spark, str(tmp_path)) \
+            .collect()
+        # suppliers 101 and 202 tie at 10000 cents — both surface
+        assert {(r.s_suppkey, r.total_cents) for r in rows} == \
+            {(101, 10000), (202, 10000)}
+
+
+class TestTimeWeightedAvgEdges:
+    def test_single_event_user_is_excluded(self, spark, tmp_path):
+        base = datetime.datetime(2024, 1, 1)
+        _write_events(spark, str(tmp_path), [
+            (1, base, 1, "view", 5.0),  # no successor -> no interval
+            (2, base, 2, "view", 10.0),
+            (3, base + datetime.timedelta(seconds=30), 2, "view", 20.0),
+        ])
+        rows = {r.user_id: r for r in
+                QUERIES["q_time_weighted_avg"](
+                    spark, str(tmp_path)).collect()}
+        assert set(rows) == {2}
+        # one interval: value 10.0 held for 30s -> TWA = 1000 cents
+        assert rows[2].n_intervals == 1
+        assert rows[2].twa_cents == 1000.0
