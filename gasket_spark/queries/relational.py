@@ -5318,10 +5318,14 @@ def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(y * y) AS DOUBLE) AS syy
       FROM c GROUP BY l_returnflag)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
-             AS corr_qty_price,
-           round((sxy - sx * sy / n) / (n - 1), 9) AS cov_qty_price
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 9)
+           END AS corr_qty_price,
+           CASE WHEN n > 1
+                THEN round((sxy - sx * sy / n) / (n - 1), 9)
+           END AS cov_qty_price
     FROM s
     """,
 )
@@ -5349,14 +5353,20 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
     n = F.col("n")
+    # NULL (not NaN/Inf) on degenerate groups: a zero-variance group
+    # or n = 1 would reach IEEE 0/0 or x/0, whose NaN/Inf encodings
+    # are not hash-comparable across engines — both sides guard
+    # identically instead.
+    var_prod = ((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy")))
     return s.select(
         "l_returnflag", n.cast("bigint").alias("n"),
-        F.round((n * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                         * (n * F.col("syy") - F.col("sy") * F.col("sy"))),
-                9).alias("corr_qty_price"),
-        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / n)
-                / (n - 1), 9).alias("cov_qty_price"))
+        F.when(var_prod > 0,
+               F.round((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                       / F.sqrt(var_prod), 9)).alias("corr_qty_price"),
+        F.when(n > 1,
+               F.round((F.col("sxy") - F.col("sx") * F.col("sy") / n)
+                       / (n - 1), 9)).alias("cov_qty_price"))
 
 
 @query(

@@ -145,3 +145,23 @@ class TestTimeWeightedAvgEdges:
         # one interval: value 10.0 held for 30s -> TWA = 1000 cents
         assert rows[2].n_intervals == 1
         assert rows[2].twa_cents == 1000.0
+
+
+class TestCorrDegenerateGroups:
+    def test_zero_variance_and_singleton_yield_null(self, spark,
+                                                    tmp_path):
+        # one group with constant quantity (zero variance), one with a
+        # single row — both must yield NULL, never NaN/Inf
+        li = spark.createDataFrame(
+            [(1, "C", 5.0, 10.0), (2, "C", 5.0, 20.0),
+             (3, "S", 7.0, 30.0)],
+            "l_orderkey long, l_returnflag string, l_quantity double, "
+            "l_extendedprice double")
+        li.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/lineitem.parquet")
+        rows = {r.l_returnflag: r for r in
+                QUERIES["q_agg_corr"](spark, str(tmp_path)).collect()}
+        assert rows["C"].corr_qty_price is None   # zero x-variance
+        assert rows["C"].cov_qty_price == 0.0     # cov defined: n=2
+        assert rows["S"].corr_qty_price is None   # n=1
+        assert rows["S"].cov_qty_price is None    # n-1 = 0
