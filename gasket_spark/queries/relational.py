@@ -5103,7 +5103,9 @@ def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(cents) AS BIGINT) AS total_cents
       FROM j GROUP BY ship_month)
     SELECT ship_month, promo_cents, total_cents,
-           round(100.0 * promo_cents / total_cents, 9) AS promo_share
+           CASE WHEN total_cents <> 0
+                THEN round(100.0 * promo_cents / total_cents, 9)
+           END AS promo_share
     FROM g
     """,
 )
@@ -5135,8 +5137,10 @@ def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("cents").cast("bigint").alias("total_cents")))
     return g.select(
         "ship_month", "promo_cents", "total_cents",
-        F.round(F.lit(100.0) * F.col("promo_cents")
-                / F.col("total_cents"), 9).alias("promo_share"))
+        F.when(F.col("total_cents") != 0,
+               F.round(F.lit(100.0) * F.col("promo_cents")
+                       / F.col("total_cents"), 9))
+        .alias("promo_share"))
 
 
 @query(
@@ -5477,7 +5481,9 @@ def q_seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rnk
       FROM rev)
     SELECT c_nationkey, c_custkey, cents, CAST(rnk AS INT) AS rnk,
-           round(cum_cents * 1.0 / nation_cents, 9) AS cum_share,
+           CASE WHEN nation_cents <> 0
+                THEN round(cum_cents * 1.0 / nation_cents, 9)
+           END AS cum_share,
            cum_cents * 10 <= nation_cents * 8 AS in_head
     FROM w
     """,
@@ -5514,8 +5520,9 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "c_nationkey", "c_custkey", "cents",
         F.col("rnk").cast("int").alias("rnk"),
-        F.round(F.col("cum_cents") * F.lit(1.0)
-                / F.col("nation_cents"), 9).alias("cum_share"),
+        F.when(F.col("nation_cents") != 0,
+               F.round(F.col("cum_cents") * F.lit(1.0)
+                       / F.col("nation_cents"), 9)).alias("cum_share"),
         (F.col("cum_cents") * 10 <= F.col("nation_cents") * 8)
         .alias("in_head"))
 
