@@ -113,6 +113,7 @@ HEADLINE: dict[str, str] = {
     "q_rfm_segments": "count",
     "q_sql_top_supplier": "collect",
     "q_dedup_prefix": "count",
+    "q_funnel_windowed": "count",
 }
 
 

@@ -5691,3 +5691,73 @@ def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(sup),
                   F.col("suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name", "total_cents"))
+
+
+@query(
+    "q_funnel_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL 60 MINUTE
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL 60 MINUTE
+      GROUP BY e.user_id)
+    SELECT v.user_id,
+           CAST(1 + CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END
+                AS INT) AS steps,
+           date_diff('microsecond', v.v_ts, c.c_ts) AS us_view_to_click,
+           date_diff('microsecond', c.c_ts, p.p_ts)
+             AS us_click_to_purchase
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGETED multi-step funnel (view → click → purchase, each
+    subsequent step within 60 minutes of the PREVIOUS step's anchor)
+    — the time-boxed variant q_funnel (unordered presence) and
+    q_time_to_convert (single edge) don't cover: each stage anchors
+    on the previous stage's FIRST qualifying event, so the chain is
+    deterministic and the per-step latencies are exact microsecond
+    integers (sub-second timestamps matter — same discipline as
+    q_time_weighted_avg). Plan: three conditional MIN aggregates
+    chained by user-keyed joins (user-cardinality both sides, AQE
+    picks the strategy); no windows, no sorts — each stage is one
+    filtered scan + one two-phase agg, which at 100 TB beats a
+    per-user event-sort funnel by the full sort cost."""
+    ev = read_table(spark, sf_dir, "events")
+    mic = lambda col: F.unix_micros(col.cast("timestamp"))  # noqa: E731
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((F.col("ts") > F.col("v_ts"))
+                 & (F.col("ts") <= F.col("v_ts")
+                    + F.expr("INTERVAL 60 MINUTES")))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") > F.col("c_ts"))
+                 & (F.col("ts") <= F.col("c_ts")
+                    + F.expr("INTERVAL 60 MINUTES")))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .select(
+                "user_id",
+                (F.lit(1) + F.col("c_ts").isNotNull().cast("int")
+                 + F.col("p_ts").isNotNull().cast("int"))
+                .cast("int").alias("steps"),
+                (mic(F.col("c_ts")) - mic(F.col("v_ts")))
+                .alias("us_view_to_click"),
+                (mic(F.col("p_ts")) - mic(F.col("c_ts")))
+                .alias("us_click_to_purchase")))

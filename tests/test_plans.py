@@ -642,3 +642,11 @@ class TestRound7PlanContracts:
         assert "Window (" not in plan
         assert "Sort (" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_funnel_windowed_no_windows_no_sorts(self, spark):
+        """Three chained conditional-MIN aggregates — never a per-user
+        event sort or window."""
+        plan = _plan(QUERIES["q_funnel_windowed"](spark, SF_SMALL))
+        assert "Window (" not in plan
+        assert "Sort (" not in plan
+        assert plan.count("HashAggregate (") >= 6  # 3 two-phase aggs
