@@ -32,23 +32,43 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     surface as ``timestamp[ns]`` in Arrow, but Spark reads INT96
     natively as TIMESTAMP — flagging them would break every
     Spark-written table. Only INT64 + logical Timestamp(nanoseconds)
-    needs the long-read conversion."""
+    needs the long-read conversion.
+
+    EVERY file of the dataset is inspected (footer metadata reads, no
+    data scan): under schema evolution a later file may add an ns
+    column the first file lacks. The full dotted column PATH is
+    matched, not the leaf name — a NESTED ns-timestamp leaf cannot be
+    rewritten by the top-level ``withColumn`` conversion, so it
+    raises loudly instead of silently mis-converting a same-named
+    top-level column."""
     try:
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
         files = pads.dataset(path).files
-        if not files:
-            return []
-        sch = pq.ParquetFile(files[0]).schema
     except Exception:  # pragma: no cover - pyarrow is a baked-in dep
         return []
-    out = []
-    for i in range(len(sch)):
-        c = sch.column(i)
-        lt = str(c.logical_type)
-        if (c.physical_type == "INT64" and lt.startswith("Timestamp")
-                and "timeUnit=nanoseconds" in lt):
-            out.append(c.name)
+    out: list[str] = []
+    seen: set[str] = set()
+    for f in files:
+        try:
+            sch = pq.ParquetFile(f).schema
+        except Exception:  # pragma: no cover - unreadable footer
+            continue
+        for i in range(len(sch)):
+            c = sch.column(i)
+            lt = str(c.logical_type)
+            if (c.physical_type == "INT64" and lt.startswith("Timestamp")
+                    and "timeUnit=nanoseconds" in lt):
+                p = c.path
+                if p in seen:
+                    continue
+                seen.add(p)
+                if "." in p:
+                    raise NotImplementedError(
+                        f"nested TIMESTAMP(NANOS) leaf {p!r} in {f}: "
+                        "the nanos→micros rewrite only supports "
+                        "top-level columns")
+                out.append(p)
     return out
 
 
@@ -206,6 +226,44 @@ def stamp_cached(out: str, src: str, build, version: int | str = 1) -> str:
     with open(marker, "w") as fh:
         fh.write(stamp)
     return out
+
+
+def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
+    """``localCheckpoint`` a DataFrame and return the persistent-RDD
+    ids the checkpoint created, so an in-memory cache can FREE the
+    blocks on eviction (``DataFrame.unpersist`` cannot release a
+    local checkpoint — the persistence lives on the internal RDD,
+    reachable only through ``SparkContext.getPersistentRDDs``).
+
+    The before/after id diff assumes no concurrent checkpoint in
+    another thread of the same session — true for the engine's
+    single-threaded query builds."""
+    spark = df.sparkSession
+    jsc = spark.sparkContext._jsc
+    before = set(dict(jsc.getPersistentRDDs()))
+    out = df.localCheckpoint()
+    ids = set(dict(jsc.getPersistentRDDs())) - before
+    return out, frozenset(ids)
+
+
+def free_checkpoint(spark: SparkSession, ids) -> None:
+    """Best-effort release of checkpoint/persist blocks recorded by
+    :func:`checkpoint_tracked` — called when a stamp-cache evicts an
+    entry, so a long-lived session does not accumulate dead blocks
+    until JVM GC happens to notice them. Ids no longer in the
+    persistent map (already collected, or a restarted context) are
+    skipped silently."""
+    try:
+        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    except Exception:  # pragma: no cover - dead/stopped context
+        return
+    for i in ids:
+        rdd = live.get(i)
+        if rdd is not None:
+            try:
+                rdd.unpersist(False)
+            except Exception:  # pragma: no cover - racing teardown
+                pass
 
 
 def source_stamp(src: str) -> str:

@@ -317,7 +317,15 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     of every doc, so boilerplate never enters the index. Cost: one
     df aggregate + one doc-keyed rank window + a prefix-sized join —
     at 100 TB the index is ~half the full inverted index and the
-    candidate set collapses to near-true-pairs."""
+    candidate set collapses to near-true-pairs.
+
+    The shingle-set frame is persisted only for the DURATION of the
+    build (it feeds the size table, the inverted index, and both
+    rerank arms): the pair result is materialized eagerly
+    (localCheckpoint) and the shingle blocks released before
+    returning — repeated invocations in a long-lived session leave
+    only the (near-true-pair-sized) result resident, never the
+    corpus-sized shingle sets."""
     sh = df.select(id_col,
                    T.hashed_shingle_set(text_col, n).alias("sh")).persist()
     sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
@@ -347,5 +355,8 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
                  F.size("sh_a").alias("na"), F.size("sh_b").alias("nb")))
     jac = (F.col("n_common")
            / (F.col("na") + F.col("nb") - F.col("n_common")))
-    return (j.select("id_a", "id_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    out = (j.select("id_a", "id_b", jac.alias("jaccard"))
+           .filter(F.col("jaccard") >= threshold)
+           .localCheckpoint())  # eager: the one action sh must serve
+    sh.unpersist(False)
+    return out

@@ -118,6 +118,27 @@ _EDITED_R07: tuple[str, ...] = (
     "q_pagerank", "q_dedup_ngram", "q_dedup_components",
 )
 
+# Queries whose implementation, oracle, or a shared helper they call
+# was EDITED in round 8: the fixed-point sweep (every rounded-double
+# output replaced by integer div / floor(x·1e9+0.5) after the r7
+# q_join_grid_density hash red proved round()-on-double is
+# engine-build-dependent); the streaming cent conversion switched
+# from np.round (half-to-even) to half-away-from-zero
+# (cents_half_up, under q_stream_ewma via stateful_user_ewma); the
+# persist/unpersist hygiene pass on the shared near-dup pair and
+# prefix-filter caches (q_dedup_prefix / q_dedup_ngram /
+# q_dedup_components). Pre-r8 driver greens no longer certify this
+# code — demote until an r8+ row lands (self-expiring via the
+# <= 7.0 guard).
+_EDITED_R08: tuple[str, ...] = (
+    "q_join_grid_density", "q_attribution_removal",
+    "q_time_weighted_avg", "q_pareto_share", "q_sql_promo_share",
+    "q_agg_corr", "q_agg_moments", "q_agg_percentile_disc",
+    "q_feature_scale", "q_dedup_segments", "q_dedup_chunks",
+    "q_stream_ewma", "q_dedup_prefix", "q_dedup_ngram",
+    "q_dedup_components",
+)
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -230,6 +251,10 @@ def _signal_rank() -> dict[str, float]:
             # r7-edited: same rule, one round later again.
             if 0 < rank.get(n, 0.0) <= 6.0:
                 rank[n] = 1.15
+        for n in _EDITED_R08:
+            # r8-edited: same rule, one round later again.
+            if 0 < rank.get(n, 0.0) <= 7.0:
+                rank[n] = 1.1
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

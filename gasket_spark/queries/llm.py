@@ -175,7 +175,8 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
-_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[str, str, str],
+                  tuple[DataFrame, frozenset[int]]] = {}
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,21 +191,27 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss)."""
     import os as _os
 
-    from gasket_spark.io import source_stamp
+    from gasket_spark.io import (
+        checkpoint_tracked, free_checkpoint, source_stamp)
 
     app = spark.sparkContext.applicationId
     key = (app, _os.path.normpath(sf_dir),
            source_stamp(_os.path.join(sf_dir, "documents.parquet")))
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[0]
     for k in [k for k in _PAIR_CACHE
               if k[0] != app or (k[1] == key[1] and k[2] != key[2])]:
+        # same-session stale entries: FREE the checkpoint blocks
+        # (DataFrame.unpersist can't — io.free_checkpoint releases
+        # the tracked RDD ids); dead-session ids are skipped inside.
+        if k[0] == app:
+            free_checkpoint(spark, _PAIR_CACHE[k][1])
         del _PAIR_CACHE[k]
     corpus = _docs_with_near_dups(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(
-        corpus, threshold=0.5, max_doc_freq=8).localCheckpoint()
-    _PAIR_CACHE[key] = pairs
+    pairs, ids = checkpoint_tracked(
+        D.ngram_jaccard_pairs(corpus, threshold=0.5, max_doc_freq=8))
+    _PAIR_CACHE[key] = (pairs, ids)
     return pairs
 
 
@@ -1183,8 +1190,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, COUNT(*) AS n_segments,
            CAST(COUNT(*) FILTER (WHERE seg IN (SELECT seg FROM dup))
              AS BIGINT) AS n_dup,
-           ROUND(COUNT(*) FILTER (WHERE seg IN (SELECT seg FROM dup))
-                 / COUNT(*), 4) AS dup_frac
+           CAST(COUNT(*) FILTER (WHERE seg IN (SELECT seg FROM dup))
+                * 10000 // COUNT(*) AS BIGINT) AS dup_bp
     FROM segs GROUP BY doc_id
     """,
 )
@@ -1218,9 +1225,10 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(marked, "doc_id", "left")
         .select("doc_id", "n_segments",
                 F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
-                F.round(F.coalesce("n_dup", F.lit(0))
-                        / F.col("n_segments").cast("double"), 4)
-                .alias("dup_frac"))
+                (F.coalesce("n_dup", F.lit(0)) * F.lit(10000))
+                .cast("bigint").alias("_nd4"))
+        .select("doc_id", "n_segments", "n_dup",
+                F.expr("_nd4 div n_segments").alias("dup_bp"))
     )
 
 
@@ -1330,8 +1338,8 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, COUNT(*) AS n_chunks,
            CAST(COUNT(*) FILTER (WHERE chunk IN (SELECT chunk FROM dup))
              AS BIGINT) AS n_dup,
-           ROUND(COUNT(*) FILTER (WHERE chunk IN (SELECT chunk FROM dup))
-                 / COUNT(*), 4) AS dup_frac
+           CAST(COUNT(*) FILTER (WHERE chunk IN (SELECT chunk FROM dup))
+                * 10000 // COUNT(*) AS BIGINT) AS dup_bp
     FROM chunks GROUP BY doc_id
     """,
 )
@@ -1377,9 +1385,10 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(marked, "doc_id", "left")
         .select("doc_id", "n_chunks",
                 F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
-                F.round(F.coalesce("n_dup", F.lit(0))
-                        / F.col("n_chunks").cast("double"), 4)
-                .alias("dup_frac"))
+                (F.coalesce("n_dup", F.lit(0)) * F.lit(10000))
+                .cast("bigint").alias("_nd4"))
+        .select("doc_id", "n_chunks", "n_dup",
+                F.expr("_nd4 div n_chunks").alias("dup_bp"))
     )
 
 

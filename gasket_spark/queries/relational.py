@@ -2812,7 +2812,8 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph: triangle counting / BFS (round 6)
 # ---------------------------------------------------------------------------
 
-_EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str, str],
+                  tuple[DataFrame, frozenset[int]]] = {}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2827,15 +2828,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem parquet's (size, mtime_ns) stamp so a rewritten fixture
     can't be served stale edges. Entries from other applicationIds
     are evicted on each miss — dead sessions' frames don't accumulate."""
+    from gasket_spark.io import checkpoint_tracked, free_checkpoint
+
     app = spark.sparkContext.applicationId
     key = (app, os.path.normpath(sf_dir),
            source_stamp(os.path.join(sf_dir, "lineitem.parquet")))
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[0]
     stale = [k for k in _EDGE_CACHE
              if k[0] != app or (k[1] == key[1] and k[2] != key[2])]
     for k in stale:
+        # same-session stale stamps: FREE the checkpoint blocks
+        # (io.free_checkpoint — a dict delete alone leaves them
+        # resident until JVM GC); dead-session ids no-op inside.
+        if k[0] == app:
+            free_checkpoint(spark, _EDGE_CACHE[k][1])
         del _EDGE_CACHE[k]
     li = read_table(spark, sf_dir, "lineitem")
     items = (li.filter(F.col("l_orderkey") % 10 == 0)
@@ -2843,12 +2851,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("l_partkey").alias("pk"))
              .distinct())
     a, b = items.alias("a"), items.alias("b")
-    edges = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
-                    & (F.col("a.pk") < F.col("b.pk")))
-             .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-             .distinct()
-             .localCheckpoint())
-    _EDGE_CACHE[key] = edges
+    edges, ids = checkpoint_tracked(
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct())
+    _EDGE_CACHE[key] = (edges, ids)
     return edges
 
 
@@ -3750,10 +3758,16 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - 3 * mean * mean * mean * mean AS m4
       FROM m)
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round(mean, 9) AS mean_t,
-           round(m2, 9) AS var_t,
-           round(m3 / (m2 * sqrt(m2)), 9) AS skew_t,
-           round(m4 / (m2 * m2) - 3, 9) AS kurt_t
+           CAST(floor(mean * 1e9 + 0.5) AS BIGINT) AS mean_nano,
+           CAST(floor(m2 * 1e9 + 0.5) AS BIGINT) AS var_nano,
+           CASE WHEN m2 > 0
+                THEN CAST(floor(m3 / (m2 * sqrt(m2)) * 1e9 + 0.5)
+                          AS BIGINT)
+           END AS skew_nano,
+           CASE WHEN m2 > 0
+                THEN CAST(floor((m4 / (m2 * m2) - 3) * 1e9 + 0.5)
+                          AS BIGINT)
+           END AS kurt_nano
     FROM k
     """,
 )
@@ -3796,12 +3810,21 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.lit(6) * mean * mean * F.col("ex2")
          - F.lit(3) * mean * mean * mean * mean).alias("m4"))
     m2 = F.col("m2")
+    # floor(x·1e9 + 0.5) is EXACT on doubles, so both engines map the
+    # identical IEEE double to the identical BIGINT — unlike
+    # round(x, 9), whose decimal-rounding algorithm differs between
+    # Spark (BigDecimal HALF_UP) and DuckDB builds (the r7
+    # grid-density red). Zero-variance groups NULL out skew/kurt on
+    # both sides (IEEE Inf is not hash-comparable).
+    nano = lambda col: F.floor(col * F.lit(1e9) + F.lit(0.5))  # noqa: E731
     return k.select(
         "event_type", F.col("n").cast("bigint").alias("n"),
-        F.round(mean, 9).alias("mean_t"),
-        F.round(m2, 9).alias("var_t"),
-        F.round(F.col("m3") / (m2 * F.sqrt(m2)), 9).alias("skew_t"),
-        F.round(F.col("m4") / (m2 * m2) - 3, 9).alias("kurt_t"))
+        nano(mean).alias("mean_nano"),
+        nano(m2).alias("var_nano"),
+        F.when(m2 > 0, nano(F.col("m3") / (m2 * F.sqrt(m2))))
+        .alias("skew_nano"),
+        F.when(m2 > 0, nano(F.col("m4") / (m2 * m2) - 3))
+        .alias("kurt_nano"))
 
 
 def _ewma_oracle_sql(k: int = 8) -> str:
@@ -4879,9 +4902,9 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(v * v) AS DOUBLE) AS s2
       FROM d GROUP BY dim)
     SELECT d.vec_id, d.dim,
-           round((d.v - s.s1 / s.n)
-                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)),
-                 9) AS z
+           CAST(floor((d.v - s.s1 / s.n)
+                      / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+                      * 1e9 + 0.5) AS BIGINT) AS z_nano
     FROM d JOIN s ON s.dim = d.dim
     """,
 )
@@ -4893,7 +4916,8 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back, one map-side transform. The explode is bounded
     (x3 here, x dim generally); the stats table is dim-sized. Same
     float discipline as q_agg_moments: exact integer sums → one
-    closed-form double expression → round(…, 9)."""
+    closed-form double expression → floor(x·1e9 + 0.5) nano-units
+    (exact on doubles; no engine decimal rounding)."""
     emb = read_table(spark, sf_dir, "embeddings")
     d = emb.select(
         "vec_id", "embedding",
@@ -4911,9 +4935,11 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("s1") / F.col("n")
     return (d.join(F.broadcast(s), "dim")
             .select("vec_id", "dim",
-                    F.round((F.col("v") - mean)
+                    F.floor((F.col("v") - mean)
                             / F.sqrt(F.col("s2") / F.col("n")
-                                     - mean * mean), 9).alias("z")))
+                                     - mean * mean)
+                            * F.lit(1e9) + F.lit(0.5))
+                    .alias("z_nano")))
 
 
 def _labelprop_oracle_sql(rounds: int = 3) -> str:
@@ -5104,8 +5130,9 @@ def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j GROUP BY ship_month)
     SELECT ship_month, promo_cents, total_cents,
            CASE WHEN total_cents <> 0
-                THEN round(100.0 * promo_cents / total_cents, 9)
-           END AS promo_share
+                THEN CAST((CAST(promo_cents AS HUGEINT) * 100000000000)
+                          // total_cents AS BIGINT)
+           END AS promo_pct_ppb
     FROM g
     """,
 )
@@ -5118,8 +5145,9 @@ def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → broadcast join → two-phase agg with BOTH conditional
     sums folded into the same partial aggregate (one shuffle of
     month-sized partials, never rows). Numerator and denominator stay
-    exact integer cents; the share is one double division at the
-    end, round(…, 9) — same discipline as q_agg_moments."""
+    exact integer cents; the share is FIXED-POINT percent×1e9
+    (integer div, widened before the ×1e11) — no engine-rounded
+    double leaves the query."""
     li = read_table(spark, sf_dir, "lineitem")
     pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     cents = F.round(F.col("l_extendedprice")
@@ -5138,9 +5166,9 @@ def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "ship_month", "promo_cents", "total_cents",
         F.when(F.col("total_cents") != 0,
-               F.round(F.lit(100.0) * F.col("promo_cents")
-                       / F.col("total_cents"), 9))
-        .alias("promo_share"))
+               F.expr("(CAST(promo_cents AS DECIMAL(38,0)) "
+                      "* 100000000000) div total_cents"))
+        .alias("promo_pct_ppb"))
 
 
 @query(
@@ -5153,7 +5181,8 @@ def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events),
     p AS (SELECT UNNEST([25, 50, 75, 95]) AS pct)
-    SELECT r.event_type, p.pct, round(r.value, 9) AS pct_value
+    SELECT r.event_type, p.pct,
+           CAST(floor(r.value * 1e9 + 0.5) AS BIGINT) AS pct_value_nano
     FROM r CROSS JOIN p
     WHERE r.rn = (p.pct * r.n + 99) // 100
     """,
@@ -5183,7 +5212,8 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn")
                     == F.expr("(pct * n + 99) div 100"))
             .select("event_type", "pct",
-                    F.round("value", 9).alias("pct_value")))
+                    F.floor(F.col("value") * F.lit(1e9) + F.lit(0.5))
+                    .alias("pct_value_nano")))
 
 
 @query(
@@ -5207,7 +5237,8 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT UNNEST([-1, 0, 1]) AS dy) dy
       GROUP BY 1, 2)
     SELECT c.cx, c.cy, c.n_points, nb.n_nbhd,
-           round(c.n_points * 1.0 / nb.n_nbhd, 9) AS density_ratio
+           CAST((CAST(c.n_points AS HUGEINT) * 1000000000) // nb.n_nbhd
+                AS BIGINT) AS density_ppb
     FROM cells c JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy
     """,
 )
@@ -5220,7 +5251,11 @@ def q_join_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     are reduced to cells in one two-phase agg, then the 9-offset
     explode + re-agg touches only cell-sized data, so the whole
     smoothing step is O(|cells|·9) regardless of corpus size. The
-    density ratio is one double division over exact integer counts."""
+    density ratio is emitted as FIXED-POINT parts-per-billion
+    (integer division over exact integer counts, widened to
+    decimal(38,0)/HUGEINT before the ×1e9) — the r7 driver proved
+    round()-on-double diverges across engine builds at decimal
+    midpoints, so no double leaves this query."""
     ev = read_table(spark, sf_dir, "events")
     cell = 1500
     pts = (ev.select("user_id").distinct()
@@ -5241,9 +5276,9 @@ def q_join_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.sum("n_points").alias("n_nbhd")))
     return (cells.join(nb, ["cx", "cy"])
             .select("cx", "cy", "n_points", "n_nbhd",
-                    F.round(F.col("n_points") * F.lit(1.0)
-                            / F.col("n_nbhd"), 9)
-                    .alias("density_ratio")))
+                    F.expr("(CAST(n_points AS DECIMAL(38,0)) "
+                           "* 1000000000) div n_nbhd")
+                    .alias("density_ppb")))
 
 
 @query(
@@ -5261,9 +5296,10 @@ def q_join_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM touched GROUP BY channel),
     s AS (SELECT SUM(n_touched) AS total_touches FROM ch)
     SELECT ch.channel, ch.n_touched, tot.n_conv,
-           round(ch.n_touched * 1.0 / tot.n_conv, 9) AS removal_effect,
-           round(ch.n_touched * 1.0 / s.total_touches, 9)
-             AS attribution_share
+           CAST((CAST(ch.n_touched AS HUGEINT) * 1000000000)
+                // tot.n_conv AS BIGINT) AS removal_ppb,
+           CAST((CAST(ch.n_touched AS HUGEINT) * 1000000000)
+                // s.total_touches AS BIGINT) AS share_ppb
     FROM ch CROSS JOIN tot CROSS JOIN s
     """,
 )
@@ -5281,8 +5317,9 @@ def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks), one distinct + one channel-sized agg; the two 1-row
     scalars broadcast, and their repeated subtrees dedup at runtime
     via ReusedExchange (verified in the final adaptive plan — no
-    extra corpus scans). Every output is exact counting + one double
-    division, round(…, 9)."""
+    extra corpus scans). Every output is exact counting; the two
+    shares are FIXED-POINT parts-per-billion (integer div, widened
+    before the ×1e9) — no engine-rounded double leaves the query."""
     ev = read_table(spark, sf_dir, "events")
     conv = (ev.filter(F.col("event_type") == "purchase")
             .groupBy("user_id")
@@ -5298,11 +5335,12 @@ def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ch.agg(F.sum("n_touched").alias("total_touches"))
     return (ch.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(s))
             .select("channel", "n_touched", "n_conv",
-                    F.round(F.col("n_touched") * F.lit(1.0)
-                            / F.col("n_conv"), 9).alias("removal_effect"),
-                    F.round(F.col("n_touched") * F.lit(1.0)
-                            / F.col("total_touches"), 9)
-                    .alias("attribution_share")))
+                    F.expr("(CAST(n_touched AS DECIMAL(38,0)) "
+                           "* 1000000000) div n_conv")
+                    .alias("removal_ppb"),
+                    F.expr("(CAST(n_touched AS DECIMAL(38,0)) "
+                           "* 1000000000) div total_touches")
+                    .alias("share_ppb")))
 
 
 @query(
@@ -5316,21 +5354,28 @@ def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem),
     s AS (
       SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(x * y) AS DOUBLE) AS sxy,
-             CAST(SUM(x * x) AS DOUBLE) AS sxx,
-             CAST(SUM(y * y) AS DOUBLE) AS syy
-      FROM c GROUP BY l_returnflag)
+             SUM(x) AS ix, SUM(y) AS iy, SUM(x * y) AS ixy,
+             SUM(x * x) AS ixx, SUM(y * y) AS iyy
+      FROM c GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag, n, ix, iy, ixy, ixx, iyy,
+             CAST(ix AS DOUBLE) AS sx, CAST(iy AS DOUBLE) AS sy,
+             CAST(ixy AS DOUBLE) AS sxy,
+             CAST(ixx AS DOUBLE) AS sxx, CAST(iyy AS DOUBLE) AS syy
+      FROM s)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
-                THEN round((n * sxy - sx * sy)
-                           / sqrt((n * sxx - sx * sx)
-                                  * (n * syy - sy * sy)), 9)
-           END AS corr_qty_price,
+                THEN CAST(floor((n * sxy - sx * sy)
+                                / sqrt((n * sxx - sx * sx)
+                                       * (n * syy - sy * sy))
+                                * 1e9 + 0.5) AS BIGINT)
+           END AS corr_nano,
            CASE WHEN n > 1
-                THEN round((sxy - sx * sy / n) / (n - 1), 9)
-           END AS cov_qty_price
-    FROM s
+                THEN CAST((CAST(n AS HUGEINT) * ixy - ix * iy)
+                          * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+                          AS BIGINT)
+           END AS cov_micro
+    FROM d
     """,
 )
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5339,8 +5384,10 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-moments pattern as q_agg_moments (one partial+final agg
     pair, k tiny rows shuffled), extended to the CROSS moment Σxy.
     Inputs are widened to decimal(38,0)/HUGEINT before any multiply
-    (Σy² alone passes 2^63 at sf0.1), the closed-form corr/cov are one
-    double expression over the exact sums, round(…, 9). Spark's
+    (Σy² alone passes 2^63 at sf0.1); cov is an EXACT integer
+    quotient in micro-units and corr a floor-scaled nano integer over
+    the engine-identical double expression — no decimal rounding of a
+    double anywhere (the r7 grid-density red's lesson). Spark's
     built-in corr() is a float accumulator whose result depends on
     partition association order — this formulation is bit-stable
     under any partitioning."""
@@ -5351,26 +5398,39 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = li.select("l_returnflag", x.alias("x"), y.alias("y"))
     s = c.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
+        F.sum("x").alias("ix"),
+        F.sum("y").alias("iy"),
+        F.sum(F.col("x") * F.col("y")).alias("ixy"),
+        F.sum(F.col("x") * F.col("x")).alias("ixx"),
+        F.sum(F.col("y") * F.col("y")).alias("iyy"))
+    d = s.select(
+        "l_returnflag", "n", "ix", "iy", "ixy",
+        F.col("ix").cast("double").alias("sx"),
+        F.col("iy").cast("double").alias("sy"),
+        F.col("ixy").cast("double").alias("sxy"),
+        F.col("ixx").cast("double").alias("sxx"),
+        F.col("iyy").cast("double").alias("syy"))
     n = F.col("n")
     # NULL (not NaN/Inf) on degenerate groups: a zero-variance group
     # or n = 1 would reach IEEE 0/0 or x/0, whose NaN/Inf encodings
     # are not hash-comparable across engines — both sides guard
-    # identically instead.
+    # identically instead. corr is floor-scaled to nano-units (both
+    # engines run the IDENTICAL double expression, then floor(x*1e9
+    # + 0.5) — exact on doubles — so no decimal-rounding algorithm
+    # is ever invoked); cov is an EXACT integer quotient
+    # (n·Σxy − Σx·Σy)·1e6 div n(n−1) in decimal(38,0)/HUGEINT.
     var_prod = ((n * F.col("sxx") - F.col("sx") * F.col("sx"))
                 * (n * F.col("syy") - F.col("sy") * F.col("sy")))
-    return s.select(
+    return d.select(
         "l_returnflag", n.cast("bigint").alias("n"),
         F.when(var_prod > 0,
-               F.round((n * F.col("sxy") - F.col("sx") * F.col("sy"))
-                       / F.sqrt(var_prod), 9)).alias("corr_qty_price"),
+               F.floor((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                       / F.sqrt(var_prod) * F.lit(1e9) + F.lit(0.5)))
+        .alias("corr_nano"),
         F.when(n > 1,
-               F.round((F.col("sxy") - F.col("sx") * F.col("sy") / n)
-                       / (n - 1), 9)).alias("cov_qty_price"))
+               F.expr("(n * ixy - ix * iy) * 1000000 "
+                      "div (CAST(n AS DECIMAL(38,0)) * (n - 1))"))
+        .alias("cov_micro"))
 
 
 @query(
@@ -5482,8 +5542,9 @@ def q_seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev)
     SELECT c_nationkey, c_custkey, cents, CAST(rnk AS INT) AS rnk,
            CASE WHEN nation_cents <> 0
-                THEN round(cum_cents * 1.0 / nation_cents, 9)
-           END AS cum_share,
+                THEN CAST((CAST(cum_cents AS HUGEINT) * 1000000000)
+                          // nation_cents AS BIGINT)
+           END AS cum_share_ppb,
            cum_cents * 10 <= nation_cents * 8 AS in_head
     FROM w
     """,
@@ -5491,7 +5552,8 @@ def q_seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REVENUE CONCENTRATION (Pareto / 80-20 analysis) per nation:
     each customer's running cumulative share of their nation's
-    revenue, ranked by spend, with the 80%-head flag decided by
+    revenue (FIXED-POINT ppb — integer div, widened before the ×1e9),
+    ranked by spend, with the 80%-head flag decided by
     INTEGER cross-multiplication (cum·10 ≤ total·8 — no float
     boundary can flip membership across engines). The windows are
     PARTITIONED by nation — the global-Pareto anti-pattern (one
@@ -5521,8 +5583,9 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey", "c_custkey", "cents",
         F.col("rnk").cast("int").alias("rnk"),
         F.when(F.col("nation_cents") != 0,
-               F.round(F.col("cum_cents") * F.lit(1.0)
-                       / F.col("nation_cents"), 9)).alias("cum_share"),
+               F.expr("(CAST(cum_cents AS DECIMAL(38,0)) "
+                      "* 1000000000) div nation_cents"))
+        .alias("cum_share_ppb"),
         (F.col("cum_cents") * 10 <= F.col("nation_cents") * 8)
         .alias("in_head"))
 
@@ -5540,7 +5603,8 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, COUNT(*) AS n_intervals,
            CAST(SUM(cents * dur) AS BIGINT) AS num_cents_us,
            CAST(SUM(dur) AS BIGINT) AS den_us,
-           round(SUM(cents * dur) * 1.0 / SUM(dur), 6) AS twa_cents
+           CAST((CAST(SUM(cents * dur) AS HUGEINT) * 1000000)
+                // SUM(dur) AS BIGINT) AS twa_microcents
     FROM s WHERE dur IS NOT NULL
     GROUP BY user_id HAVING SUM(dur) > 0
     """,
@@ -5551,8 +5615,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap to the successor (sub-second components matter — the fixture
     has them — so second-truncated math would drift between engines).
     One window shuffle for the LEAD + one two-phase agg; weights and
-    the num/den accumulators are exact integers, the single division
-    rounds at the end. The last observation per user carries no
+    the num/den accumulators are exact integers, and the average is
+    emitted as FIXED-POINT microcents (integer div over the exact
+    num/den, widened before the ×1e6 — the r7 grid-density red showed
+    round()-on-double is engine-build-dependent, so the raw num/den
+    pair plus an integer quotient replace it). The last observation
+    per user carries no
     duration and is excluded — the standard left-continuous step
     integral every monitoring/billing pipeline computes."""
     ev = read_table(spark, sf_dir, "events")
@@ -5570,8 +5638,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("dur").cast("bigint").alias("den_us"))
             .filter(F.col("den_us") > 0)
             .select("user_id", "n_intervals", "num_cents_us", "den_us",
-                    F.round(F.col("num_cents_us") * F.lit(1.0)
-                            / F.col("den_us"), 6).alias("twa_cents")))
+                    F.expr("(CAST(num_cents_us AS DECIMAL(38,0)) "
+                           "* 1000000) div den_us")
+                    .alias("twa_microcents")))
 
 
 @query(

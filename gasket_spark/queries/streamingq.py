@@ -782,12 +782,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY user_id) AS n
       FROM c)
     SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_seen,
-           round(SUM(CASE WHEN rd <= 8
-                          THEN c * (CAST(1 AS BIGINT) << (8 - rd))
-                          ELSE 0 END) * 1.0
-                 / SUM(CASE WHEN rd <= 8
+           CAST(SUM(CASE WHEN rd <= 8
+                         THEN c * (CAST(1 AS BIGINT) << (8 - rd))
+                         ELSE 0 END) * 1000000
+                // SUM(CASE WHEN rd <= 8
                             THEN CAST(1 AS BIGINT) << (8 - rd)
-                            ELSE 0 END), 6) AS ewma_cents
+                            ELSE 0 END) AS BIGINT) AS ewma_microcents
     FROM r GROUP BY user_id
     """,
 )
@@ -800,7 +800,8 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge, so the unordered file-stream replay folds to the exact
     value the batch oracle states for each user's final event. The
     exact integer numerator/denominator cross the stream boundary;
-    the one float division + round happens batch-side. This is the
+    the EWMA is emitted as FIXED-POINT microcents (integer div of
+    the exact num/den — no engine-rounded double). This is the
     r6 verdict's q_stream_ewma ask, landed on the protobuf-free
     stateful API (transformWithStateInPandas stays env-gated —
     NOTES.md)."""
@@ -817,5 +818,5 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (updates.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("user_id", "n_seen",
-                    F.round(F.col("ewma_num") * F.lit(1.0)
-                            / F.col("ewma_den"), 6).alias("ewma_cents")))
+                    F.expr("(ewma_num * 1000000) div ewma_den")
+                    .alias("ewma_microcents")))

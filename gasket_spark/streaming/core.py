@@ -127,6 +127,20 @@ def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
         (keys or ["event_id"]) + ["ts"])
 
 
+def cents_half_up(values, scale: int = 100):
+    """Half-AWAY-FROM-ZERO fixed-point conversion of a float64 numpy
+    array (value → integer cents by default) — matching Spark
+    ``F.round`` (BigDecimal HALF_UP) and DuckDB ``round``, NOT
+    ``np.round``'s banker's half-to-even: a value landing exactly on
+    a half-cent (0.125 → 12.5) must round to 13 like the batch
+    oracles, not 12. sign·floor(|x|+0.5) operates on the identical
+    IEEE double the JVM sees, so the conversion is bit-agreeing."""
+    import numpy as np
+
+    x = values * float(scale)
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 STATEFUL_TOTALS_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),
@@ -159,8 +173,8 @@ def stateful_user_totals(events: DataFrame,
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            cents += int(np.round(pdf["value"].to_numpy(np.float64)
-                                  * 100).astype(np.int64).sum())
+            cents += int(cents_half_up(
+                pdf["value"].to_numpy(np.float64)).sum())
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "total_cents": [cents]})
@@ -210,9 +224,8 @@ def stateful_user_ewma(events: DataFrame, k: int = 8,
     State is O(k) per key (k longs, never the event history); the
     emitted row carries the EXACT integer numerator/denominator
     (cents·2^(k−1−lag) weights, renormalized over the lags that
-    exist) so the single float division and rounding happen once,
-    BATCH-side, where Spark and DuckDB round identically — no Python
-    float rounding in the loop. Weights match q_window_ewma's
+    exist) so the consumer derives the EWMA by INTEGER division,
+    engine-identical by construction — no float rounding anywhere. Weights match q_window_ewma's
     fixed-point scheme at each user's final event.
 
     The merge dedups on (ts, event_id) before taking the top-k, so a
@@ -234,8 +247,7 @@ def stateful_user_ewma(events: DataFrame, k: int = 8,
             n += len(pdf)
             ts_i = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
             eid_i = pdf["event_id"].to_numpy("int64")
-            c_i = np.round(pdf["value"].to_numpy(np.float64)
-                           * 100).astype("int64")
+            c_i = cents_half_up(pdf["value"].to_numpy(np.float64))
             rows.extend(zip(ts_i.tolist(), eid_i.tolist(), c_i.tolist()))
         uniq = {(ts, eid): c for ts, eid, c in rows}
         rows = sorted(((ts, eid, c) for (ts, eid), c in uniq.items()),
@@ -1361,8 +1373,8 @@ def typed_state_totals(events: DataFrame,
             touched: dict[str, int] = {}
             for pdf in rows:
                 n += len(pdf)
-                cents += int(np.round(pdf["value"].to_numpy(np.float64)
-                                      * 100).astype(np.int64).sum())
+                cents += int(cents_half_up(
+                    pdf["value"].to_numpy(np.float64)).sum())
                 beid = int(pdf["event_id"].min())
                 min_eid = beid if min_eid is None else min(min_eid, beid)
                 for et, c in pdf["event_type"].value_counts().items():

@@ -614,3 +614,31 @@ class TestPrefixFilter:
         pairs = D.prefix_filter_pairs(df, threshold=0.5)
         assert pairs.count() == 15  # C(6,2), all J=1.0
         assert pairs.filter(F.col("jaccard") < 1.0).count() == 0
+
+    def test_prefix_releases_shingle_persist(self, spark):
+        """The corpus-sized shingle frame must NOT stay resident after
+        the build: only the (eagerly checkpointed) pair result may add
+        a persistent RDD — repeated calls in a long-lived session
+        previously accumulated one shingle cache per invocation."""
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon {i}") for i in range(8)],
+            "doc_id long, text string")
+        jsc = spark.sparkContext._jsc
+
+        def persistent_ids():
+            return set(dict(jsc.getPersistentRDDs()))
+
+        base = persistent_ids()
+        out = D.prefix_filter_pairs(df, threshold=0.5)
+        new = persistent_ids() - base
+        # exactly the result checkpoint — the shingle persist is gone
+        assert len(new) == 1
+        # every doc pair shares 3 of 4 shingles: J = 3/5 >= 0.5, so
+        # all C(8,2) pairs survive — and the result stays consumable
+        # after the shingle unpersist (it was checkpointed eagerly)
+        assert out.count() == 28
+        # free_checkpoint releases exactly the tracked ids (other
+        # sessions'/fixtures' cached frames untouched)
+        from gasket_spark.io import free_checkpoint
+        free_checkpoint(spark, new)
+        assert persistent_ids() == base

@@ -404,8 +404,8 @@ class TestMomentsAgainstBuiltins:
                    F.kurtosis("v").alias("ku")).collect()}
         assert set(got) == set(ref)
         for k in got:
-            assert abs(got[k]["skew_t"] - ref[k]["sk"]) < 1e-6
-            assert abs(got[k]["kurt_t"] - ref[k]["ku"]) < 1e-6
+            assert abs(got[k]["skew_nano"] / 1e9 - ref[k]["sk"]) < 1e-6
+            assert abs(got[k]["kurt_nano"] / 1e9 - ref[k]["ku"]) < 1e-6
 
 
 class TestPowerIterationOverflow:

@@ -32,18 +32,19 @@ class TestPercentileDiscEdges:
         # all four percentiles of a 1-row group are the value itself
         assert len(rows) == 4
         assert {r.pct for r in rows} == {25, 50, 75, 95}
-        assert all(r.pct_value == 42.0 for r in rows)
+        assert all(r.pct_value_nano == 42_000_000_000 for r in rows)
 
     def test_disc_returns_real_observations(self, spark, tmp_path):
         t0 = datetime.datetime(2024, 1, 1)
         vals = [1.0, 2.0, 3.0, 4.0]
         _write_events(spark, str(tmp_path),
                       [(i, t0, 1, "g", v) for i, v in enumerate(vals)])
-        out = {(r.pct, r.pct_value) for r in
+        out = {(r.pct, r.pct_value_nano) for r in
                QUERIES["q_agg_percentile_disc"](
                    spark, str(tmp_path)).collect()}
         # rank = ceil(p*n/100): p25->1st, p50->2nd, p75->3rd, p95->4th
-        assert out == {(25, 1.0), (50, 2.0), (75, 3.0), (95, 4.0)}
+        assert out == {(25, 1_000_000_000), (50, 2_000_000_000),
+                       (75, 3_000_000_000), (95, 4_000_000_000)}
 
 
 class TestDecayedTopkWindowBound:
@@ -103,8 +104,8 @@ class TestAttributionEdges:
         assert len(rows) == 1
         r = rows[0]
         assert (r.channel, r.n_touched, r.n_conv) == ("view", 1, 2)
-        assert r.removal_effect == 0.5      # blocks 1 of 2 conversions
-        assert r.attribution_share == 1.0   # only touched channel
+        assert r.removal_ppb == 500_000_000  # blocks 1 of 2 conversions
+        assert r.share_ppb == 1_000_000_000  # only touched channel
 
 
 class TestTopSupplierTies:
@@ -144,7 +145,7 @@ class TestTimeWeightedAvgEdges:
         assert set(rows) == {2}
         # one interval: value 10.0 held for 30s -> TWA = 1000 cents
         assert rows[2].n_intervals == 1
-        assert rows[2].twa_cents == 1000.0
+        assert rows[2].twa_microcents == 1_000_000_000
 
 
 class TestCorrDegenerateGroups:
@@ -161,7 +162,7 @@ class TestCorrDegenerateGroups:
             f"{tmp_path}/lineitem.parquet")
         rows = {r.l_returnflag: r for r in
                 QUERIES["q_agg_corr"](spark, str(tmp_path)).collect()}
-        assert rows["C"].corr_qty_price is None   # zero x-variance
-        assert rows["C"].cov_qty_price == 0.0     # cov defined: n=2
-        assert rows["S"].corr_qty_price is None   # n=1
-        assert rows["S"].cov_qty_price is None    # n-1 = 0
+        assert rows["C"].corr_nano is None        # zero x-variance
+        assert rows["C"].cov_micro == 0           # cov defined: n=2
+        assert rows["S"].corr_nano is None        # n=1
+        assert rows["S"].cov_micro is None        # n-1 = 0
