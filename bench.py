@@ -114,6 +114,14 @@ HEADLINE: dict[str, str] = {
     "q_sql_top_supplier": "collect",
     "q_dedup_prefix": "count",
     "q_funnel_windowed": "count",
+    # r8 additions: the remaining classic TPC-H shapes (Q2 min-cost
+    # decorrelation, Q11 share-of-total HAVING, Q16 excluded-set
+    # distinct count, Q20 nested semi chain) + one-pass sampled agg
+    "q_sql_min_cost_supplier": "collect",
+    "q_sql_important_stock": "collect",
+    "q_sql_parts_supplier_count": "collect",
+    "q_sql_potential_promotion": "collect",
+    "q_agg_sampled": "collect",
 }
 
 
@@ -140,7 +148,19 @@ def _common_prev(timings: dict[str, float]) -> dict | None:
             doc = json.load(fh)
         # driver artifacts wrap the bench line under "parsed"
         prev = (doc.get("queries")
-                or doc.get("parsed", {}).get("queries") or {})
+                or (doc.get("parsed") or {}).get("queries") or {})
+        if not prev and isinstance(doc.get("tail"), str):
+            # the driver's bounded tail capture can truncate the HEAD
+            # of the (single, long) full line, nulling "parsed" — the
+            # r7 artifact's failure mode. The per-query pairs still
+            # sit in the tail text: recover them by pattern. Drop the
+            # final pair when the capture is also cut at the END (its
+            # value digits may be truncated mid-number).
+            pairs = re.findall(r'"(q_[a-z0-9_]+)":\s*([0-9.]+)',
+                               doc["tail"])
+            if pairs and not doc["tail"].rstrip().endswith("}"):
+                pairs = pairs[:-1]
+            prev = {k: float(v) for k, v in pairs}
     except (OSError, ValueError):
         return None
     common = sorted(set(prev) & set(timings))
@@ -201,7 +221,17 @@ def main() -> None:
     cp = _common_prev(timings)
     if cp is not None:
         out["common_prev"] = cp
+    # the summary goes out TWICE: the full per-query line first, then
+    # a SHORT final line with the headline numbers — a bounded tail
+    # capture that truncates the long line's head (the r7 artifact's
+    # failure mode) still parses the last line and keeps the totals.
     print(json.dumps(out))
+    short = {"metric": out["metric"], "value": out["value"],
+             "unit": "sec", "sf": out["sf"],
+             "n_queries": len(timings)}
+    if cp is not None:
+        short["common_prev"] = cp
+    print(json.dumps(short))
 
 
 if __name__ == "__main__":

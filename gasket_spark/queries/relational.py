@@ -5830,3 +5830,306 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("us_view_to_click"),
                 (mic(F.col("p_ts")) - mic(F.col("c_ts")))
                 .alias("us_click_to_purchase")))
+
+
+# ---------------------------------------------------------------------------
+# round 8: the remaining classic TPC-H SQL shapes (Q2/Q11/Q16/Q20
+# analogs on this schema) + sampled GROUP BY with exact-rescale twin
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sql_min_cost_supplier",
+    oracle="""
+    WITH esup AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    pp AS (
+      SELECT p_partkey FROM part
+      WHERE p_size <= 10 AND p_type = 'STANDARD'),
+    supply AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             MIN((CAST(round(l.l_extendedprice * 100) AS BIGINT) * 1000)
+                 // CAST(round(l.l_quantity) AS BIGINT))
+               AS unit_millicents
+      FROM lineitem l
+      JOIN pp ON pp.p_partkey = l.l_partkey
+      JOIN esup e ON e.s_suppkey = l.l_suppkey
+      WHERE round(l.l_quantity) > 0
+      GROUP BY 1, 2),
+    mn AS (
+      SELECT partkey, MIN(unit_millicents) AS best_millicents
+      FROM supply GROUP BY partkey)
+    SELECT s.partkey, s.suppkey, e.s_name, e.n_name,
+           CAST(s.unit_millicents AS BIGINT) AS unit_millicents
+    FROM supply s
+    JOIN mn ON mn.partkey = s.partkey
+            AND s.unit_millicents = mn.best_millicents
+    JOIN esup e ON e.s_suppkey = s.suppkey
+    """,
+)
+def q_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the CORRELATED SCALAR
+    MIN subquery — for each qualifying part, the European supplier(s)
+    whose observed unit price is the part's minimum — DECORRELATED to
+    one grouped aggregate + one equality join-back, never a per-row
+    re-aggregation (the plan-contract test pins a single supply-grain
+    aggregate feeding a join, the decorrelation Q2 exists to
+    exercise). Unit price is FIXED-POINT millicents via integer
+    division (cents·1000 div qty — engine-identical truncation), the
+    MIN of integers is exact, and ties surface every argmin row as
+    the spec demands. Plan: the part filter and the region→nation→
+    supplier chain both broadcast into the one lineitem scan; supply
+    and mn are two-phase aggs over (part,supp)- and part-grain rows;
+    the join-back is part-sized. At 100 TB the fact table is read
+    once, filtered by two broadcast semi-shapes, and everything after
+    the first agg is dimension-sized."""
+    li = read_table(spark, sf_dir, "lineitem")
+    esup = (read_table(spark, sf_dir, "supplier")
+            .join(read_table(spark, sf_dir, "nation"),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(read_table(spark, sf_dir, "region")
+                  .filter(F.col("r_name") == "EUROPE"),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+    pp = (read_table(spark, sf_dir, "part")
+          .filter((F.col("p_size") <= 10)
+                  & (F.col("p_type") == "STANDARD"))
+          .select("p_partkey"))
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    supply = (li.filter(qty > 0)
+              .join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(esup.select("s_suppkey")),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy(F.col("l_partkey").alias("partkey"),
+                       F.col("l_suppkey").alias("suppkey"))
+              .agg(F.min(F.expr(
+                       "(CAST(round(l_extendedprice * 100) AS BIGINT) "
+                       "* 1000) div CAST(round(l_quantity) AS BIGINT)"))
+                   .alias("unit_millicents")))
+    mn = (supply.groupBy("partkey")
+          .agg(F.min("unit_millicents").alias("best_millicents"))
+          .withColumnRenamed("partkey", "mn_partkey"))
+    return (supply.join(F.broadcast(mn),
+                        (F.col("partkey") == F.col("mn_partkey"))
+                        & (F.col("unit_millicents")
+                           == F.col("best_millicents")))
+            .join(F.broadcast(esup),
+                  F.col("suppkey") == F.col("s_suppkey"))
+            .select("partkey", "suppkey", "s_name", "n_name",
+                    F.col("unit_millicents").cast("bigint")
+                    .alias("unit_millicents")))
+
+
+@query(
+    "q_sql_important_stock",
+    oracle="""
+    WITH asup AS (
+      SELECT s.s_suppkey
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'),
+    v AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem l JOIN asup a ON a.s_suppkey = l.l_suppkey
+      GROUP BY 1),
+    t AS (SELECT SUM(value_cents) AS total_cents FROM v)
+    SELECT v.partkey, v.value_cents
+    FROM v CROSS JOIN t
+    WHERE CAST(v.value_cents AS HUGEINT) * 1000 > t.total_cents
+    """,
+)
+def q_sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): grouped value with a
+    HAVING-over-share-of-GLOBAL-total — keep parts whose Asian-supply
+    value exceeds 0.1% of the total. The share gate is an INTEGER
+    cross-multiplication (value·1000 > total, widened to
+    decimal(38,0)/HUGEINT) — no float share can straddle the
+    threshold differently across engines. Plan: supplier chain
+    broadcasts into one fact scan, part-grain two-phase agg, the
+    1-row total broadcasts back as a filter — the same
+    scalar-broadcast shape as q_sql_top_supplier, so no global sort
+    or single-partition exchange at any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    asup = (read_table(spark, sf_dir, "supplier")
+            .join(read_table(spark, sf_dir, "nation"),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(read_table(spark, sf_dir, "region")
+                  .filter(F.col("r_name") == "ASIA"),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    v = (li.join(F.broadcast(asup),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+         .groupBy(F.col("l_partkey").alias("partkey"))
+         .agg(F.sum(cents).cast("bigint").alias("value_cents")))
+    t = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (v.crossJoin(F.broadcast(t))
+            .filter(F.expr("CAST(value_cents AS DECIMAL(38,0)) * 1000 "
+                           "> total_cents"))
+            .select("partkey", "value_cents"))
+
+
+@query(
+    "q_sql_parts_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_sql_parts_supplier_count(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): DISTINCT-COUNT
+    over an EXCLUDED set — how many distinct suppliers can deliver
+    each qualifying (brand, type, size), excluding the complaint list
+    (here the deterministic stand-in ``s_suppkey % 13 = 0`` for Q16's
+    comment-LIKE filter — the fixture's supplier table carries no
+    comment column). The exclusion is an ANTI join (NOT IN is safe:
+    the key is non-null by construction, and the oracle states the
+    same subquery); the part filter broadcasts; the distinct-count is
+    a two-phase partial-distinct aggregate over (brand,type,size,
+    suppkey) — never a corpus-wide distinct. At 100 TB: one fact
+    scan, one dimension broadcast, one anti broadcast, one
+    group-sized shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = (read_table(spark, sf_dir, "part")
+          .filter((F.col("p_brand") != "Brand#1")
+                  & (F.col("p_type") != "PROMO")
+                  & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (read_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_suppkey") % 13 == 0)
+           .select("s_suppkey"))
+    return (li.join(F.broadcast(pt),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == F.col("s_suppkey"),
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt")))
+
+
+@query(
+    "q_sql_potential_promotion",
+    oracle="""
+    WITH pp AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    heavy AS (
+      SELECT l.l_suppkey AS suppkey
+      FROM lineitem l JOIN pp ON pp.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 50)
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND s.s_suppkey IN (SELECT suppkey FROM heavy)
+    """,
+)
+def q_sql_potential_promotion(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the NESTED
+    SEMI-JOIN chain — suppliers (in one region) who moved more than
+    a threshold quantity of some name-matched part during 1996. Two
+    semi levels: the part-name filter semi-joins into the fact scan
+    (broadcast), the per-(supplier, part) quantity aggregate's
+    HAVING survivors semi-join into the supplier dimension. Exact
+    integer quantities; DISTINCT output rows (a supplier qualifies
+    once, however many parts qualify it). Plan: one filtered fact
+    scan + one (supp,part)-grain agg; both semi-joins are
+    dimension-sized broadcasts — no fact-side shuffle beyond the
+    agg's own."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pp = (read_table(spark, sf_dir, "part")
+          .filter(F.col("p_name").like("small%"))
+          .select("p_partkey"))
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    heavy = (li.filter(
+                (F.col("l_shipdate")
+                 >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate")
+                   < F.lit("1997-01-01").cast("timestamp")))
+             .join(F.broadcast(pp),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum(qty).alias("q"))
+             .filter(F.col("q") > 50)
+             .select(F.col("l_suppkey").alias("suppkey")))
+    return (read_table(spark, sf_dir, "supplier")
+            .join(read_table(spark, sf_dir, "nation"),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(read_table(spark, sf_dir, "region")
+                  .filter(F.col("r_name") == "AMERICA"),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .join(heavy, F.col("s_suppkey") == F.col("suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name", "n_name")
+            .distinct())
+
+
+@query(
+    "q_agg_sampled",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_exact,
+           CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT)
+             AS n_sample,
+           CAST(SUM(CASE WHEN event_id % 10 = 0
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) * 10 AS BIGINT) AS cents_est,
+           CAST(CAST(abs(SUM(CASE WHEN event_id % 10 = 0
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) * 10
+                    - SUM(CAST(round(value * 100) AS BIGINT)))
+                     AS HUGEINT) * 1000000000
+                // SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS err_ppb
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED GROUP BY with its EXACT twin in the same pass: a
+    1-in-10 SYSTEMATIC sample (``event_id % 10`` — deterministic and
+    content-addressed, so any partitioning selects the same rows,
+    unlike ``TABLESAMPLE``'s partition-dependent draws) rescaled by
+    the exact inverse sampling rate, next to the full aggregate, plus
+    the realized error in FIXED-POINT ppb (integer div — no
+    engine-rounded double). Both estimates fold into ONE conditional
+    two-phase aggregate — the approximate-query-processing pattern
+    where the sample answers dashboards while the twin bounds the
+    error; at 100 TB with a materialized sample table the scan drops
+    10×, and the estimator math here is identical."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    in_s = F.col("event_id") % 10 == 0
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(cents).cast("bigint").alias("cents_exact"),
+                 F.count(F.when(in_s, 1)).cast("bigint")
+                 .alias("n_sample"),
+                 (F.sum(F.when(in_s, cents).otherwise(0)) * 10)
+                 .cast("bigint").alias("cents_est"))
+            .select("event_type", "n_rows", "cents_exact", "n_sample",
+                    "cents_est",
+                    F.expr("(CAST(abs(cents_est - cents_exact) "
+                           "AS DECIMAL(38,0)) * 1000000000) "
+                           "div cents_exact").alias("err_ppb")))

@@ -275,6 +275,156 @@ def stateful_user_ewma(events: DataFrame, k: int = 8,
     )
 
 
+STATEFUL_SESSION_EWMA_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_seen", LongType()),
+    StructField("sess_len", LongType()),
+    StructField("ewma_num", LongType()),
+    StructField("ewma_den", LongType()),
+])
+
+
+def stateful_session_ewma(events: DataFrame, k: int = 8,
+                          gap: str = "8 hours",
+                          watermark: str = "2 hours") -> DataFrame:
+    """SESSION-GAP EWMA: the confluent top-``k`` state of
+    :func:`stateful_user_ewma` composed with session semantics — the
+    EWMA weights cover only the CURRENT session's suffix of the last
+    ``k`` events (the most recent consecutive run whose inter-event
+    gaps are all ≤ ``gap``).
+
+    The state is UNCHANGED (top-k events by (ts, event_id) — still a
+    semilattice merge, still replay-dedup'd), only the EMIT differs:
+    the kept rows are scanned newest→oldest and cut at the first gap
+    larger than the threshold. That keeps the operator confluent —
+    session membership is a pure function of the merged state, never
+    of arrival order — which is what makes a session statistic
+    hash-verifiable against a batch oracle on an UNORDERED replay.
+    A session boundary older than the k-th kept event is invisible,
+    and the batch oracle states the same k-bounded semantics, so
+    both sides compute the identical cut."""
+    import numpy as np
+    import pandas as pd
+
+    gap_us = int(pd.Timedelta(gap).value // 1000)
+
+    def _fold(key, pdf_iter, state):
+        if state.exists:
+            n, ts_us, eid, cents = state.get
+            rows = list(zip(ts_us, eid, cents))
+        else:
+            n, rows = 0, []
+        for pdf in pdf_iter:
+            n += len(pdf)
+            ts_i = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            eid_i = pdf["event_id"].to_numpy("int64")
+            c_i = cents_half_up(pdf["value"].to_numpy(np.float64))
+            rows.extend(zip(ts_i.tolist(), eid_i.tolist(), c_i.tolist()))
+        uniq = {(ts, eid): c for ts, eid, c in rows}
+        rows = sorted(((ts, eid, c) for (ts, eid), c in uniq.items()),
+                      key=lambda r: (r[0], r[1]), reverse=True)
+        rows = rows[:k]
+        state.update((n, [r[0] for r in rows], [r[1] for r in rows],
+                      [r[2] for r in rows]))
+        sess = 0
+        for i, (ts, _, _) in enumerate(rows):
+            if i > 0 and rows[i - 1][0] - ts > gap_us:
+                break
+            sess = i + 1
+        num = sum(c << (k - 1 - i)
+                  for i, (_, _, c) in enumerate(rows[:sess]))
+        den = sum(1 << (k - 1 - i) for i in range(sess))
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n],
+                            "sess_len": [sess],
+                            "ewma_num": [num], "ewma_den": [den]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=STATEFUL_SESSION_EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+STATEFUL_TTL_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_seen", LongType()),
+    StructField("n_kept", LongType()),
+    StructField("kept_cents", LongType()),
+])
+
+
+def stateful_ttl_totals(events: DataFrame, ttl: str = "72 hours",
+                        cap: int = 64,
+                        watermark: str = "2 hours") -> DataFrame:
+    """EVENT-TIME state TTL: per-user totals over only the events
+    within ``ttl`` of that user's LATEST event — the state-expiry
+    pattern every long-lived keyed aggregation needs (without it,
+    per-key state grows with history; with it, state is bounded by
+    the TTL horizon).
+
+    Eviction is EVENT-time against the per-key max — a pure function
+    of the record set, so the final state is arrival-order-invariant
+    (confluent) and exactly SQL-stateable: kept(e) ⇔ ts_e ≥
+    max_ts_user − ttl ∧ rank(e) ≤ cap. A processing-time or
+    watermark-clock TTL would make the kept set depend on batch
+    boundaries — unverifiable against a batch oracle on an unordered
+    replay. ``cap`` bounds state at the skew tail (top-``cap`` by
+    (ts, event_id) — a semilattice, like the EWMA's top-k); the
+    oracle states the same cap. State per key: ≤ cap (ts, eid,
+    cents) triples + two counters — O(1) in corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    ttl_us = int(pd.Timedelta(ttl).value // 1000)
+
+    def _fold(key, pdf_iter, state):
+        if state.exists:
+            n, ts_us, eid, cents = state.get
+            rows = list(zip(ts_us, eid, cents))
+        else:
+            n, rows = 0, []
+        for pdf in pdf_iter:
+            n += len(pdf)
+            ts_i = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            eid_i = pdf["event_id"].to_numpy("int64")
+            c_i = cents_half_up(pdf["value"].to_numpy(np.float64))
+            rows.extend(zip(ts_i.tolist(), eid_i.tolist(), c_i.tolist()))
+        uniq = {(ts, eid): c for ts, eid, c in rows}
+        rows = sorted(((ts, eid, c) for (ts, eid), c in uniq.items()),
+                      key=lambda r: (r[0], r[1]), reverse=True)
+        if rows:
+            horizon = rows[0][0] - ttl_us
+            rows = [r for r in rows if r[0] >= horizon][:cap]
+        state.update((n, [r[0] for r in rows], [r[1] for r in rows],
+                      [r[2] for r in rows]))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_seen": [n],
+            "n_kept": [len(rows)],
+            "kept_cents": [sum(c for _, _, c in rows)]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=STATEFUL_TTL_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _stat_val(v):
     """Normalize a min/max key stat for the JSON CDC manifest.
     Numbers and strings pass through; date/datetime become ISO strings

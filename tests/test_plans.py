@@ -650,3 +650,64 @@ class TestRound7PlanContracts:
         assert "Window (" not in plan
         assert "Sort (" not in plan
         assert plan.count("HashAggregate (") >= 6  # 3 two-phase aggs
+
+    def test_min_cost_supplier_decorrelates_to_one_agg_pair(self, spark):
+        """Q2 shape: the correlated scalar-MIN subquery must
+        decorrelate — ONE supply-grain aggregate + one part-grain MIN
+        + an equality join-back, never a per-row re-aggregation (which
+        would plan one aggregate per outer row / a nested subquery
+        scan). Dimension chains broadcast; the fact scan happens
+        once per aggregate tree."""
+        df = QUERIES["q_sql_min_cost_supplier"](spark, SF_SMALL)
+        # three two-phase agg pairs in the static tree (supply, its
+        # repeat under mn, and mn itself) — bounded, not per-row
+        static = _plan(df)
+        assert static.count("HashAggregate (") == 6
+        assert "BroadcastHashJoin" in static
+        assert "SortMergeJoin" not in static
+        assert "Window (" not in static
+        # at runtime AQE dedups the repeated supply subtree — the
+        # join-back reuses the supply exchange, never re-aggregates
+        df.collect()
+        final = _plan(df)
+        assert "isFinalPlan=true" in final
+        assert "ReusedExchange" in final
+
+    def test_important_stock_total_is_scalar_broadcast(self, spark):
+        """Q11 shape: the global total reuses the part-grain agg's
+        exchange (ReusedExchange in the adaptive plan) and broadcasts
+        as one row — the only SinglePartition exchange is the 1-row
+        scalar reduction, never row data."""
+        df = QUERIES["q_sql_important_stock"](spark, SF_SMALL)
+        df.collect()
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan
+
+    def test_parts_supplier_count_anti_join_broadcasts(self, spark):
+        """Q16 shape: the excluded-supplier set anti-joins by
+        broadcast; distinct-count is a two-phase aggregate."""
+        plan = _plan(QUERIES["q_sql_parts_supplier_count"](spark,
+                                                          SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_potential_promotion_semi_join_chain(self, spark):
+        """Q20 shape: both semi levels stay dimension-sized — the
+        part filter broadcasts into the fact scan and the HAVING
+        survivors reach the supplier dim as a semi join."""
+        plan = _plan(QUERIES["q_sql_potential_promotion"](spark,
+                                                         SF_SMALL))
+        assert "LeftSemi" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_sampled_agg_is_one_pass(self, spark):
+        """Sample estimate + exact twin fold into ONE conditional
+        two-phase aggregate over a single scan — no join, no second
+        scan."""
+        plan = _plan(QUERIES["q_agg_sampled"](spark, SF_SMALL))
+        assert plan.count("HashAggregate (") == 2
+        assert "Join" not in plan
+        assert plan.count("Exchange (") == 1  # group-sized partials

@@ -331,6 +331,103 @@ class TestStatefulOperator:
             F.col("n_distinct") < F.col("n_updates")).count() == 0
         assert multi.count() > 0
 
+    def test_stateful_session_ewma_equals_batch(self, spark,
+                                                events_json_dir):
+        """Session-gap EWMA: the final update per user must equal the
+        batch running-max-of-gaps formula over the last 8 events —
+        under a DIFFERENT micro-batching (1 file/trigger) than the
+        selfcheck oracle's replay, proving the session cut is a pure
+        function of the merged state, not of arrival order."""
+        from pyspark.sql import Window
+
+        from gasket_spark.streaming.core import (
+            read_events_stream, run_to_completion, stateful_session_ewma)
+
+        stream = read_events_stream(spark, events_json_dir,
+                                    max_files_per_trigger=1)
+        got = run_to_completion(stateful_session_ewma(stream),
+                                "t_sess_ewma_ut", output_mode="update")
+        w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+        final = (got.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") == 1)
+                 .select("user_id", "n_seen", "sess_len",
+                         "ewma_num", "ewma_den"))
+
+        ev = read_table(spark, SF_SMALL, "events")
+        wo = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        wn = Window.partitionBy("user_id")
+        r = (ev.select(
+                "user_id", "ts",
+                F.round(F.col("value") * 100).cast("bigint").alias("c"),
+                F.row_number().over(wo).alias("rd"),
+                F.count(F.lit(1)).over(wn).alias("n"))
+             .filter(F.col("rd") <= 8))
+        wrd = Window.partitionBy("user_id").orderBy("rd")
+        gap = (F.unix_micros(F.lag("ts").over(wrd).cast("timestamp"))
+               - F.unix_micros(F.col("ts").cast("timestamp")))
+        mg = F.max(F.coalesce(gap, F.lit(0))).over(
+            Window.partitionBy("user_id").orderBy("rd")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        in_sess = mg <= 8 * 3600 * 1_000_000
+        batch = (r.withColumn("in_s", in_sess)
+                 .groupBy("user_id")
+                 .agg(F.max("n").cast("bigint").alias("n_seen"),
+                      F.sum(F.col("in_s").cast("bigint"))
+                      .alias("sess_len"),
+                      F.sum(F.when(F.col("in_s"), F.col("c") * F.expr(
+                          "shiftleft(CAST(1 AS BIGINT), 8 - rd)"))
+                            .otherwise(0)).alias("ewma_num"),
+                      F.sum(F.when(F.col("in_s"), F.expr(
+                          "shiftleft(CAST(1 AS BIGINT), 8 - rd)"))
+                            .otherwise(0)).alias("ewma_den")))
+        cols = ["user_id", "n_seen", "sess_len", "ewma_num", "ewma_den"]
+        assert _rows(final, cols) == _rows(batch, cols)
+
+    def test_stateful_ttl_equals_batch_and_drops_late(self, spark,
+                                                      events_json_dir):
+        """Event-time TTL: the final kept set per user must equal the
+        batch statement (ts ≥ max − 72 h ∧ rank ≤ 64) under 1-file
+        triggers, and at least one user must actually have dropped
+        (expired) events — otherwise the fixture isn't exercising
+        eviction at all."""
+        from pyspark.sql import Window
+
+        from gasket_spark.streaming.core import (
+            read_events_stream, run_to_completion, stateful_ttl_totals)
+
+        stream = read_events_stream(spark, events_json_dir,
+                                    max_files_per_trigger=1)
+        got = run_to_completion(stateful_ttl_totals(stream),
+                                "t_ttl_ut", output_mode="update")
+        w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+        final = (got.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") == 1)
+                 .select("user_id", "n_seen", "n_kept", "kept_cents"))
+
+        ev = read_table(spark, SF_SMALL, "events")
+        wo = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        wn = Window.partitionBy("user_id")
+        r = ev.select(
+            "user_id", "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+            F.row_number().over(wo).alias("rd"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+            F.max("ts").over(wn).alias("mx"))
+        keep = (F.col("rd") <= 64) & (
+            F.col("ts") >= F.col("mx") - F.expr("INTERVAL 72 HOURS"))
+        batch = (r.withColumn("k", keep)
+                 .groupBy("user_id")
+                 .agg(F.max("n").cast("bigint").alias("n_seen"),
+                      F.sum(F.col("k").cast("bigint")).alias("n_kept"),
+                      F.sum(F.when(F.col("k"), F.col("c")).otherwise(0))
+                      .alias("kept_cents")))
+        cols = ["user_id", "n_seen", "n_kept", "kept_cents"]
+        assert _rows(final, cols) == _rows(batch, cols)
+        # eviction actually happened for someone
+        assert final.filter(F.col("n_kept") < F.col("n_seen")).count() > 0
+
 
 class TestRateSource:
     def test_rate_source_runs_same_windowed_plan(self, spark):
