@@ -149,6 +149,46 @@ class TestNanosTimestamps:
                .select("id", F.unix_micros("ts").alias("us")).collect()}
         assert got == {1: -1, 2: -1, 3: 1}
 
+    def test_ns_column_added_by_later_file_is_detected(
+            self, tmp_path_factory):
+        """Schema evolution: a multi-file dataset where only a LATER
+        file carries the TIMESTAMP(NANOS) column must still flag it —
+        the pre-r8 detector inspected files[0] only."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gasket_spark.io import _nanos_timestamp_cols
+
+        d = tmp_path_factory.mktemp("nanos_evo") / "t.parquet"
+        d.mkdir()
+        pq.write_table(pa.table({"id": pa.array([1], pa.int64())}),
+                       str(d / "a.parquet"))
+        pq.write_table(pa.table({
+            "id": pa.array([2], pa.int64()),
+            "ts": pa.array([1_999], pa.timestamp("ns")),
+        }), str(d / "b.parquet"))
+        assert _nanos_timestamp_cols(str(d)) == ["ts"]
+
+    def test_nested_ns_leaf_raises_loudly(self, tmp_path_factory):
+        """A nested TIMESTAMP(NANOS) leaf cannot be rewritten by the
+        top-level withColumn conversion — it must raise, never
+        silently mis-convert a same-named top-level column."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from gasket_spark.io import _nanos_timestamp_cols
+
+        d = tmp_path_factory.mktemp("nanos_nested")
+        tbl = pa.table({
+            "id": pa.array([1], pa.int64()),
+            "s": pa.array([{"ts": 1_999}],
+                          pa.struct([("ts", pa.timestamp("ns"))])),
+        })
+        pq.write_table(tbl, str(d / "t.parquet"))
+        with _pytest.raises(NotImplementedError, match="nested"):
+            _nanos_timestamp_cols(str(d))
+
 
 class TestOrcRoundtrip:
     def test_orc_roundtrip_and_partitioned_write(self, spark, tmp_path):

@@ -288,3 +288,37 @@ def test_prefix_filter_principle_lossless(sets, t):
             uni = len(sets[i] | sets[j])
             if uni and inter / uni >= t:
                 assert prefixes[i] & prefixes[j]
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+def test_cents_half_up_matches_decimal_half_up_of_the_double(values):
+    """streaming.core.cents_half_up must agree with HALF-AWAY-FROM-ZERO
+    rounding of the EXACT value the float64 carries (what Spark
+    F.round and DuckDB round compute) — for arbitrary doubles,
+    including exact half-cent landings, where np.round's half-to-even
+    disagrees."""
+    import math
+
+    import numpy as np
+
+    from gasket_spark.streaming.core import cents_half_up
+
+    got = cents_half_up(np.array(values, dtype=np.float64))
+    for v, g in zip(values, got):
+        x = v * 100.0  # the identical IEEE product the JVM computes
+        want = math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+        assert g == want
+
+
+def test_cents_half_up_half_cent_boundary():
+    """The concrete r7 ADVICE case: 0.125 -> 12.5 must round to 13
+    (np.round gives 12), and -0.125 to -13."""
+    import numpy as np
+
+    from gasket_spark.streaming.core import cents_half_up
+
+    got = cents_half_up(np.array([0.125, -0.125, 0.135, -0.135],
+                                 dtype=np.float64))
+    assert got.tolist() == [13, -13, 14, -14]

@@ -428,6 +428,44 @@ class TestStatefulOperator:
         # eviction actually happened for someone
         assert final.filter(F.col("n_kept") < F.col("n_seen")).count() > 0
 
+    def test_stateful_ttl_replay_idempotent(self, spark,
+                                            events_json_dir):
+        """At-least-once delivery: replaying every record must not
+        change the kept set or its aggregate — the (ts, event_id)
+        dedup in the TTL merge makes the VALUE identical to the
+        exactly-once run (n_seen doubles by design)."""
+        from pyspark.sql import Window
+
+        from gasket_spark.streaming.core import (
+            read_events_stream, run_to_completion, stateful_ttl_totals)
+
+        def final_kept(json_dir, name):
+            stream = read_events_stream(spark, json_dir,
+                                        max_files_per_trigger=1)
+            got = run_to_completion(stateful_ttl_totals(stream), name,
+                                    output_mode="update")
+            w = Window.partitionBy("user_id") \
+                .orderBy(F.col("n_seen").desc())
+            return {(r.user_id, r.n_kept, r.kept_cents) for r in
+                    got.withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") == 1)
+                    .select("user_id", "n_kept", "kept_cents")
+                    .collect()}
+
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        dup_dir = tempfile.mkdtemp(prefix="gasket_ttl_dup_")
+        for i, f in enumerate(sorted(
+                glob.glob(os.path.join(events_json_dir, "*")))):
+            if os.path.isfile(f):
+                shutil.copy(f, os.path.join(dup_dir, f"a{i}.json"))
+                shutil.copy(f, os.path.join(dup_dir, f"b{i}.json"))
+        assert final_kept(dup_dir, "t_ttl_dup") == \
+            final_kept(events_json_dir, "t_ttl_once")
+
 
 class TestRateSource:
     def test_rate_source_runs_same_windowed_plan(self, spark):
