@@ -3741,10 +3741,11 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     s AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(v) AS DOUBLE) AS s1,
-             CAST(SUM(v * v) AS DOUBLE) AS s2,
-             CAST(SUM(v * v * v) AS DOUBLE) AS s3,
-             CAST(SUM((v * v) * (v * v)) AS DOUBLE) AS s4
+             CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(v * v) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(v * v * v) AS VARCHAR) AS DOUBLE) AS s3,
+             CAST(CAST(SUM((v * v) * (v * v)) AS VARCHAR) AS DOUBLE)
+               AS s4
       FROM c GROUP BY event_type),
     m AS (
       SELECT event_type, n,
@@ -3782,7 +3783,12 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the holistic-looking statistics fall out of closed-form double
     arithmetic AFTER the single partial-aggregate shuffle. sqrt
     instead of pow(x,1.5): IEEE sqrt is correctly rounded on both
-    engines, pow is not — the same discipline as q_agg_stats. At
+    engines, pow is not — the same discipline as q_agg_stats. The
+    oracle's int→double casts route through VARCHAR: DuckDB's direct
+    HUGEINT→DOUBLE is (double)upper·2^64 + (double)lower — TWO
+    roundings, measurably wrong at a tie above 2^64 (Σv⁴ here is
+    ~1e22), while strtod and Spark's BigDecimal→double are both
+    correctly rounded, so the engines see the identical double. At
     100 TB this is one map-side combine per partition + k tiny rows."""
     ev = read_table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 10).cast("bigint")
@@ -4898,8 +4904,8 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, (SELECT unnest(range(0, 3)) AS i) i),
     s AS (
       SELECT dim, COUNT(*) AS n,
-             CAST(SUM(v) AS DOUBLE) AS s1,
-             CAST(SUM(v * v) AS DOUBLE) AS s2
+             CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(v * v) AS VARCHAR) AS DOUBLE) AS s2
       FROM d GROUP BY dim)
     SELECT d.vec_id, d.dim,
            CAST(floor((d.v - s.s1 / s.n)
@@ -5359,9 +5365,11 @@ def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY l_returnflag),
     d AS (
       SELECT l_returnflag, n, ix, iy, ixy, ixx, iyy,
-             CAST(ix AS DOUBLE) AS sx, CAST(iy AS DOUBLE) AS sy,
-             CAST(ixy AS DOUBLE) AS sxy,
-             CAST(ixx AS DOUBLE) AS sxx, CAST(iyy AS DOUBLE) AS syy
+             CAST(CAST(ix AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(iy AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(ixy AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(ixx AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(iyy AS VARCHAR) AS DOUBLE) AS syy
       FROM s)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
