@@ -137,6 +137,10 @@ _EDITED_R08: tuple[str, ...] = (
     "q_feature_scale", "q_dedup_segments", "q_dedup_chunks",
     "q_stream_ewma", "q_dedup_prefix", "q_dedup_ngram",
     "q_dedup_components",
+    # late-r8 free conversions: these three are r3 greens ALREADY in
+    # the r8 window, so demoting them reorders but cannot evict any
+    # drain — their r8 row certifies the new fixed-point outputs
+    "q_collocations", "q_repetition", "q_embed_quantize",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

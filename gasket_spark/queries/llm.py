@@ -1693,7 +1693,7 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
       FROM embeddings)
     SELECT e.vec_id,
-           round(s.scale, 6) AS scale6,
+           CAST(floor(s.scale * 1e6 + 0.5) AS BIGINT) AS scale_micro,
            array_to_string(list_transform(e.embedding,
              x -> CAST(round(CAST(x AS DOUBLE) / s.scale * 127) AS INT)),
              ',') AS q_int8
@@ -1720,7 +1720,8 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int"))
     return e.select(
         "vec_id",
-        F.round(F.col("scale"), 6).alias("scale6"),
+        F.floor(F.col("scale") * F.lit(1e6) + F.lit(0.5))
+        .alias("scale_micro"),
         F.array_join(q, ",").alias("q_int8"))
 
 
@@ -2158,13 +2159,14 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 AS (SELECT t2 AS t, COUNT(*) AS n2 FROM bg GROUP BY t2),
     tot AS (SELECT COUNT(*) AS n FROM bg)
     SELECT t1, t2, n12,
-           round(ln(CAST(n12 * n AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)),
-                 6) AS pmi
+           CAST(floor(ln(CAST(n12 * n AS DOUBLE)
+                         / CAST(n1 * n2 AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT) AS pmi_micro
     FROM c12, tot
     JOIN c1 ON c1.t = c12.t1
     JOIN c2 ON c2.t = c12.t2
     WHERE n12 >= 5
-    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    ORDER BY pmi_micro DESC, t1, t2 LIMIT 20
     """,
 )
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2176,9 +2178,12 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram table itself (vocab²-sized, not corpus-sized), so the
     plan is one corpus-scale aggregate + sketch-sized joins. All
     counts are exact integers; PMI is ONE log of a ratio of exact
-    integer products, rounded to 1e-6 so the cross-engine hash is
-    stable (libm ln can differ in the last ulp). The unigram tables
-    broadcast; top-20 is TakeOrdered, never a global sort."""
+    integer products, floor-scaled to an integer micro-unit
+    (floor(x·1e6+0.5) — exact on doubles, so no engine decimal
+    rounding; the residual libm-ln last-ulp difference is quantized
+    away except within an ulp of a micro boundary, same as any
+    rounding scheme can do). The unigram tables broadcast; top-20 is
+    TakeOrdered, never a global sort."""
     docs = read_table(spark, sf_dir, "documents")
     t = F.split(F.lower("text"), " ")
     bg = docs.select(
@@ -2200,16 +2205,17 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = c12.groupBy("t2").agg(F.sum("n12").alias("n2")) \
         .withColumnRenamed("t2", "tt2")
     tot = c12.agg(F.sum("n12").alias("nn"))
-    pmi = F.round(F.log(
+    pmi = F.floor(F.log(
         (F.col("n12") * F.col("nn")).cast("double")
-        / (F.col("n1") * F.col("n2")).cast("double")), 6)
+        / (F.col("n1") * F.col("n2")).cast("double"))
+        * F.lit(1e6) + F.lit(0.5))
     return (
         c12.filter(F.col("n12") >= 5)
         .join(F.broadcast(c1), F.col("t1") == F.col("tt1"))
         .join(F.broadcast(c2), F.col("t2") == F.col("tt2"))
         .crossJoin(F.broadcast(tot))
-        .select("t1", "t2", "n12", pmi.alias("pmi"))
-        .orderBy(F.desc("pmi"), "t1", "t2").limit(20)
+        .select("t1", "t2", "n12", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), "t1", "t2").limit(20)
     )
 
 
@@ -2228,8 +2234,8 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(DISTINCT g) AS n_uniq
       FROM tg GROUP BY doc_id)
     SELECT doc_id, n_tri, n_uniq,
-           round(1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_tri AS DOUBLE), 6)
-             AS rep_ratio
+           CAST((n_tri - n_uniq) * 1000000 // n_tri AS BIGINT)
+             AS rep_ppm
     FROM per WHERE n_tri >= 10
     """,
 )
@@ -2239,8 +2245,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam signal (quality-filter pipelines drop docs whose
     repeated-n-gram mass is high). Trigrams are built with JVM array
     HOFs (zip_with over shifted slices — no Python), counted per doc
-    with one two-phase aggregate; the ratio is a single IEEE division
-    of exact counts rounded to 1e-6 for the cross-engine hash."""
+    with one two-phase aggregate; the ratio is emitted as EXACT
+    integer parts-per-million ((n_tri − n_uniq)·1e6 div n_tri — no
+    engine-rounded double, per the r8 fixed-point discipline)."""
     docs = read_table(spark, sf_dir, "documents")
     t = F.split(F.lower("text"), " ")
     n3 = F.greatest(F.size(t) - 2, F.lit(0))
@@ -2256,8 +2263,8 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("g").alias("n_uniq"))
     return per.filter(F.col("n_tri") >= 10).select(
         "doc_id", "n_tri", "n_uniq",
-        F.round(F.lit(1.0) - F.col("n_uniq").cast("double")
-                / F.col("n_tri").cast("double"), 6).alias("rep_ratio"))
+        F.expr("((n_tri - n_uniq) * 1000000) div n_tri")
+        .alias("rep_ppm"))
 
 
 @query(

@@ -632,6 +632,8 @@ class TestPrefixFilter:
         out = D.prefix_filter_pairs(df, threshold=0.5)
         new = persistent_ids() - base
         # exactly the result checkpoint — the shingle persist is gone
+        # (set-diff, so the async ContextCleaner collecting an OLDER
+        # test's dead RDD between snapshots can't perturb this)
         assert len(new) == 1
         # every doc pair shares 3 of 4 shingles: J = 3/5 >= 0.5, so
         # all C(8,2) pairs survive — and the result stays consumable
@@ -641,4 +643,6 @@ class TestPrefixFilter:
         # sessions'/fixtures' cached frames untouched)
         from gasket_spark.io import free_checkpoint
         free_checkpoint(spark, new)
-        assert persistent_ids() == base
+        after = persistent_ids()
+        assert not (new & after)   # tracked ids released
+        assert after <= base       # nothing beyond them was added
