@@ -141,6 +141,12 @@ _EDITED_R08: tuple[str, ...] = (
     # the r8 window, so demoting them reorders but cannot evict any
     # drain — their r8 row certifies the new fixed-point outputs
     "q_collocations", "q_repetition", "q_embed_quantize",
+    # late-r8 TZ fix: the ordered-replay sentinel cutoff crossed the
+    # Python boundary as a naive datetime, re-interpreted via the
+    # PROCESS-LOCAL zone (TZ=Asia/Kathmandu sweep red) — now integer
+    # epoch-micros end to end. Both consumers are r3 greens already
+    # in-window, so demotion reorders without evicting any drain.
+    "q_stream_dedup_window", "q_stream_outer_join",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

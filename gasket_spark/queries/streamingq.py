@@ -209,12 +209,18 @@ def _events_as_ordered_stream(spark: SparkSession, sf_dir: str,
         (to_ndjson_lines(
             body.repartitionByRange(8, "ts").sortWithinPartitions("ts"))
          .write.mode("overwrite").text(out))
-        max_ts = ev.agg(F.max("ts")).first()[0]
+        # epoch-micros long, never a Python datetime: collecting an NTZ
+        # wall time and re-sending it through F.lit() re-interprets it
+        # via the PROCESS-LOCAL zone (TZ env), shifting the instant by
+        # the zone offset (caught by the r8 TZ=Asia/Kathmandu sweep)
+        max_wall = ev.agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))).first()[0]
         sent = spark.createDataFrame(
             [(-1, "purchase"), (-2, "click")], "event_id long, et string"
         ).select(
             "event_id",
-            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            (F.timestamp_micros(F.lit(max_wall))
+             + F.expr("INTERVAL 30 DAYS")).alias("ts"),
             F.lit(_SENTINEL_UID).cast("long").alias("user_id"),
             F.col("et").alias("event_type"),
             F.lit(0.0).alias("value"), F.lit(None).cast("string")
@@ -454,8 +460,16 @@ def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                             output_mode="append")
     # drop the sentinel's far-future windows (batch-side filter on the
     # bounded result; the sentinel's types are real types by design)
-    max_ts = read_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    return out.filter(F.col("w_start") <= F.lit(max_ts))
+    # compare in integer epoch-micros, entirely engine-side: collecting
+    # the NTZ max as a Python datetime and re-sending it via F.lit()
+    # interprets the naive value through the PROCESS-LOCAL zone (TZ
+    # env) — under a positive-offset zone the cutoff lands offset-early
+    # and silently drops the tail windows (TZ=Asia/Kathmandu: 3361 of
+    # 3385 rows). Ints carry no zone semantics on either crossing.
+    max_wall = (read_table(spark, sf_dir, "events")
+                .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+                .first()[0])
+    return out.filter(F.unix_micros("w_start") <= F.lit(max_wall))
 
 
 @query(
