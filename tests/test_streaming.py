@@ -1129,3 +1129,45 @@ class TestBatchCdcApply:
         with pytest.raises(Exception, match="fingerprint|regression"):
             batch_cdc_apply(bad, tdir, key_cols=["k"], order_cols=["o"],
                             n_buckets=2, target_file_rows=4)
+
+
+class TestTzEnvInvariance:
+    def test_ordered_replay_cutoff_tz_invariant(self, spark):
+        """The ordered-replay sentinel cutoff must not depend on the
+        PROCESS-LOCAL zone. Collecting the NTZ max event time as a
+        naive Python datetime and re-sending it through ``F.lit()``
+        interprets the wall value via ``time.mktime`` (TZ env): under
+        a positive-offset zone the cutoff lands offset-early and
+        silently drops tail windows (the r8 TZ=Asia/Kathmandu sweep
+        red: 3361/3385 rows at sf0.01). ``time.tzset()`` flips the
+        Python side without restarting the UTC-pinned JVM — exactly
+        the crossing the fix removed, so this guards the whole bug
+        class. Results are compared engine-side in epoch micros
+        because batch ``collect()`` of TIMESTAMP also renders via the
+        local zone."""
+        import time
+
+        from gasket_spark.queries.streamingq import q_stream_dedup_window
+
+        def rows():
+            df = q_stream_dedup_window(spark, SF_SMALL)
+            return sorted(
+                (r["ws"], r["event_type"], r["n"], r["total_cents"])
+                for r in df.select(
+                    F.unix_micros("w_start").alias("ws"),
+                    "event_type", "n", "total_cents").collect())
+
+        old_tz = os.environ.get("TZ")
+        base = rows()
+        assert len(base) > 0
+        try:
+            # +05:45 — a sub-hour positive offset, the worst case
+            os.environ["TZ"] = "Asia/Kathmandu"
+            time.tzset()
+            assert rows() == base
+        finally:
+            if old_tz is None:
+                os.environ.pop("TZ", None)
+            else:
+                os.environ["TZ"] = old_tz
+            time.tzset()
