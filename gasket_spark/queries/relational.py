@@ -6109,8 +6109,8 @@ def q_sql_potential_promotion(spark: SparkSession,
                              ELSE 0 END) * 10
                     - SUM(CAST(round(value * 100) AS BIGINT)))
                      AS HUGEINT) * 1000000000
-                // SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-             AS err_ppb
+                // NULLIF(SUM(CAST(round(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS err_ppb
     FROM events GROUP BY event_type
     """,
 )
@@ -6140,4 +6140,5 @@ def q_agg_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cents_est",
                     F.expr("(CAST(abs(cents_est - cents_exact) "
                            "AS DECIMAL(38,0)) * 1000000000) "
-                           "div cents_exact").alias("err_ppb")))
+                           "div nullif(cents_exact, 0)")
+                    .alias("err_ppb")))
