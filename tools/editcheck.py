@@ -1,0 +1,204 @@
+"""Audit the round's diff against the _EDITED_R* demotion discipline.
+
+The window rule: every query whose implementation, oracle, or shared
+helper changed this round must be demoted (rank < 2) so a STALE green
+driver row can never certify NEW code. That mapping has been manual —
+this tool derives it from git:
+
+1. diff BASE..HEAD over ``gasket_spark/`` (new-side line numbers),
+2. map changed lines to enclosing top-level functions via ast
+   (decorators included, so oracle-string edits inside ``@query(...)``
+   count as edits of the query they decorate),
+3. changed ``q_*`` functions are directly affected; changed helper
+   functions/classes propagate to every ``q_*`` whose function body
+   references the helper's name (one hop — matching how helpers are
+   called from query modules),
+4. compare against the projected demoted/new set (rank < 2 from
+   ``_signal_rank``) and FAIL (exit 1) on any affected query that a
+   stale green would certify.
+
+BASE defaults to the last commit touching the newest committed
+CORRECTNESS_r*.json — the previous round's close. Changes to
+``queries/__init__.py`` (the demotion lists themselves), tests and
+tools are ignored. Wide-blast helpers (io.py, session.py, utils.py)
+would flag the whole registry, which is noise — they are reported as
+a WARNING for human judgment instead of exploded into 200 rows.
+
+A query is EXPOSED when it is affected but its projected window
+position is past the driver's ~50-query window — then only a stale
+green vouches for it. Affected queries inside the window (demoted,
+new, or simply due for rotation) are fine: the driver re-verifies
+them this round regardless of why they are there.
+
+``--ack q_a,q_b`` records a deliberate exception — an affected
+query judged semantic-preserving (e.g. a helper's caching mechanics
+changed but its computed values did not) and verified by the local
+sweeps instead. Acks print loudly so the judgment is visible.
+
+Usage: python tools/editcheck.py [base_ref] [--ack q_a,q_b]
+                                 [--window N]
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# helpers whose blast radius is "everything" — warn, don't enumerate
+GLOBAL_HELPERS = {"gasket_spark/io.py", "gasket_spark/session.py",
+                  "gasket_spark/utils.py"}
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(["git", *args], cwd=REPO, check=True,
+                          capture_output=True, text=True).stdout
+
+
+def default_base() -> str:
+    arts = sorted(a for a in _git("ls-files").splitlines()
+                  if re.fullmatch(r"CORRECTNESS_r\d+\.json", a))
+    if not arts:
+        return "HEAD"
+    return _git("log", "-1", "--format=%H", "--", arts[-1]).strip()
+
+
+def changed_lines(base: str) -> dict[str, list[tuple[int, int]]]:
+    """path -> new-side (start, end) hunks, from a zero-context diff."""
+    out: dict[str, list[tuple[int, int]]] = {}
+    path = None
+    diff = _git("diff", "--unified=0", f"{base}..HEAD",
+                "--", "gasket_spark")
+    for line in diff.splitlines():
+        if line.startswith("+++ b/"):
+            path = line[6:]
+        elif line.startswith("@@") and path:
+            m = re.search(r"\+(\d+)(?:,(\d+))?", line)
+            start = int(m.group(1))
+            n = int(m.group(2)) if m.group(2) is not None else 1
+            # pure deletions (n == 0) still touch the enclosing span
+            out.setdefault(path, []).append((start, start + max(n, 1) - 1))
+    return out
+
+
+def top_level_spans(path: str) -> list[tuple[str, int, int]]:
+    """(name, first_line, last_line) per top-level def/class at HEAD,
+    decorators included."""
+    with open(os.path.join(REPO, path), encoding="utf-8") as fh:
+        tree = ast.parse(fh.read())
+    spans = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            first = min([node.lineno]
+                        + [d.lineno for d in node.decorator_list])
+            spans.append((node.name, first, node.end_lineno))
+    return spans
+
+
+def query_bodies() -> dict[str, str]:
+    """q_* name -> source text of its function (decorator included)."""
+    bodies: dict[str, str] = {}
+    qdir = os.path.join(REPO, "gasket_spark", "queries")
+    for fn in sorted(os.listdir(qdir)):
+        if not fn.endswith(".py") or fn == "__init__.py":
+            continue
+        rel = f"gasket_spark/queries/{fn}"
+        src = open(os.path.join(REPO, rel), encoding="utf-8").read()
+        lines = src.splitlines()
+        for name, a, b in top_level_spans(rel):
+            if name.startswith("q_"):
+                bodies[name] = "\n".join(lines[a - 1:b])
+    return bodies
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    acks: set[str] = set()
+    window = 50
+    if "--ack" in args:
+        i = args.index("--ack")
+        acks = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    if "--window" in args:
+        i = args.index("--window")
+        window = int(args[i + 1])
+        del args[i:i + 2]
+    base = args[0] if args else default_base()
+    print(f"base: {base[:12]} .. HEAD\n")
+
+    hunks = changed_lines(base)
+    affected: dict[str, set[str]] = {}   # query -> reasons
+    warnings: list[str] = []
+    changed_helpers: list[tuple[str, str]] = []  # (name, path)
+
+    for path, ranges in sorted(hunks.items()):
+        if path.endswith("queries/__init__.py"):
+            continue  # the demotion lists themselves
+        if path in GLOBAL_HELPERS:
+            warnings.append(f"global helper changed: {path} — every "
+                            "query is downstream; judge the blast "
+                            "radius by hand")
+            continue
+        if not os.path.exists(os.path.join(REPO, path)):
+            warnings.append(f"deleted file: {path} — map by hand")
+            continue
+        spans = top_level_spans(path)
+        for start, end in ranges:
+            hit = [s for s in spans if s[1] <= end and start <= s[2]]
+            if not hit:
+                continue  # module docstring / imports / constants…
+            for name, _, _ in hit:
+                if name.startswith("q_"):
+                    affected.setdefault(name, set()).add("direct edit")
+                else:
+                    changed_helpers.append((name, path))
+
+    bodies = query_bodies()
+    for helper, path in set(changed_helpers):
+        pat = re.compile(rf"\b{re.escape(helper)}\b")
+        users = [q for q, body in bodies.items() if pat.search(body)]
+        if not users:
+            warnings.append(f"changed helper {helper} ({path}) has no "
+                            "direct q_* caller — indirect use? check "
+                            "by hand")
+        for q in users:
+            affected.setdefault(q, set()).add(f"calls {helper}")
+
+    from gasket_spark.queries import QUERIES, _signal_rank
+    rank = _signal_rank()
+    pos = {n: i + 1 for i, n in enumerate(QUERIES)}  # registration order
+    in_window = {q for q in affected if pos.get(q, 10 ** 9) <= window}
+    exposed = {q for q in affected
+               if q in pos and q not in in_window and q not in acks}
+
+    print(f"affected queries: {len(affected)} "
+          f"(in r-window: {len(in_window)}, acked: "
+          f"{len(acks & set(affected))}, EXPOSED: {len(exposed)})")
+    for q in sorted(affected):
+        tag = ("ok " if q in in_window
+               else "ACK" if q in acks
+               else "?? " if q not in pos else "BAD")
+        print(f"  {tag} {q}  (window pos {pos.get(q, '—')}, rank "
+              f"{rank.get(q, 0.0)}) — {'; '.join(sorted(affected[q]))}")
+    for q in sorted(acks - set(affected)):
+        print(f"WARNING: --ack {q} matches no affected query")
+    for w in warnings:
+        print(f"WARNING: {w}")
+    if exposed:
+        print(f"\nFAIL: {len(exposed)} changed quer"
+              f"{'y' if len(exposed) == 1 else 'ies'} outside the "
+              f"{window}-query window and unacked — a stale green "
+              f"would certify new code: {sorted(exposed)}")
+        sys.exit(1)
+    print("\nclean: every changed query is inside the window or "
+          "explicitly acked")
+
+
+if __name__ == "__main__":
+    main()
