@@ -5237,7 +5237,7 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY 1, 2),
     nb AS (
       SELECT c.cx + dx.dx AS cx, c.cy + dy.dy AS cy,
-             SUM(c.n_points) AS n_nbhd
+             CAST(SUM(c.n_points) AS BIGINT) AS n_nbhd
       FROM cells c,
            (SELECT UNNEST([-1, 0, 1]) AS dx) dx,
            (SELECT UNNEST([-1, 0, 1]) AS dy) dy
@@ -5259,9 +5259,13 @@ def q_join_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing step is O(|cells|·9) regardless of corpus size. The
     density ratio is emitted as FIXED-POINT parts-per-billion
     (integer division over exact integer counts, widened to
-    decimal(38,0)/HUGEINT before the ×1e9) — the r7 driver proved
-    round()-on-double diverges across engine builds at decimal
-    midpoints, so no double leaves this query."""
+    decimal(38,0)/HUGEINT before the ×1e9) — no double leaves this
+    query. The r7/r8 driver reds were NOT the double path: the
+    oracle's bare `SUM(c.n_points)` typed HUGEINT, which DuckDB's
+    pandas conversion renders as float64 (9.0 vs Spark's int64 9 →
+    hash red with rows+schema green). The oracle now CASTs that SUM
+    to BIGINT; a registry-wide schema audit (tests/test_oracle_types)
+    pins the whole class out."""
     ev = read_table(spark, sf_dir, "events")
     cell = 1500
     pts = (ev.select("user_id").distinct()

@@ -45,6 +45,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class for cross-engine hash-compatibility: two
+    columns whose classes differ (e.g. integer vs float) hold values
+    the driver hashes differently even when numerically equal."""
+    if pd.api.types.is_bool_dtype(s):
+        return "boolean"
+    if pd.api.types.is_integer_dtype(s):
+        return "integer"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -100,6 +115,21 @@ def main() -> int:
             status.append(f"rowcount {len(a)} != {len(b)}")
         if list(a.columns) != list(b.columns):
             status.append(f"columns {list(a.columns)} != {list(b.columns)}")
+        if not status:
+            # Dtype-KIND audit. The driver hashes raw values, so an
+            # int64 9 vs float64 9.0 split is a driver hash red even
+            # though assert_frame_equal(check_dtype=False) coerces it
+            # equal (that masking shipped the r7+r8 q_join_grid_density
+            # red twice: DuckDB renders HUGEINT to pandas as float64).
+            # Fail loudly BEFORE the value compare when the two engines
+            # disagree on a column's dtype class.
+            for c in a.columns:
+                ka, kb = dtype_class(a[c]), dtype_class(b[c])
+                if ka != kb:
+                    status.append(
+                        f"dtype-class split on '{c}': spark={ka} "
+                        f"({a[c].dtype}) vs oracle={kb} ({b[c].dtype})"
+                        " — driver would hash-mismatch")
         if not status:
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False,
