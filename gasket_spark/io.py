@@ -21,6 +21,11 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# path -> (files-stat stamp, ns-timestamp column names): footer sweeps
+# are metadata-only but still O(n_files) serial opens — cache them per
+# dataset until any file's (size, mtime_ns) changes.
+_NANOS_COLS_CACHE: dict[str, tuple[str, tuple[str, ...]]] = {}
+
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — which Spark has no
@@ -36,24 +41,54 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
     EVERY file of the dataset is inspected (footer metadata reads, no
     data scan): under schema evolution a later file may add an ns
-    column the first file lacks. The full dotted column PATH is
-    matched, not the leaf name — a NESTED ns-timestamp leaf cannot be
-    rewritten by the top-level ``withColumn`` conversion, so it
-    raises loudly instead of silently mis-converting a same-named
-    top-level column."""
+    column the first file lacks. Nesting is judged against the ARROW
+    schema structure, not by dots in the parquet path — a top-level
+    column whose NAME contains a literal ``.`` is convertible, while
+    a genuinely nested ns-timestamp leaf cannot be rewritten by the
+    top-level ``withColumn`` conversion and raises loudly instead of
+    silently mis-converting a same-named top-level column.
+
+    The sweep is cached per (path, files-stat stamp): os.stat of the
+    file list is ~100× cheaper than opening every footer, so repeated
+    ``read_table`` calls in one session pay the footer reads once
+    until any file is added/rewritten."""
     try:
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
-        files = pads.dataset(path).files
+        files = sorted(pads.dataset(path).files)
     except Exception:  # pragma: no cover - pyarrow is a baked-in dep
         return []
+
+    def _stat_stamp(f: str) -> str:
+        st = os.stat(f)
+        return f"{f}:{st.st_size}:{st.st_mtime_ns}"
+
+    try:
+        stamp = ";".join(_stat_stamp(f) for f in files)
+    except OSError:  # pragma: no cover - racing file swap
+        stamp = None
+    if stamp is not None:
+        hit = _NANOS_COLS_CACHE.get(path)
+        if hit is not None and hit[0] == stamp:
+            return list(hit[1])
+
     out: list[str] = []
     seen: set[str] = set()
     for f in files:
         try:
-            sch = pq.ParquetFile(f).schema
+            pf = pq.ParquetFile(f)
+            sch = pf.schema
         except Exception:  # pragma: no cover - unreadable footer
             continue
+        # top-level ns-timestamp field names per the ARROW schema —
+        # the structural ground truth for "is this leaf nested?"
+        top_ns = set()
+        try:
+            for fld in sch.to_arrow_schema():
+                if str(fld.type) == "timestamp[ns]":
+                    top_ns.add(fld.name)
+        except Exception:  # pragma: no cover - exotic schema
+            pass
         for i in range(len(sch)):
             c = sch.column(i)
             lt = str(c.logical_type)
@@ -63,12 +98,14 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
                 if p in seen:
                     continue
                 seen.add(p)
-                if "." in p:
+                if p not in top_ns:
                     raise NotImplementedError(
                         f"nested TIMESTAMP(NANOS) leaf {p!r} in {f}: "
                         "the nanos→micros rewrite only supports "
                         "top-level columns")
                 out.append(p)
+    if stamp is not None:
+        _NANOS_COLS_CACHE[path] = (stamp, tuple(out))
     return out
 
 

@@ -325,7 +325,25 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     (localCheckpoint) and the shingle blocks released before
     returning — repeated invocations in a long-lived session leave
     only the (near-true-pair-sized) result resident, never the
-    corpus-sized shingle sets."""
+    corpus-sized shingle sets. Callers that outlive the result should
+    use :func:`prefix_filter_pairs_tracked`, which also returns the
+    checkpoint's persistent-RDD ids so an eviction can FREE the
+    blocks (``DataFrame.unpersist`` cannot release a localCheckpoint
+    — see ``io.checkpoint_tracked``); this convenience form discards
+    the ids, accepting session-lifetime residency of the pair-sized
+    result."""
+    out, _ids = prefix_filter_pairs_tracked(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold)
+    return out
+
+
+def prefix_filter_pairs_tracked(
+        df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+        n: int = 3, threshold: float = 0.5,
+) -> tuple[DataFrame, frozenset[int]]:
+    """:func:`prefix_filter_pairs` plus the persistent-RDD ids of the
+    eager checkpoint, for callers that cache the result and must be
+    able to release it on eviction (``io.free_checkpoint``)."""
     sh = df.select(id_col,
                    T.hashed_shingle_set(text_col, n).alias("sh")).persist()
     sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
@@ -355,8 +373,16 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
                  F.size("sh_a").alias("na"), F.size("sh_b").alias("nb")))
     jac = (F.col("n_common")
            / (F.col("na") + F.col("nb") - F.col("n_common")))
-    out = (j.select("id_a", "id_b", jac.alias("jaccard"))
-           .filter(F.col("jaccard") >= threshold)
-           .localCheckpoint())  # eager: the one action sh must serve
+    from gasket_spark.io import checkpoint_tracked
+
+    out, ids = checkpoint_tracked(  # eager: the one action sh serves
+        j.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold))
     sh.unpersist(False)
-    return out
+    # the tracked diff also caught sh's cache RDD (it materialized
+    # DURING the checkpoint action); after the unpersist only the
+    # checkpoint's own blocks remain — report exactly those, so a
+    # later free_checkpoint releases the result and nothing else
+    live = set(dict(
+        df.sparkSession.sparkContext._jsc.getPersistentRDDs()))
+    return out, frozenset(i for i in ids if i in live)

@@ -162,6 +162,11 @@ _EDITED_R08: tuple[str, ...] = (
 # entry is the edit LEDGER. Extended as r9 edits land.
 _EDITED_R09: tuple[str, ...] = (
     "q_join_grid_density",
+    # r9 ADVICE: prefix_filter_pairs now routes its eager checkpoint
+    # through io.checkpoint_tracked and the query caches (df, ids)
+    # with eviction via free_checkpoint — value-identical plumbing,
+    # demoted anyway per the edit discipline.
+    "q_dedup_prefix",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

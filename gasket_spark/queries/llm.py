@@ -178,6 +178,12 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_CACHE: dict[tuple[str, str, str],
                   tuple[DataFrame, frozenset[int]]] = {}
 
+# q_dedup_prefix's eagerly-checkpointed exact-Jaccard pair result,
+# same (applicationId, sf_dir, source stamp) lifecycle as _PAIR_CACHE
+# — eviction must free_checkpoint the tracked RDD ids.
+_PREFIX_PAIR_CACHE: dict[tuple[str, str, str],
+                         tuple[DataFrame, frozenset[int]]] = {}
+
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-capped exact n-gram Jaccard pair graph over the
@@ -2563,6 +2569,27 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     BRUTE-FORCE all-pairs Jaccard — so the hash check proves the
     prefix principle loses no pair, the property that lets you
     trust it at 100 TB (same oracle discipline as
-    q_join_spatial_grid's grid pruning)."""
+    q_join_spatial_grid's grid pruning). The eagerly-checkpointed
+    pair result is held in a stamp cache (same lifecycle as
+    _PAIR_CACHE): repeat invocations reuse it, and eviction frees
+    the checkpoint blocks via io.free_checkpoint instead of leaving
+    them resident for the session lifetime."""
+    import os as _os
+
+    from gasket_spark.io import free_checkpoint, source_stamp
+
+    app = spark.sparkContext.applicationId
+    key = (app, _os.path.normpath(sf_dir),
+           source_stamp(_os.path.join(sf_dir, "documents.parquet")))
+    cached = _PREFIX_PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
+    for k in [k for k in _PREFIX_PAIR_CACHE
+              if k[0] != app or (k[1] == key[1] and k[2] != key[2])]:
+        if k[0] == app:
+            free_checkpoint(spark, _PREFIX_PAIR_CACHE[k][1])
+        del _PREFIX_PAIR_CACHE[k]
     corpus = _docs_with_near_dups(spark, sf_dir)
-    return D.prefix_filter_pairs(corpus, threshold=0.5)
+    pairs, ids = D.prefix_filter_pairs_tracked(corpus, threshold=0.5)
+    _PREFIX_PAIR_CACHE[key] = (pairs, ids)
+    return pairs

@@ -189,6 +189,47 @@ class TestNanosTimestamps:
         with _pytest.raises(NotImplementedError, match="nested"):
             _nanos_timestamp_cols(str(d))
 
+    def test_dot_named_top_level_ns_column_is_not_nested(
+            self, tmp_path_factory):
+        """Nesting is judged by the ARROW schema structure, not by
+        dots in the parquet path: a top-level column literally named
+        'a.b' is convertible (the pre-r9 substring check raised)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gasket_spark.io import _nanos_timestamp_cols
+
+        d = tmp_path_factory.mktemp("nanos_dotname")
+        pq.write_table(pa.table({
+            "a.b": pa.array([1_999], pa.timestamp("ns")),
+        }), str(d / "t.parquet"))
+        assert _nanos_timestamp_cols(str(d)) == ["a.b"]
+
+    def test_nanos_sweep_is_stamp_cached(self, tmp_path_factory):
+        """Repeat inspections reuse the cached footer sweep until a
+        file's (size, mtime_ns) stamp changes; a rewrite that adds an
+        ns column invalidates it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gasket_spark import io as gio
+
+        d = tmp_path_factory.mktemp("nanos_cache") / "t.parquet"
+        d.mkdir()
+        pq.write_table(pa.table({"id": pa.array([1], pa.int64())}),
+                       str(d / "a.parquet"))
+        assert gio._nanos_timestamp_cols(str(d)) == []
+        assert str(d) in gio._NANOS_COLS_CACHE
+        stamp0 = gio._NANOS_COLS_CACHE[str(d)][0]
+        assert gio._nanos_timestamp_cols(str(d)) == []
+        assert gio._NANOS_COLS_CACHE[str(d)][0] == stamp0
+        pq.write_table(pa.table({
+            "id": pa.array([2], pa.int64()),
+            "ts": pa.array([1_999], pa.timestamp("ns")),
+        }), str(d / "b.parquet"))
+        assert gio._nanos_timestamp_cols(str(d)) == ["ts"]
+        assert gio._NANOS_COLS_CACHE[str(d)][0] != stamp0
+
 
 class TestOrcRoundtrip:
     def test_orc_roundtrip_and_partitioned_write(self, spark, tmp_path):

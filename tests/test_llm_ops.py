@@ -646,3 +646,21 @@ class TestPrefixFilter:
         after = persistent_ids()
         assert not (new & after)   # tracked ids released
         assert after <= base       # nothing beyond them was added
+
+    def test_prefix_tracked_returns_freeable_ids(self, spark):
+        """prefix_filter_pairs_tracked hands back the checkpoint's
+        persistent-RDD ids; free_checkpoint on exactly those ids
+        releases the pair result (the eviction path the
+        q_dedup_prefix stamp cache relies on)."""
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon {i}") for i in range(6)],
+            "doc_id long, text string")
+        jsc = spark.sparkContext._jsc
+        out, ids = D.prefix_filter_pairs_tracked(df, threshold=0.5)
+        assert ids and out.count() == 15
+        live = set(dict(jsc.getPersistentRDDs()))
+        assert set(ids) <= live
+        from gasket_spark.io import free_checkpoint
+        free_checkpoint(spark, ids)
+        assert not (set(ids)
+                    & set(dict(jsc.getPersistentRDDs())))

@@ -68,6 +68,26 @@ def default_base() -> str:
     return _git("log", "-1", "--format=%H", "--", arts[-1]).strip()
 
 
+def base_round(base: str) -> float:
+    """Newest CORRECTNESS round present in the BASE commit's tree.
+
+    _signal_rank() reads artifacts from DISK (including an untracked
+    end-of-round drop), so in the transient state where
+    CORRECTNESS_r{N}.json exists but is uncommitted, ranks carry
+    round-N greens while the diff base predates round N's edits —
+    every round-N-certified edit would read as an EXPOSED stale
+    green. A query whose latest green round is NEWER than the base
+    tree's newest artifact was certified by a driver run that
+    postdates (and saw) the diffed edits — exempt it (tagged CERT)."""
+    try:
+        names = _git("ls-tree", "--name-only", base).splitlines()
+    except subprocess.CalledProcessError:
+        return float("inf")  # unknown base tree: never exempt
+    rounds = [int(m.group(1)) for n in names
+              if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", n))]
+    return float(max(rounds)) if rounds else 0.0
+
+
 def changed_lines(base: str) -> dict[str, list[tuple[int, int]]]:
     """path -> new-side (start, end) hunks, from a zero-context diff."""
     out: dict[str, list[tuple[int, int]]] = {}
@@ -173,15 +193,21 @@ def main() -> None:
     from gasket_spark.queries import QUERIES, _signal_rank
     rank = _signal_rank()
     pos = {n: i + 1 for i, n in enumerate(QUERIES)}  # registration order
+    brnd = base_round(base)
     in_window = {q for q in affected if pos.get(q, 10 ** 9) <= window}
+    certified = {q for q in affected
+                 if q not in in_window and rank.get(q, 0.0) > brnd}
     exposed = {q for q in affected
-               if q in pos and q not in in_window and q not in acks}
+               if q in pos and q not in in_window
+               and q not in certified and q not in acks}
 
     print(f"affected queries: {len(affected)} "
-          f"(in r-window: {len(in_window)}, acked: "
+          f"(in r-window: {len(in_window)}, post-base-certified: "
+          f"{len(certified)}, acked: "
           f"{len(acks & set(affected))}, EXPOSED: {len(exposed)})")
     for q in sorted(affected):
         tag = ("ok " if q in in_window
+               else "CERT" if q in certified
                else "ACK" if q in acks
                else "?? " if q not in pos else "BAD")
         print(f"  {tag} {q}  (window pos {pos.get(q, '—')}, rank "
