@@ -122,6 +122,17 @@ HEADLINE: dict[str, str] = {
     "q_sql_parts_supplier_count": "collect",
     "q_sql_potential_promotion": "collect",
     "q_agg_sampled": "collect",
+    # r9 additions: the last classic TPC-H shapes (Q4 EXISTS semi,
+    # Q12 conditional two-way count, Q13 outer-join distribution,
+    # Q17 decorrelated 20%-of-avg, Q19 disjunctive broadcast, Q21
+    # windowed multi-EXISTS, Q22 scalar-broadcast + anti)
+    "q_sql_order_priority": "collect",
+    "q_sql_late_lines": "collect",
+    "q_sql_customer_distribution": "collect",
+    "q_sql_small_qty_revenue": "collect",
+    "q_sql_discounted_revenue": "collect",
+    "q_sql_waiting_suppliers": "collect",
+    "q_sql_sales_opportunity": "collect",
 }
 
 

@@ -6146,3 +6146,392 @@ def q_agg_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "AS DECIMAL(38,0)) * 1000000000) "
                            "div nullif(cents_exact, 0)")
                     .alias("err_ppb")))
+
+
+@query(
+    "q_sql_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-07-01'
+      AND o.o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): a date-windowed
+    order count per priority, gated by a CORRELATED EXISTS against
+    the fact table — here "a line shipped more than 30 days after
+    the order" stands in for the reference schema's
+    commitdate<receiptdate (this fixture carries neither). The
+    EXISTS compiles to a LEFT SEMI join with a mixed equi+range
+    condition — Spark dedupes matches inside the join, no
+    distinct-on-orderkey afterthought. Plan: the quarter window
+    prunes orders FIRST (pushed scan filter), the semi join
+    shuffles both sides on orderkey once, and the priority rollup
+    is a 5-group two-phase agg — at 100 TB the only corpus-sized
+    exchange is the one semi-join shuffle, and a date-partitioned
+    table would prune it to the quarter."""
+    ords = (read_table(spark, sf_dir, "orders")
+            .filter((F.col("o_orderdate") >= F.expr("DATE '1996-07-01'"))
+                    & (F.col("o_orderdate") < F.expr("DATE '1996-10-01'")))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.expr("o_orderdate + INTERVAL 30 DAY")),
+        "leftsemi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@query(
+    "q_sql_late_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 20 DAY
+      AND l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_sql_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): the
+    CONDITIONAL TWO-WAY COUNT — one pass splits late-shipped lines
+    into high/low-priority tallies per category (l_returnflag stands
+    in for the reference's l_shipmode, which this fixture lacks; the
+    ">20 days after order" range predicate stands in for the
+    commit/receipt chain). The CASE counters fold into ONE two-phase
+    aggregate — never two filtered scans. Plan: the year window is a
+    pushed scan filter on lineitem, the orders join shuffles on
+    orderkey (both sides corpus-sized — the one unavoidable
+    exchange), and the 2×2 rollup is map-side partial first. The
+    late-line range predicate rides INSIDE the join condition's
+    output, evaluated post-match without a second pass."""
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag").isin("A", "R")
+                  & (F.col("l_shipdate") >= F.expr("DATE '1997-01-01'"))
+                  & (F.col("l_shipdate") < F.expr("DATE '1998-01-01'")))
+          .select("l_orderkey", "l_returnflag", "l_shipdate"))
+    ords = read_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(ords, (F.col("o_orderkey") == F.col("l_orderkey"))
+                    & (F.col("l_shipdate")
+                       > F.expr("o_orderdate + INTERVAL 20 DAY")))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).cast("bigint")
+                 .alias("low_line_count")))
+
+
+@query(
+    "q_sql_customer_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q_sql_customer_distribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): the DOUBLE
+    AGGREGATION over a filtered LEFT OUTER join — orders-per-customer
+    first (customers with no qualifying orders MUST survive as
+    count 0, which is why the filter lives in the JOIN CONDITION,
+    not a WHERE that would silently turn the join inner), then the
+    histogram of those counts. COUNT(o_orderkey) counts only
+    non-NULL matches, so the unmatched row contributes 0, not 1.
+    Plan: one shuffle pair on custkey for the outer join, the
+    per-customer agg reuses that partitioning (AQE collapses the
+    exchange), and the final histogram is a ~20-group two-phase agg
+    — at 100 TB the distribution is bounded by max orders per
+    customer, never by customer count."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = read_table(spark, sf_dir, "orders") \
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+    co = (cust.join(
+              ords, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+              "left")
+          .groupBy("c_custkey")
+          .agg(F.count("o_orderkey").alias("c_count")))
+    return (co.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@query(
+    "q_sql_small_qty_revenue",
+    oracle="""
+    WITH pp AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+    pq AS (
+      SELECT l.l_partkey,
+             SUM(CAST(round(l.l_quantity) AS BIGINT)) AS sum_qty,
+             COUNT(*) AS n_lines
+      FROM lineitem l JOIN pp ON pp.p_partkey = l.l_partkey
+      GROUP BY l.l_partkey),
+    sel AS (
+      SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN pq ON pq.l_partkey = l.l_partkey
+      WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * pq.n_lines
+            < pq.sum_qty)
+    SELECT COUNT(*) AS n_small_lines,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+           CAST(COALESCE(SUM(cents), 0) // 7 AS BIGINT) AS per_year_cents
+    FROM sel
+    """,
+)
+def q_sql_small_qty_revenue(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    SCALAR AVG subquery — lines whose quantity is below 20% of their
+    part's average — DECORRELATED to one part-grain aggregate plus a
+    broadcast join-back (the Q2/q_sql_min_cost_supplier pattern; the
+    plan contract pins it). The 20%-of-average gate is an INTEGER
+    cross-multiplication: qty < sum/(5n) ⟺ 5·n·qty < sum — no float
+    average can straddle the threshold differently across engines.
+    Plan: the brand's ~4% of parts broadcast into the fact scan
+    TWICE (once to build the part-grain agg, once for the probe);
+    the agg output is dimension-sized, so the join-back is a second
+    BROADCAST, not a shuffle — at 100 TB lineitem is scanned twice
+    but never exchanged, and a column-pruned scan reads 3 columns
+    each pass."""
+    pp = (read_table(spark, sf_dir, "part")
+          .filter(F.col("p_brand") == "Brand#23").select("p_partkey"))
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    brand_lines = li.join(F.broadcast(pp),
+                          F.col("l_partkey") == F.col("p_partkey"))
+    pq = (brand_lines.groupBy("l_partkey")
+          .agg(F.sum(qty).alias("sum_qty"),
+               F.count(F.lit(1)).alias("n_lines")))
+    sel = (brand_lines
+           .join(F.broadcast(pq), "l_partkey")
+           .filter(qty * 5 * F.col("n_lines") < F.col("sum_qty")))
+    cents_sum = F.coalesce(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")),
+        F.lit(0))
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        cents_sum.cast("bigint").alias("total_cents"),
+        F.expr("CAST(coalesce(sum(CAST(round(l_extendedprice * 100) "
+               "AS BIGINT)), 0) div 7 AS BIGINT)")
+        .alias("per_year_cents"))
+
+
+@query(
+    "q_sql_discounted_revenue",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(COALESCE(SUM(CAST(round(l.l_extendedprice
+                * (1 - l.l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND round(l.l_quantity) BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND round(l.l_quantity) BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND round(l.l_quantity) BETWEEN 20 AND 30)
+    """,
+)
+def q_sql_discounted_revenue(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): the DISJUNCTIVE
+    multi-predicate join — three (brand, size-range, qty-range)
+    alternatives OR-ed across the join. The join key stays the pure
+    equi p_partkey = l_partkey with the disjunction as a POST-JOIN
+    filter — writing the OR into the join condition would force a
+    nested-loop; this way Catalyst keeps a BROADCAST HASH join (part
+    is the dim side) and evaluates the residual in the same codegen
+    stage. Discount math follows the money rule: both engines
+    evaluate the identical IEEE expression price·(1−disc)·100, round
+    HALF_UP to integer cents, then sum exactly. At 100 TB: one fact
+    scan, zero shuffles (broadcast + a 1-row global agg)."""
+    part = (read_table(spark, sf_dir, "part")
+            .select("p_partkey", "p_brand", "p_size"))
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount")
+    qty = F.round(F.col("l_quantity"))
+    keep = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#15")
+           & F.col("p_size").between(1, 35) & qty.between(20, 30)))
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (li.join(F.broadcast(part),
+                    F.col("p_partkey") == F.col("l_partkey"))
+            .filter(keep)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.coalesce(F.sum(cents), F.lit(0)).cast("bigint")
+                 .alias("revenue_cents")))
+
+
+@query(
+    "q_sql_waiting_suppliers",
+    oracle="""
+    WITH lf AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    po AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+               AS n_late
+      FROM lf GROUP BY l_orderkey),
+    w AS (
+      SELECT DISTINCT lf.l_suppkey, lf.l_orderkey
+      FROM lf JOIN po ON po.l_orderkey = lf.l_orderkey
+      WHERE lf.late = 1 AND po.n_supp > 1 AND po.n_late = 1)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+    GROUP BY s.s_name
+    """,
+)
+def q_sql_waiting_suppliers(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS / NOT-EXISTS anti chain — a supplier is "waiting" on an
+    order when it shipped late (>45 days after order, standing in
+    for receipt>commit), ANOTHER supplier is on the same order, and
+    NO OTHER supplier shipped late. Both correlated quantifiers
+    DECORRELATE through ONE (order, supplier)-grain dedup aggregate
+    (max(late) per pair — line grain collapses before anything else
+    looks at it, so there is NO countDistinct Expand and no trailing
+    .distinct() pass), then an order-grain rollup: n_supp =
+    count(pairs), n_late = sum(late). The waiting condition is the
+    pure filter late ∧ n_supp>1 ∧ n_late=1, because the late
+    supplier being unique makes it OUR supplier. The rollup is a
+    WINDOW over the pair frame, not a groupBy + join-back: a
+    join-back would duplicate the whole dedup subtree (column
+    pruning makes the two copies non-identical, so AQE cannot
+    ReusedExchange them) and scan+shuffle lineitem twice — the
+    window reads the pair frame once, partitioned by orderkey,
+    with per-order partitions bounded by suppliers-per-order (no
+    skew surface). Total exchanges: the orders join, the line→pair
+    dedup, one pair-grain window shuffle. The nation gate
+    broadcasts at the END onto pair-grain rows. At 100 TB nothing
+    after the dedup agg exceeds order×supplier grain, and the
+    multi-EXISTS never becomes per-row subquery execution."""
+    ords = (read_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"))
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    lf = (li.join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+          .select("l_orderkey", "l_suppkey",
+                  F.when(F.col("l_shipdate")
+                         > F.expr("o_orderdate + INTERVAL 45 DAY"),
+                         1).otherwise(0).alias("late")))
+    sp = (lf.groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max("late").alias("late")))
+    wo = (Window.partitionBy("l_orderkey")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    w = (sp.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+         .withColumn("n_late", F.sum("late").over(wo))
+         .filter((F.col("late") == 1) & (F.col("n_supp") > 1)
+                 & (F.col("n_late") == 1))
+         .select("l_suppkey", "l_orderkey"))
+    sup = (read_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(
+               read_table(spark, sf_dir, "nation")
+               .filter(F.col("n_name") == "NATION_7")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name"))
+    return (w.join(F.broadcast(sup),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@query(
+    "q_sql_sales_opportunity",
+    oracle="""
+    WITH sel AS (
+      SELECT c.c_custkey, c.c_custkey % 7 AS cc,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer c WHERE c.c_custkey % 7 IN (1, 3, 5, 6)),
+    st AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             COUNT(*) AS n_pos
+      FROM sel WHERE cents > 0),
+    q AS (
+      SELECT sel.cc, sel.cents
+      FROM sel CROSS JOIN st
+      WHERE sel.cents * st.n_pos > st.sum_cents
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = sel.c_custkey
+            AND o.o_orderdate >= DATE '2000-01-01'))
+    SELECT cc, COUNT(*) AS numcust,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM q GROUP BY cc
+    """,
+)
+def q_sql_sales_opportunity(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): segment-bucketed
+    customers with above-average balances and no recent orders —
+    the scalar-average subquery plus NOT EXISTS anti-join. The
+    synthetic country code is c_custkey % 7 (this fixture has no
+    c_phone); "never placed an order" becomes "no order since
+    2000-01-01" so the anti-join has survivors at every SF. The
+    above-average gate is the INTEGER cross-multiplication
+    cents·n > sum (the q_sql_important_stock pattern) — no float
+    average crosses the threshold differently across engines; the
+    DECORRELATED scalar is a 1-row broadcast, the NOT EXISTS a
+    LEFT ANTI against date-filtered orders. Plan: customer scan +
+    1-row broadcast + anti-join shuffle on custkey + ≤7-group agg;
+    at 100 TB the anti probe is the only exchange and the recent-
+    order side is date-pruned before it."""
+    cust = (read_table(spark, sf_dir, "customer")
+            .select("c_custkey",
+                    (F.col("c_custkey") % 7).alias("cc"),
+                    F.round(F.col("c_acctbal") * 100).cast("bigint")
+                    .alias("cents"))
+            .filter(F.col("cc").isin(1, 3, 5, 6)))
+    st = (cust.filter(F.col("cents") > 0)
+          .agg(F.sum("cents").cast("bigint").alias("sum_cents"),
+               F.count(F.lit(1)).alias("n_pos")))
+    recent = (read_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= F.expr("DATE '2000-01-01'"))
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(st))
+            .filter(F.col("cents") * F.col("n_pos")
+                    > F.col("sum_cents"))
+            .join(recent, F.col("o_custkey") == F.col("c_custkey"),
+                  "left_anti")
+            .groupBy("cc")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("cents").cast("bigint").alias("total_cents")))

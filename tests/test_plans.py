@@ -711,3 +711,55 @@ class TestRound7PlanContracts:
         assert plan.count("HashAggregate (") == 2
         assert "Join" not in plan
         assert plan.count("Exchange (") == 1  # group-sized partials
+
+    def test_small_qty_revenue_decorrelates_to_broadcast_joinback(
+            self, spark):
+        """Q17 shape: the correlated 20%-of-average gate must
+        decorrelate into ONE part-grain aggregate whose (dimension-
+        sized) output BROADCASTS back onto the brand-filtered fact
+        rows — never a per-row subquery, never a shuffle join-back.
+        The fact table is scanned per aggregate tree but exchanged
+        only at part grain."""
+        plan = _plan(QUERIES["q_sql_small_qty_revenue"](spark,
+                                                        SF_SMALL))
+        # one part-grain two-phase pair + the final 1-row pair
+        assert plan.count("HashAggregate (") == 4
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the 20%-of-avg threshold rides in the join-back's condition
+        assert "n_lines" in plan and "sum_qty" in plan
+
+    def test_sales_opportunity_scalar_broadcast_and_anti(self, spark):
+        """Q22 shape: the above-average gate is a 1-row scalar
+        broadcast (decorrelated AVG via integer cross-multiply), and
+        the no-recent-orders quantifier a LEFT ANTI join — never a
+        correlated per-row probe. The only SinglePartition exchange
+        is the 1-row scalar reduction."""
+        plan = _plan(QUERIES["q_sql_sales_opportunity"](spark,
+                                                        SF_SMALL))
+        assert "LeftAnti" in plan
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar side
+        assert plan.count("HashAggregate (") >= 4
+
+    def test_order_priority_exists_is_semi_join(self, spark):
+        """Q4 shape: the correlated EXISTS compiles to one LEFT SEMI
+        join (match-deduped inside the join), with the quarter
+        window PUSHED to the orders scan."""
+        plan = _plan(QUERIES["q_sql_order_priority"](spark, SF_SMALL))
+        assert "LeftSemi" in plan
+        assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+    def test_waiting_suppliers_single_pass_no_expand(self, spark):
+        """Q21 shape: the multi-EXISTS chain must collapse to one
+        (order, supplier)-grain dedup aggregate plus ONE per-order
+        window — no countDistinct Expand, no join-back that would
+        duplicate the dedup subtree (scanning lineitem twice), no
+        per-row subquery."""
+        plan = _plan(QUERIES["q_sql_waiting_suppliers"](spark,
+                                                        SF_SMALL))
+        assert "Expand" not in plan
+        assert plan.count("Window (") == 1
+        # lineitem + orders + supplier + nation: each scanned ONCE
+        # (formatted mode prints every scan twice — tree + detail)
+        assert plan.count("Scan parquet") == 8
+        assert "BroadcastNestedLoopJoin" not in plan
