@@ -400,6 +400,43 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_semi_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts < p.ts
+          AND c.ts >= p.ts - INTERVAL 1 HOUR)
+    """,
+)
+def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join executed BY Structured Streaming:
+    purchases preceded by at least one same-user click in the prior
+    hour, emitted EXACTLY ONCE however many clicks match and however
+    the replay batches them (the r8 verdict's queued new state
+    shape). Semi state is neither the inner join's (which re-emits
+    per match) nor the outer's (which must wait for watermark proof
+    of absence): the purchase emits on FIRST match and a matched
+    flag suppresses the rest, so the unordered replay needs no
+    sentinel push — positive evidence is complete the moment both
+    rows have arrived. Click state still TTLs on the relative time
+    bound. Hash-verified against the batch EXISTS oracle."""
+    from gasket_spark.streaming.core import (
+        run_to_completion, stream_stream_semi_join)
+
+    joined = stream_stream_semi_join(
+        _events_as_stream(spark, sf_dir),
+        _events_as_stream(spark, sf_dir),
+        watermark=_REPLAY_WM)
+    return run_to_completion(joined, _unique_name("t_oracle_semi_join"),
+                             output_mode="append")
+
+
+@query(
     "q_stream_outer_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id

@@ -829,6 +829,45 @@ def stream_stream_join(purchases: DataFrame, clicks: DataFrame,
     )
 
 
+def stream_stream_semi_join(purchases: DataFrame, clicks: DataFrame,
+                            watermark: str = "2 hours",
+                            lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream LEFT SEMI join: purchases that had AT LEAST ONE
+    click by the same user in the ``lookback`` window before them —
+    emitted exactly once, however many clicks match and however those
+    clicks are spread across micro-batches. The state shape differs
+    from both the inner and outer joins: the left row buffers only
+    until its FIRST match (then a matched flag suppresses re-emission
+    and the row needs no further buffering), and no
+    watermark-proof-of-absence is ever needed — a semi row emits the
+    moment a match arrives, so unlike the outer join a bounded replay
+    needs no sentinel watermark push. Click-side state still evicts
+    on the time bound: a click can only match purchases within
+    ``lookback`` after it, so once the purchase watermark passes that
+    horizon the click's state drops — per-key state is O(events in
+    the lookback horizon), the TTL contract that keeps this runnable
+    forever. Matched-purchase output carries no click columns (that
+    is the point: EXISTS, not enumeration — the inner join's
+    match-multiplicity blowup never materializes)."""
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("p_ts")))
+    c = (clicks.filter(F.col("event_type") == "click")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user_id"),
+                 F.col("ts").alias("c_ts")))
+    return (
+        p.join(c, (F.col("user_id") == F.col("c_user_id"))
+               & (F.col("c_ts") < F.col("p_ts"))
+               & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+                   f"INTERVAL {lookback}")),
+               "left_semi")
+        .select("purchase_id", "user_id", F.col("p_ts").alias("ts"))
+    )
+
+
 def stream_stream_outer_join(purchases: DataFrame, clicks: DataFrame,
                              watermark: str = "2 hours",
                              lookback: str = "1 hour") -> DataFrame:

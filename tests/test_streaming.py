@@ -54,6 +54,77 @@ class TestStreamingEqualsBatch:
         cols = ["user_id", "s_start", "s_end", "n"]
         assert _rows(got, cols) == _rows(batch, cols)
 
+    def test_stream_semi_join_equals_batch_exists(
+            self, spark, events_json_dir):
+        """LEFT SEMI stream-stream join: the emitted set must equal
+        the batch EXISTS — under a DIFFERENT micro-batching (1 file/
+        trigger) than the selfcheck oracle's replay — and each
+        qualifying purchase must emit EXACTLY ONCE even when several
+        clicks match across separate micro-batches (the matched-flag
+        state suppressing re-emission is the semi join's contract)."""
+        from gasket_spark.streaming.core import stream_stream_semi_join
+
+        stream1 = read_events_stream(spark, events_json_dir,
+                                     max_files_per_trigger=1)
+        stream2 = read_events_stream(spark, events_json_dir,
+                                     max_files_per_trigger=1)
+        got = run_to_completion(
+            stream_stream_semi_join(stream1, stream2,
+                                    watermark="90 days"),
+            "t_semi_ut", output_mode="append")
+
+        ev = read_table(spark, SF_SMALL, "events")
+        p = ev.filter(F.col("event_type") == "purchase") \
+            .select(F.col("event_id").alias("purchase_id"),
+                    "user_id", "ts", F.col("ts").alias("p_ts"))
+        c = ev.filter(F.col("event_type") == "click") \
+            .select(F.col("user_id").alias("c_user_id"),
+                    F.col("ts").alias("c_ts"))
+        batch = (p.join(c, (F.col("user_id") == F.col("c_user_id"))
+                        & (F.col("c_ts") < F.col("p_ts"))
+                        & (F.col("c_ts") >= F.col("p_ts")
+                           - F.expr("INTERVAL 1 HOUR")), "left_semi")
+                 .select("purchase_id", "user_id", "ts"))
+        cols = ["purchase_id", "user_id", "ts"]
+        assert _rows(got, cols) == _rows(batch, cols)
+        # exactly-once per purchase: multiplicity never leaks through
+        assert got.count() == got.select("purchase_id").distinct().count()
+
+    def test_stream_semi_join_multi_match_emits_once(
+            self, spark, tmp_path):
+        """One purchase, three matching clicks delivered in THREE
+        separate micro-batches (1 file/trigger): the purchase must
+        emit exactly once — the first match emits it, the matched
+        flag in the join state suppresses the later matches (the
+        sf0.001 fixture has no multi-click purchase, so this pins the
+        suppression path synthetically)."""
+        from gasket_spark.streaming.core import stream_stream_semi_join
+
+        path = tmp_path / "multi"
+        path.mkdir()
+        base = "2024-01-01T10:{m:02d}:00"
+        rows = [{"event_id": 100, "ts": base.format(m=30),
+                 "user_id": 7, "event_type": "purchase",
+                 "value": 1.0, "props": "{}"}]
+        clicks = [{"event_id": 200 + i, "ts": base.format(m=i),
+                   "user_id": 7, "event_type": "click",
+                   "value": 1.0, "props": "{}"} for i in (5, 10, 15)]
+        with open(path / "p0.json", "w") as fh:
+            fh.write(json.dumps(rows[0]) + "\n")
+        for i, r in enumerate(clicks):
+            with open(path / f"c{i}.json", "w") as fh:
+                fh.write(json.dumps(r) + "\n")
+        s1 = read_events_stream(spark, str(path),
+                                max_files_per_trigger=1)
+        s2 = read_events_stream(spark, str(path),
+                                max_files_per_trigger=1)
+        got = run_to_completion(
+            stream_stream_semi_join(s1, s2, watermark="90 days"),
+            "t_semi_multi", output_mode="append")
+        out = got.collect()
+        assert len(out) == 1
+        assert out[0]["purchase_id"] == 100
+
     def test_streaming_dedup(self, spark, tmp_path):
         # duplicate event_ids across files → exactly one survivor each
         rows = [{"event_id": i % 5, "ts": f"2024-01-01T00:0{i % 5}:00",
