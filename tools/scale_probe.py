@@ -142,6 +142,11 @@ def main() -> None:
     # disjoint-shingle replicas make 10x data = 10 independent copies
     # of the pair problem, so a superlinear ratio here would expose a
     # cross-replica candidate-pair blowup in the band join)
+    # ... plus the confluent streaming state ops (r8/r9): the replay
+    # serializes the 10x events dir, so the probe measures 10x keyed
+    # state churn (state per key stays O(cap) by design — a
+    # superlinear wall here would expose state growing with history
+    # instead of the cap) and 10x join-state buffering for the semi.
     for qname, iters in [("q_pagerank", 8), ("q_dedup_components", None),
                          ("q_dedup_minhash", None),
                          ("q_dedup_incremental", None),
@@ -150,7 +155,10 @@ def main() -> None:
                          ("q_resample_interp", None),
                          ("q_concurrency_peak", None),
                          ("q_sim_maxsim", None),
-                         ("q_rolling_distinct", None)]:
+                         ("q_rolling_distinct", None),
+                         ("q_stream_session_ewma", None),
+                         ("q_stream_state_ttl", None),
+                         ("q_stream_semi_join", None)]:
         for label, d in [("sf0.1", base), ("sf1 (10x)", out)]:
             t0 = time.time()
             n = QUERIES[qname](spark, d).count()
