@@ -125,6 +125,76 @@ class TestStreamingEqualsBatch:
         assert len(out) == 1
         assert out[0]["purchase_id"] == 100
 
+    def test_stream_semi_join_state_evicts_on_time_bound(
+            self, spark, tmp_path):
+        """EVICTION PROOF for the semi join's state TTL claim: a
+        50-hour ordered replay (10 files, 1 file/trigger, watermark
+        5 min, lookback 1 h) must hold state bounded by the TIME
+        HORIZON, not by history — numRowsTotal from the state
+        operator metrics stays far below the event count while every
+        purchase still finds its click. Without the relative time
+        bound + watermark this state would grow linearly with the
+        replay (the at-scale failure mode the operator exists to
+        prevent)."""
+        from gasket_spark.streaming.core import (
+            read_events_stream, stream_stream_semi_join)
+
+        path = tmp_path / "evict"
+        path.mkdir()
+        rows = []
+        for h in range(50):
+            rows.append({"event_id": 2 * h, "ts":
+                         f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00",
+                         "user_id": 1, "event_type": "click",
+                         "value": 1.0, "props": "{}"})
+            rows.append({"event_id": 2 * h + 1, "ts":
+                         f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:30:00",
+                         "user_id": 1, "event_type": "purchase",
+                         "value": 1.0, "props": "{}"})
+        import os as _os
+        import time as _time
+        base_t = _time.time() - 600
+        for i in range(10):  # time-ordered files → advancing watermark
+            f = path / f"f{i:02d}.json"
+            with open(f, "w") as fh:
+                for r in rows[i * 10:(i + 1) * 10]:
+                    fh.write(json.dumps(r) + "\n")
+            # the file source orders by MODIFICATION TIME — files
+            # written in the same clock tick replay in arbitrary
+            # order, teleporting the watermark to the end and
+            # dropping mid-stream rows as late (the
+            # _events_as_ordered_stream pattern, forced explicitly)
+            _os.utime(f, (base_t + i, base_t + i))
+        s1 = read_events_stream(spark, str(path),
+                                max_files_per_trigger=1)
+        s2 = read_events_stream(spark, str(path),
+                                max_files_per_trigger=1)
+        joined = stream_stream_semi_join(s1, s2, watermark="5 minutes",
+                                         lookback="1 hour")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (joined.writeStream.format("memory")
+                 .queryName("t_semi_evict").outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            progress = [p for p in q.recentProgress
+                        if p.get("stateOperators")]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # every purchase has a click 30 min before it → all 50 emit
+        got = spark.table("t_semi_evict")
+        assert got.count() == 50
+        totals = [p["stateOperators"][0]["numRowsTotal"]
+                  for p in progress]
+        removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                      for p in progress)
+        # state never approaches the 100-event history: bounded by
+        # the ~1-batch watermark lag + the 1 h lookback horizon
+        assert max(totals) <= 40, totals
+        assert totals[-1] <= 40, totals
+        assert removed > 0  # eviction actually ran
+
     def test_streaming_dedup(self, spark, tmp_path):
         # duplicate event_ids across files → exactly one survivor each
         rows = [{"event_id": i % 5, "ts": f"2024-01-01T00:0{i % 5}:00",
