@@ -140,9 +140,13 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     float sums depend on summation order (numpy pairwise vs a SQL
     engine's sequential fold), and a sign that flips across engines
     would silently change bucket membership. Integer sums are
-    order-independent and bit-identical in Spark, numpy, and DuckDB —
-    which is what lets q_sim_ann's oracle re-derive the buckets in
-    ANSI SQL."""
+    order-independent, which is what lets q_sim_ann's oracle
+    re-derive the buckets in ANSI SQL. (The oracle's embedded plane
+    literals are up to 1 ULP off after DuckDB's decimal-literal
+    double-rounding — see _ann_bucket_sql's precision note; the sign
+    agreement rests on the ≥5e9× margin between the smallest |scaled
+    dot| and the ≤64-unit worst-case perturbation, pinned by
+    tests/test_cross_engine.py.)"""
     P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
     weights = (1 << np.arange(P.shape[1])).astype(np.int64)
 

@@ -437,11 +437,21 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_bucket_sql(planes: list[list[float]]) -> str:
     """SQL twin of :func:`gasket_spark.operators.similarity.lsh_bucket`
-    for a FIXED seeded plane set: the hyperplane constants are embedded
-    as list literals (``repr`` of a float64 is shortest-round-trip, so
-    DuckDB parses back the identical double), and each sign decision
-    uses the same HALF_UP integer-scaled dot product as the Spark
-    kernel — bucket ids agree bit for bit."""
+    for a FIXED seeded plane set: the hyperplane constants are
+    embedded as list literals and each sign decision uses the same
+    HALF_UP integer-scaled dot product as the Spark kernel.
+
+    PRECISION NOTE (r9 audit): repr-embedding is NOT bit-exact here —
+    DuckDB parses a 17-significant-digit literal as DECIMAL and the
+    later implicit cast to DOUBLE double-rounds (int128 mantissa →
+    double, then /10^s → double), leaving 68 of these 512 constants
+    one ULP off in the current build. The twin still agrees because
+    the decision is SIGN of an int64 sum: a 1-ULP constant error
+    shifts one rounded term by at most ±1, so the sum differs from
+    Spark's by ≤ 64, while the smallest |scaled dot| in the corpus is
+    ~3.3e11 (tests/test_cross_engine.py pins the margin). The margin,
+    not literal round-tripping, is the cross-engine guarantee; a
+    bit-exact integer-plane rewrite is queued as r10 hygiene."""
     terms = []
     for j, plane in enumerate(planes):
         lits = ", ".join(repr(float(x)) for x in plane)

@@ -1,0 +1,203 @@
+"""Cross-engine primitive parity: the four arithmetic contracts every
+oracle in the registry leans on, pinned Spark-vs-DuckDB directly.
+
+The determinism conventions (NOTES/r8) assert:
+
+1. 0-decimal ``round(x)`` agrees across engines (integer±0.5 ties are
+   exactly representable doubles; both round ties away from zero) —
+   while N>0 decimal rounding is engine-specific and BANNED.
+2. ``round(x*100)`` integer-cents conversion agrees (the money rule).
+3. Spark ``div`` and DuckDB ``//`` both truncate toward zero on
+   BIGINT, including negatives (the fixed-point ratio rule).
+4. ``floor(x·1e9 + 0.5)`` agrees bit-for-bit (the irreducible-double
+   recipe: floor is exact on doubles and both engines evaluate the
+   identical IEEE expression).
+
+Each contract runs as ONE batched job per engine over an adversarial
+vector (exact ties, half-cent boundaries, representation-boundary
+doubles, negatives, near-2^53 magnitudes) plus a seeded 4k-value
+random sweep — so a Spark or DuckDB upgrade that shifts any of these
+fails HERE, with the primitive named, not as an opaque driver hash
+red on some downstream query.
+
+HARNESS PITFALL (found writing this test, worth keeping loud): a
+double embedded in SQL text via ``repr`` is parsed by DuckDB as a
+DECIMAL literal — ``940869.8709691325`` types DECIMAL(16,10) and a
+later ``::DOUBLE`` cast yields ...1324, one ULP off the Python
+double. The engines were never divergent; the TEXT round-trip was.
+Values therefore cross into DuckDB via a registered DataFrame (exact
+float64 transfer), exactly how the driver's parquet views do it.
+Oracle-authoring rule pinned by ``test_decimal_literal_pitfall``:
+never let a comparison rest on a repr-embedded double being
+bit-exact in DuckDB. The registry's one literal-embedding oracle
+(q_sim_ann's 512 plane constants, 68 of them 1 ULP off in this
+build) survives on an integer-sum MARGIN instead — pinned below by
+``TestAnnOracleMargin``.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _adversarial_doubles() -> list[float]:
+    vals = []
+    # exact .5 ties at integer grain, both signs
+    vals += [i + 0.5 for i in range(-12, 12)]
+    vals += [-v for v in (0.5, 1.5, 2.5, 1e6 + 0.5)]
+    # half-cent boundaries for the *100 rule (x.xx5 is NOT exactly
+    # representable — both engines must round the same double)
+    vals += [0.125, 0.135, 2.675, -2.675, 1.005, -1.005, 99.995]
+    # doubles just below/above a tie after scaling
+    vals += [0.1249999999999999, 0.1250000000000001]
+    # large magnitudes approaching 2^53 / 100 (exact-integer ceiling)
+    vals += [9.007199254740991e13, 9.007199254740991e13 / 100,
+             123456789012.345, -123456789012.345]
+    # small magnitudes and zero
+    vals += [0.0, -0.0, 1e-9, -1e-9, 0.004999999, -0.004999999]
+    rng = random.Random(0xC0FFEE)
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(4000)]
+    vals += [rng.uniform(-1e12, 1e12) for _ in range(200)]
+    return vals
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _duck_eval(duck, vals: list[float], expr: str) -> dict[int, int]:
+    """Evaluate ``expr`` (over column x) in DuckDB with EXACT float64
+    transfer — registered DataFrame, never SQL text literals (see the
+    module docstring's harness pitfall)."""
+    pdf = pd.DataFrame({"i": range(len(vals)),
+                        "x": pd.Series(vals, dtype="float64")})
+    duck.register("tv", pdf)
+    try:
+        return dict(duck.execute(
+            f"SELECT i, {expr} FROM tv").fetchall())
+    finally:
+        duck.unregister("tv")
+
+
+class TestCrossEngineArithmetic:
+    def test_round_zero_decimals_parity(self, spark, duck):
+        vals = _adversarial_doubles()
+        sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                    "i long, x double")
+        got = {r.i: r.r for r in sdf.select(
+            "i", F.round("x").cast("bigint").alias("r")).collect()}
+        want = _duck_eval(duck, vals, "CAST(round(x) AS BIGINT)")
+        diffs = {i: (got[i], want[i], vals[i])
+                 for i in want if got[i] != want[i]}
+        assert not diffs, f"round(x) diverges: {dict(list(diffs.items())[:5])}"
+
+    def test_cents_conversion_parity(self, spark, duck):
+        vals = _adversarial_doubles()
+        sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                    "i long, x double")
+        got = {r.i: r.c for r in sdf.select(
+            "i", F.round(F.col("x") * 100).cast("bigint").alias("c"))
+            .collect()}
+        want = _duck_eval(duck, vals, "CAST(round(x * 100) AS BIGINT)")
+        diffs = {i: (got[i], want[i], vals[i])
+                 for i in want if got[i] != want[i]}
+        assert not diffs, (
+            f"round(x*100) diverges: {dict(list(diffs.items())[:5])}")
+
+    def test_integer_div_truncates_toward_zero_both_engines(
+            self, spark, duck):
+        nums = [7, -7, 9, -9, 1, -1, 0, 10**17, -10**17,
+                999999999999999999, -999999999999999999]
+        dens = [2, -2, 3, -3, 7, -7, 1000000000]
+        pairs = [(a, b) for a in nums for b in dens]
+        sdf = spark.createDataFrame(pairs, "a long, b long")
+        got = sorted(tuple(r) for r in sdf.select(
+            "a", "b", F.expr("a div b").alias("q")).collect())
+        pdf = pd.DataFrame(pairs, columns=["a", "b"]).astype("int64")
+        duck.register("td", pdf)
+        try:
+            want = sorted(duck.execute(
+                "SELECT a, b, CAST(a // b AS BIGINT) FROM td").fetchall())
+        finally:
+            duck.unregister("td")
+        assert got == want
+        # and both really truncate toward zero, not floor
+        q = dict(((a, b), v) for a, b, v in got)
+        assert q[(-7, 2)] == -3 and q[(7, -2)] == -3 and q[(7, 2)] == 3
+
+    def test_floor_scaled_fixed_point_parity(self, spark, duck):
+        vals = [v for v in _adversarial_doubles()
+                if abs(v) < 9e9]  # keep x*1e9 inside BIGINT
+        sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                    "i long, x double")
+        got = {r.i: r.f for r in sdf.select(
+            "i", F.floor(F.col("x") * 1e9 + F.lit(0.5))
+            .cast("bigint").alias("f")).collect()}
+        want = _duck_eval(duck, vals,
+                          "CAST(floor(x * 1e9 + 0.5) AS BIGINT)")
+        diffs = {i: (got[i], want[i], vals[i])
+                 for i in want if got[i] != want[i]}
+        assert not diffs, (
+            f"floor(x*1e9+0.5) diverges: {dict(list(diffs.items())[:5])}")
+        # spot-agree with Python's exact-math floor too
+        for v in (940869.8709691325, -961834.6946879415, 2.5, -2.5):
+            i = vals.index(v) if v in vals else None
+            if i is not None:
+                assert got[i] == math.floor(v * 1e9 + 0.5)
+
+    def test_decimal_literal_pitfall(self, duck):
+        """The harness pitfall, pinned as a rule: a 10+ significant-
+        digit double rendered into SQL text parses as DECIMAL and a
+        ::DOUBLE cast does NOT restore the original bits. Any oracle
+        embedding such a literal would silently compare one ULP off."""
+        x = 940869.8709691325
+        assert duck.execute(
+            "SELECT typeof(940869.8709691325)").fetchone()[0] \
+            .startswith("DECIMAL")
+        roundtrip = duck.execute(
+            "SELECT 940869.8709691325::DOUBLE").fetchone()[0]
+        assert roundtrip != x  # the bit loss is REAL in this build
+        # exact transfer path (registered frame) preserves the bits
+        duck.register("tp", pd.DataFrame({"x": [x]}))
+        try:
+            assert duck.execute("SELECT x FROM tp").fetchone()[0] == x
+        finally:
+            duck.unregister("tp")
+
+
+class TestAnnOracleMargin:
+    def test_lsh_sign_margin_dwarfs_literal_ulp_error(self):
+        """q_sim_ann's oracle embeds 512 plane constants as SQL
+        literals; DuckDB's decimal double-rounding leaves ~13% of
+        them one ULP off (see test_decimal_literal_pitfall). The
+        bucket ids still agree across engines because each sign
+        decision is an int64 sum where a 1-ULP constant error moves
+        one rounded term by at most ±1 (64 terms → ≤64 total), while
+        the corpus's smallest |scaled dot| is ~11 orders larger.
+        This pins that margin so a future fixture/plane change that
+        erodes it fails HERE, not as a driver hash red."""
+        import numpy as np
+
+        from gasket_spark.operators.similarity import _hyperplanes
+
+        emb = pd.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        P = np.asarray(_hyperplanes(64, 8, 42)).T  # (dim, planes)
+        min_abs = None
+        for j in range(P.shape[1]):
+            y = V * P[:, j] * 1e15
+            s = (np.sign(y) * np.floor(np.abs(y) + 0.5)) \
+                .astype(np.int64).sum(axis=1)
+            m = np.abs(s).min()
+            min_abs = m if min_abs is None else min(min_abs, m)
+        # worst-case cross-engine perturbation: one unit per term
+        assert min_abs > 64 * 10**6, (
+            f"sign margin {min_abs} too small vs ULP perturbation")

@@ -106,6 +106,44 @@ def changed_lines(base: str) -> dict[str, list[tuple[int, int]]]:
     return out
 
 
+def _stripped_ast_dump(src: str, name: str) -> str | None:
+    """ast.dump of top-level def/class ``name`` with every docstring
+    removed — equal dumps mean the change cannot affect behavior."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)) and node.name == name:
+            for sub in [node, *ast.walk(node)]:
+                body = getattr(sub, "body", None)
+                if (body and isinstance(body[0], ast.Expr)
+                        and isinstance(body[0].value, ast.Constant)
+                        and isinstance(body[0].value.value, str)):
+                    del body[0]
+            return ast.dump(node, include_attributes=False)
+    return None
+
+
+def doc_only_change(base: str, path: str, name: str) -> bool:
+    """True when def/class ``name`` in ``path`` differs between BASE
+    and HEAD ONLY in docstrings — a comment-level edit that needs no
+    window demotion (the r9 q_sim_ann precision-note case: correcting
+    a docstring claim must not cost an r4 drain slot)."""
+    try:
+        old_src = _git("show", f"{base}:{path}")
+    except subprocess.CalledProcessError:
+        return False
+    try:
+        new_src = open(os.path.join(REPO, path), encoding="utf-8").read()
+    except OSError:
+        return False
+    old = _stripped_ast_dump(old_src, name)
+    new = _stripped_ast_dump(new_src, name)
+    return old is not None and old == new
+
+
 def top_level_spans(path: str) -> list[tuple[str, int, int]]:
     """(name, first_line, last_line) per top-level def/class at HEAD,
     decorators included."""
@@ -169,11 +207,20 @@ def main() -> None:
             warnings.append(f"deleted file: {path} — map by hand")
             continue
         spans = top_level_spans(path)
+        doc_only_cache: dict[str, bool] = {}
         for start, end in ranges:
             hit = [s for s in spans if s[1] <= end and start <= s[2]]
             if not hit:
                 continue  # module docstring / imports / constants…
             for name, _, _ in hit:
+                if name not in doc_only_cache:
+                    doc_only_cache[name] = doc_only_change(base, path,
+                                                           name)
+                if doc_only_cache[name]:
+                    warnings.append(
+                        f"doc-only change: {name} ({path}) — stripped "
+                        "ASTs identical, exempt from demotion")
+                    continue
                 if name.startswith("q_"):
                     affected.setdefault(name, set()).add("direct edit")
                 else:
