@@ -508,6 +508,54 @@ class TestPacking:
             assert sorted((r.doc_id, r.rn)
                           for r in got.collect()) == want
 
+    def test_shard_manifest_roundtrip_and_tamper_detection(
+            self, spark, docs, tmp_path):
+        """The reproducibility contract: write shards + manifest,
+        verify clean; rewrite ONE shard's content and verify flags
+        exactly that shard; a tampered manifest raises instead of
+        vacuously verifying. Fingerprints are order/partition-
+        independent, so a repartitioned identical write verifies."""
+        import json
+
+        from gasket_spark.functions import text as T
+        from gasket_spark.operators.packing import (
+            pack_shards, verify_shards, write_shards_with_manifest)
+
+        toks = docs.select(
+            "doc_id", "text",
+            T.token_count("text").cast("bigint").alias("n"))
+        packed = pack_shards(toks, "n", "doc_id", 5000) \
+            .select("doc_id", "text", "n", "shard_id")
+        path = str(tmp_path / "shards")
+        manifest = write_shards_with_manifest(packed, path)
+        assert len(manifest["shards"]) > 1
+        assert verify_shards(spark, path) == []
+
+        # an identical but differently-partitioned write verifies too
+        path2 = str(tmp_path / "shards2")
+        write_shards_with_manifest(packed.repartition(7), path2)
+        assert verify_shards(spark, path2) == []
+
+        # tamper one shard: drop a row and rewrite its directory
+        # (materialize BEFORE overwriting — a lazy read of the same
+        # path would delete its own input mid-write)
+        victim = sorted(int(k) for k in manifest["shards"])[0]
+        sub = spark.read.parquet(path).filter(
+            F.col("shard_id") == victim).drop("shard_id")
+        rows = sub.collect()
+        keep = spark.createDataFrame(rows[1:], sub.schema)
+        keep.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/shard_id={victim}")
+        assert verify_shards(spark, path) == [victim]
+
+        # manifest tamper → loud failure
+        mp = f"{path2}/_shard_manifest.json"
+        m = json.load(open(mp))
+        m["shards"][next(iter(m["shards"]))]["n_rows"] += 1
+        json.dump(m, open(mp, "w"), sort_keys=True)
+        with pytest.raises(ValueError, match="checksum"):
+            verify_shards(spark, path2)
+
 
 class TestIncrementalDedup:
     def test_new_batch_matches_corpus_only(self, spark, docs):
