@@ -388,6 +388,89 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
     return n_files
 
 
+def compact_partitioned(spark: SparkSession, path: str,
+                        target_file_bytes: int = 512 * 1024 * 1024,
+                        ) -> dict:
+    """Partition-aware IN-PLACE compaction of a Hive-layout table
+    (``k=v`` directories): rewrite ONLY the fragmented partitions,
+    leaving compact ones byte-untouched — the maintenance pass a
+    100 TB streaming-ingested table needs nightly, where rewriting
+    the whole table (what :func:`compact_parquet` does) would be a
+    full-table write amplification.
+
+    Mechanics, all Spark-first:
+
+    * fragmentation is judged from FILESYSTEM METADATA (no data
+      pass): a leaf partition needs work when its file count exceeds
+      ceil(bytes / target) — i.e. the same bytes could fit in fewer
+      target-sized files;
+    * needy partitions are read back with a partition-pruned filter
+      (the scan never touches compact partitions' files);
+    * the rewrite is ONE distributed job: repartition on the
+      partition columns (so each output partition is written by one
+      task, not sprayed across all) + ``maxRecordsPerFile`` derived
+      from the observed bytes/row, then a DYNAMIC partition
+      overwrite — Spark atomically replaces exactly the touched
+      ``k=v`` directories and nothing else.
+
+    Returns {partition_relpath: {"files_before": n, "bytes": b}} for
+    the rewritten partitions (empty dict = nothing fragmented)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # 1. metadata walk: leaf dirs (k=v chains) -> (bytes, n_files)
+    parts: dict[str, tuple[int, int]] = {}
+    for root, dirs, files in os.walk(path):
+        data = [f for f in files
+                if not f.startswith(("_", ".")) and not f.endswith(".crc")]
+        if not data:
+            continue
+        rel = os.path.relpath(root, path)
+        if rel == "." or any("=" not in seg
+                             for seg in rel.split(os.sep)):
+            continue
+        b = sum(os.path.getsize(os.path.join(root, f)) for f in data)
+        parts[rel] = (b, len(data))
+    needy = {rel: (b, n) for rel, (b, n) in parts.items()
+             if n > max(1, math.ceil(b / target_file_bytes))}
+    if not needy:
+        return {}
+
+    # 2. partition-pruned read of only the fragmented partitions
+    df = spark.read.parquet(path)
+    pred = None
+    for rel in needy:
+        conj = None
+        for seg in rel.split(os.sep):
+            k, v = seg.split("=", 1)
+            c = F.col(k).cast("string") == v
+            conj = c if conj is None else (conj & c)
+        pred = conj if pred is None else (pred | conj)
+    sub = df.filter(pred)
+
+    # 3. rows-per-file cap from observed density (footer-cheap count)
+    needy_bytes = sum(b for b, _ in needy.values())
+    n_rows = sub.count()
+    max_records = max(1, int(target_file_bytes
+                             / max(1, needy_bytes / max(1, n_rows))))
+    pcols = [seg.split("=", 1)[0]
+             for seg in next(iter(needy)).split(os.sep)]
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (sub.repartition(*[F.col(c) for c in pcols])
+         .write.mode("overwrite").partitionBy(*pcols)
+         .option("maxRecordsPerFile", max_records)
+         .parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {rel: {"files_before": n, "bytes": b}
+            for rel, (b, n) in sorted(needy.items())}
+
+
 def read_parquet_evolving(spark: SparkSession, path: str,
                           schema: StructType | str | None = None) -> DataFrame:
     """Parquet scan across batches whose schemas DRIFTED (columns added

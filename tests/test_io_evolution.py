@@ -3,6 +3,8 @@ batches written under drifting schemas; the scan must read them all
 without rewriting old data (at 100 TB, rewriting is the thing you
 never get to do)."""
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -317,3 +319,71 @@ class TestStampCached:
         assert len(calls) == 1
         stamp_cached(out, str(src), build, version=2)
         assert len(calls) == 2  # version token is part of the stamp
+
+
+class TestPartitionedCompaction:
+    def test_only_fragmented_partitions_rewritten(self, spark,
+                                                  tmp_path):
+        """One partition sprayed into 12 tiny files, one already
+        compact: compaction must collapse the fragmented one, leave
+        the compact one's files byte-identical (same names, same
+        mtimes — in-place dynamic overwrite touches nothing else),
+        and preserve the table's content exactly."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from gasket_spark.io import compact_partitioned
+
+        path = str(tmp_path / "t")
+        frag = spark.range(2000).select(
+            F.lit("a").alias("k"), F.col("id").alias("v"))
+        frag.repartition(12).write.partitionBy("k").parquet(path)
+        compact = spark.range(2000, 2500).select(
+            F.lit("b").alias("k"), F.col("id").alias("v"))
+        compact.coalesce(1).write.mode("append") \
+            .partitionBy("k").parquet(path)
+
+        def listing(rel):
+            d = os.path.join(path, rel)
+            return sorted((f, os.path.getmtime(os.path.join(d, f)))
+                          for f in os.listdir(d)
+                          if f.endswith(".parquet"))
+
+        before_b = listing("k=b")
+        before = sorted(r.v for r in spark.read.parquet(path).collect())
+
+        report = compact_partitioned(spark, path,
+                                     target_file_bytes=64 * 1024 * 1024)
+        assert list(report) == ["k=a"]
+        assert report["k=a"]["files_before"] == 12
+        assert len(listing("k=a")) < 12
+        assert listing("k=b") == before_b  # byte-untouched
+        after = sorted(r.v for r in spark.read.parquet(path).collect())
+        assert after == before
+
+        # second pass: nothing fragmented anymore -> no-op, no job
+        assert compact_partitioned(
+            spark, path, target_file_bytes=64 * 1024 * 1024) == {}
+
+    def test_multi_level_partitions(self, spark, tmp_path):
+        """Two-level k=v/d=v layout: fragmentation judged and
+        rewritten at the LEAF grain."""
+        from pyspark.sql import functions as F
+
+        from gasket_spark.io import compact_partitioned
+
+        path = str(tmp_path / "t2")
+        df = spark.range(3000).select(
+            (F.col("id") % 2).cast("string").alias("k"),
+            (F.col("id") % 3).cast("string").alias("d"),
+            F.col("id").alias("v"))
+        df.repartition(10).write.partitionBy("k", "d").parquet(path)
+        before = sorted(r.v for r in spark.read.parquet(path).collect())
+        report = compact_partitioned(spark, path,
+                                     target_file_bytes=64 * 1024 * 1024)
+        assert len(report) == 6  # every leaf was sprayed
+        assert all("/" in rel or os.sep in rel for rel in report)
+        after = sorted(r.v for r in spark.read.parquet(path).collect())
+        assert after == before
+
