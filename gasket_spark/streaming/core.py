@@ -868,6 +868,39 @@ def stream_stream_semi_join(purchases: DataFrame, clicks: DataFrame,
     )
 
 
+def stream_stream_anti_join(purchases: DataFrame, clicks: DataFrame,
+                            watermark: str = "2 hours",
+                            lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream LEFT ANTI join: purchases with NO same-user
+    click in the ``lookback`` window before them — the negative-
+    evidence dual of :func:`stream_stream_semi_join`. Where the semi
+    emits the moment positive evidence arrives, an anti row can only
+    emit once the click-side watermark PROVES absence (no match can
+    still arrive), so like the outer join it is watermark-driven: a
+    bounded replay must push the watermark past the last purchase
+    (ordered files + sentinel — the queries.streamingq pattern) or
+    the tail purchases stay buffered as undecided state forever.
+    Purchase state holds undecided rows inside the proof horizon;
+    click state evicts on the relative time bound — both O(horizon),
+    never O(history). Spark has no NATIVE stream-stream left anti
+    (``LeftAnti joins with a streaming DataFrame on the right are
+    not supported``), so this composes the supported LEFT OUTER with
+    an IS NULL filter — semantically identical (an unmatched
+    purchase emits exactly once with NULL click, matched rows are
+    filtered), and it makes explicit that anti shares the outer
+    join's proof-of-absence state machine rather than the semi's
+    emit-on-first-match one. Registered as a query in r10 (the r9
+    window is full); the batch twin is the NOT EXISTS complement of
+    the semi's oracle."""
+    return (
+        stream_stream_outer_join(purchases, clicks,
+                                 watermark=watermark,
+                                 lookback=lookback)
+        .filter(F.col("click_id").isNull())
+        .select("purchase_id", "user_id")
+    )
+
+
 def stream_stream_outer_join(purchases: DataFrame, clicks: DataFrame,
                              watermark: str = "2 hours",
                              lookback: str = "1 hour") -> DataFrame:

@@ -195,6 +195,84 @@ class TestStreamingEqualsBatch:
         assert totals[-1] <= 40, totals
         assert removed > 0  # eviction actually ran
 
+    def test_stream_anti_join_needs_watermark_proof(self, spark,
+                                                    tmp_path):
+        """LEFT ANTI (negative evidence): purchases WITHOUT a prior-
+        hour click emit only once the watermark proves no click can
+        still arrive. Ordered ascending-mtime files + a far-future
+        sentinel purchase flush the proof past all real data; the
+        emitted set must equal the batch NOT EXISTS, and a purchase
+        WITH a click must never emit. Also pins the semi/anti
+        duality: semi ∪ anti = all purchases, disjoint."""
+        from gasket_spark.streaming.core import (
+            read_events_stream, stream_stream_anti_join,
+            stream_stream_semi_join)
+
+        path = tmp_path / "anti"
+        path.mkdir()
+        rows = []
+        eid = 0
+        # even hours: click then purchase (matched); odd hours:
+        # purchase alone (anti row)
+        for h in range(12):
+            if h % 2 == 0:
+                rows.append({"event_id": (eid := eid + 1),
+                             "ts": f"2024-01-01T{h:02d}:00:00",
+                             "user_id": 1, "event_type": "click",
+                             "value": 1.0, "props": "{}"})
+            rows.append({"event_id": (eid := eid + 1),
+                         "ts": f"2024-01-01T{h:02d}:30:00",
+                         "user_id": 1, "event_type": "purchase",
+                         "value": 1.0, "props": "{}"})
+        # sentinel needs BOTH types: each join side filters to its
+        # own event_type BEFORE its watermark node, so a purchase-only
+        # sentinel would never advance the CLICK-side watermark and
+        # the last undecided purchase could never prove absence
+        # (the _events_as_ordered_stream fixture writes both for the
+        # same reason)
+        sentinels = [
+            {"event_id": 9999, "ts": "2024-03-01T00:00:00",
+             "user_id": -1, "event_type": "purchase",
+             "value": 0.0, "props": "{}"},
+            {"event_id": 9998, "ts": "2024-03-01T00:00:00",
+             "user_id": -1, "event_type": "click",
+             "value": 0.0, "props": "{}"},
+        ]
+        import os as _os
+        import time as _time
+        base_t = _time.time() - 600
+        chunks = [rows[i:i + 3] for i in range(0, len(rows), 3)]
+        chunks.append(sentinels)
+        for i, chunk in enumerate(chunks):
+            f = path / f"f{i:02d}.json"
+            with open(f, "w") as fh:
+                for r in chunk:
+                    fh.write(json.dumps(r) + "\n")
+            _os.utime(f, (base_t + i, base_t + i))
+
+        def run(builder, name):
+            s1 = read_events_stream(spark, str(path),
+                                    max_files_per_trigger=1)
+            s2 = read_events_stream(spark, str(path),
+                                    max_files_per_trigger=1)
+            out = run_to_completion(
+                builder(s1, s2, watermark="5 minutes"), name,
+                output_mode="append")
+            return {r.purchase_id for r in out.collect()
+                    if r.user_id != -1}
+
+        anti = run(stream_stream_anti_join, "t_anti_ut")
+        semi = run(stream_stream_semi_join, "t_semi_dual_ut")
+        purchases = {r["event_id"] for r in rows
+                     if r["event_type"] == "purchase"}
+        # batch truth: odd-hour purchases have no prior-hour click
+        want_anti = {r["event_id"] for r in rows
+                     if r["event_type"] == "purchase"
+                     and int(r["ts"][11:13]) % 2 == 1}
+        assert anti == want_anti
+        assert semi == purchases - want_anti  # duality
+        assert not (anti & semi)
+
     def test_streaming_dedup(self, spark, tmp_path):
         # duplicate event_ids across files → exactly one survivor each
         rows = [{"event_id": i % 5, "ts": f"2024-01-01T00:0{i % 5}:00",
