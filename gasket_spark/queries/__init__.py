@@ -169,6 +169,10 @@ _EDITED_R09: tuple[str, ...] = (
     "q_dedup_prefix",
 )
 
+# Queries whose implementation or oracle was EDITED in round 10.
+# Extended as r10 edits land.
+_EDITED_R10: tuple[str, ...] = ()
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -289,6 +293,10 @@ def _signal_rank() -> dict[str, float]:
             # r9-edited: same rule, one round later again.
             if 0 < rank.get(n, 0.0) <= 8.0:
                 rank[n] = 1.05
+        for n in _EDITED_R10:
+            # r10-edited: same rule, one round later again.
+            if 0 < rank.get(n, 0.0) <= 9.0:
+                rank[n] = 1.02
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

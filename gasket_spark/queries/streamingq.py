@@ -437,6 +437,49 @@ def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_anti_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts < p.ts
+          AND c.ts >= p.ts - INTERVAL 1 HOUR)
+    """,
+)
+def q_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT ANTI join executed BY Structured Streaming:
+    purchases with NO same-user click in the prior hour — the
+    negative-evidence dual of ``q_stream_semi_join`` (attribution's
+    "organic purchases" side). Where the semi emits on FIRST positive
+    evidence and needs no flush, an anti row emits only when the
+    click-side watermark PROVES absence, so this runs over the
+    time-ordered replay with the sentinel watermark-push (the
+    q_stream_outer_join strategy) — availableNow alone would leave
+    every tail purchase buffered as undecided state. Spark has no
+    native stream-stream left anti; the operator composes the
+    supported leftOuter with an IS NULL filter
+    (streaming/core.py:stream_stream_anti_join), sharing the outer
+    join's proof-of-absence state machine. Output schema mirrors the
+    semi's (purchase_id, user_id, ts) so semi ∪ anti partitions the
+    purchase stream. Hash-verified against the batch NOT EXISTS
+    oracle."""
+    from gasket_spark.streaming.core import (
+        run_to_completion, stream_stream_anti_join)
+
+    joined = stream_stream_anti_join(
+        _events_as_ordered_stream(spark, sf_dir),
+        _events_as_ordered_stream(spark, sf_dir),
+        watermark="1 minute")
+    out = run_to_completion(joined, _unique_name("t_oracle_anti_join"),
+                            output_mode="append")
+    return out.filter(F.col("user_id") != _SENTINEL_UID)
+
+
+@query(
     "q_stream_outer_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id

@@ -889,15 +889,31 @@ def stream_stream_anti_join(purchases: DataFrame, clicks: DataFrame,
     purchase emits exactly once with NULL click, matched rows are
     filtered), and it makes explicit that anti shares the outer
     join's proof-of-absence state machine rather than the semi's
-    emit-on-first-match one. Registered as a query in r10 (the r9
-    window is full); the batch twin is the NOT EXISTS complement of
-    the semi's oracle."""
+    emit-on-first-match one. The batch twin is the NOT EXISTS
+    complement of the semi's oracle, and the output schema mirrors
+    the semi's exactly — ``(purchase_id, user_id, ts)`` — so
+    semi ∪ anti partitions the purchase stream column-for-column
+    (the r9 advice caught the earlier ts-dropping asymmetry). The
+    leftOuter body is inlined rather than delegated to
+    :func:`stream_stream_outer_join` so the two operators' output
+    contracts stay independently evolvable."""
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("p_ts")))
+    c = (clicks.filter(F.col("event_type") == "click")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user_id"),
+                 F.col("ts").alias("c_ts")))
     return (
-        stream_stream_outer_join(purchases, clicks,
-                                 watermark=watermark,
-                                 lookback=lookback)
+        p.join(c, (F.col("user_id") == F.col("c_user_id"))
+               & (F.col("c_ts") < F.col("p_ts"))
+               & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+                   f"INTERVAL {lookback}")),
+               "leftOuter")
         .filter(F.col("click_id").isNull())
-        .select("purchase_id", "user_id")
+        .select("purchase_id", "user_id", F.col("p_ts").alias("ts"))
     )
 
 

@@ -250,6 +250,8 @@ class TestStreamingEqualsBatch:
                     fh.write(json.dumps(r) + "\n")
             _os.utime(f, (base_t + i, base_t + i))
 
+        schemas = {}
+
         def run(builder, name):
             s1 = read_events_stream(spark, str(path),
                                     max_files_per_trigger=1)
@@ -258,11 +260,16 @@ class TestStreamingEqualsBatch:
             out = run_to_completion(
                 builder(s1, s2, watermark="5 minutes"), name,
                 output_mode="append")
+            schemas[name] = out.columns
             return {r.purchase_id for r in out.collect()
                     if r.user_id != -1}
 
         anti = run(stream_stream_anti_join, "t_anti_ut")
         semi = run(stream_stream_semi_join, "t_semi_dual_ut")
+        # output contracts mirror: semi ∪ anti partitions the
+        # purchase stream column-for-column (r9 advice)
+        assert schemas["t_anti_ut"] == schemas["t_semi_dual_ut"] == [
+            "purchase_id", "user_id", "ts"]
         purchases = {r["event_id"] for r in rows
                      if r["event_type"] == "purchase"}
         # batch truth: odd-hour purchases have no prior-hour click
