@@ -81,11 +81,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         except Exception:  # pragma: no cover - unreadable footer
             continue
         # top-level ns-timestamp field names per the ARROW schema —
-        # the structural ground truth for "is this leaf nested?"
+        # the structural ground truth for "is this leaf nested?".
+        # Structural check, not str(type) equality: tz-aware columns
+        # render as timestamp[ns, tz=...] (parquet isAdjustedToUTC),
+        # and the tz is irrelevant to the nanos-long conversion.
         top_ns = set()
         try:
+            import pyarrow as pa
             for fld in sch.to_arrow_schema():
-                if str(fld.type) == "timestamp[ns]":
+                if (pa.types.is_timestamp(fld.type)
+                        and fld.type.unit == "ns"):
                     top_ns.add(fld.name)
         except Exception:  # pragma: no cover - exotic schema
             pass
@@ -404,8 +409,19 @@ def compact_partitioned(spark: SparkSession, path: str,
       pass): a leaf partition needs work when its file count exceeds
       ceil(bytes / target) — i.e. the same bytes could fit in fewer
       target-sized files;
-    * needy partitions are read back with a partition-pruned filter
-      (the scan never touches compact partitions' files);
+    * needy partitions are read back BY PATH (``basePath`` + the
+      needy leaf dirs) — pruned by construction, and no value
+      round-trip through strings: a filter-predicate approach would
+      have to reproduce Hive's URI escaping (``k=a%3Ab``), type
+      normalization (``k=01`` reads as int 1, so
+      ``cast("string") == "01"`` never matches), and
+      ``__HIVE_DEFAULT_PARTITION__`` → NULL, and ambiguous casts
+      could absorb rows from sibling partitions the dynamic
+      overwrite then does NOT replace — duplicating them. Partition
+      type inference is disabled for the subset read/write so dir
+      values round-trip verbatim as strings (``k=01`` stays
+      ``k=01``, never renamed to ``k=1``); partition values live
+      only in dir names, so data-file bytes are unaffected;
     * the rewrite is ONE distributed job: repartition on the
       partition columns (so each output partition is written by one
       task, not sprayed across all) + ``maxRecordsPerFile`` derived
@@ -437,36 +453,43 @@ def compact_partitioned(spark: SparkSession, path: str,
     if not needy:
         return {}
 
-    # 2. partition-pruned read of only the fragmented partitions
-    df = spark.read.parquet(path)
-    pred = None
-    for rel in needy:
-        conj = None
-        for seg in rel.split(os.sep):
-            k, v = seg.split("=", 1)
-            c = F.col(k).cast("string") == v
-            conj = c if conj is None else (conj & c)
-        pred = conj if pred is None else (pred | conj)
-    sub = df.filter(pred)
-
-    # 3. rows-per-file cap from observed density (footer-cheap count)
-    needy_bytes = sum(b for b, _ in needy.values())
-    n_rows = sub.count()
-    max_records = max(1, int(target_file_bytes
-                             / max(1, needy_bytes / max(1, n_rows))))
-    pcols = [seg.split("=", 1)[0]
-             for seg in next(iter(needy)).split(os.sep)]
-
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
+    # 2. path-pruned read of only the fragmented partitions: listing
+    #    by leaf dir never plans a file outside `needy`, and disabling
+    #    partition type inference keeps dir values as verbatim strings
+    #    so the dynamic overwrite rewrites EXACTLY the dirs read
+    #    (escaping and NULL handled by Spark's own dir codec on both
+    #    crossings). At 10^5+ leaves the os.walk above is the
+    #    single-machine constant to move onto a listing service; the
+    #    read/write below is already an O(|needy|) path list.
+    prev_infer = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               "static")
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        sub = (spark.read.option("basePath", path)
+               .parquet(*[os.path.join(path, rel) for rel in sorted(needy)]))
+
+        # 3. rows-per-file cap from observed density (footer-cheap count)
+        needy_bytes = sum(b for b, _ in needy.values())
+        n_rows = sub.count()
+        max_records = max(1, int(target_file_bytes
+                                 / max(1, needy_bytes / max(1, n_rows))))
+        pcols = [seg.split("=", 1)[0]
+                 for seg in next(iter(needy)).split(os.sep)]
+
         (sub.repartition(*[F.col(c) for c in pcols])
          .write.mode("overwrite").partitionBy(*pcols)
          .option("maxRecordsPerFile", max_records)
          .parquet(path))
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            prev_infer)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       prev_mode)
     return {rel: {"files_before": n, "bytes": b}
             for rel, (b, n) in sorted(needy.items())}
 

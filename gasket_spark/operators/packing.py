@@ -122,18 +122,26 @@ def write_shards_with_manifest(df: DataFrame, path: str,
     fingerprint — the reproducibility contract a training run needs:
     "this exact byte set trained the model" becomes verifiable long
     after the write (and corruption/partial-rewrite is detectable
-    without re-reading the producer's input). The fingerprint pass
-    shares the same shuffle grain as the partitioned write; the
-    manifest itself is md5-enveloped so a truncated/hand-edited
-    manifest fails loudly rather than vacuously verifying."""
+    without re-reading the producer's input). The fingerprints are
+    computed AFTER the write, from a read-back of the written path —
+    the same scan :func:`verify_shards` performs — so the manifest
+    always describes the actual on-disk bytes: fingerprinting ``df``
+    in a separate pre-write action would re-execute the plan for the
+    write, and any upstream nondeterminism (sample, shuffle-order-
+    dependent ids, now()) would certify content that was never
+    written (r9 advice). The manifest itself is md5-enveloped so a
+    truncated/hand-edited manifest fails loudly rather than
+    vacuously verifying."""
     import hashlib
     import json
     import os
 
     cols = content_cols or [c for c in df.columns if c != shard_col]
-    fps = {int(r[shard_col]): (r["n_rows"], r["fingerprint"])
-           for r in shard_fingerprints(df, shard_col, cols).collect()}
     df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    spark = df.sparkSession
+    fps = {int(r[shard_col]): (r["n_rows"], r["fingerprint"])
+           for r in shard_fingerprints(
+               spark.read.parquet(path), shard_col, cols).collect()}
     shards = {str(k): {"n_rows": int(n), "fingerprint": int(f)}
               for k, (n, f) in sorted(fps.items())}
     body = {"schema_version": 1, "shard_col": shard_col,

@@ -207,6 +207,33 @@ class TestNanosTimestamps:
         }), str(d / "t.parquet"))
         assert _nanos_timestamp_cols(str(d)) == ["a.b"]
 
+    def test_tz_aware_top_level_ns_column_converts(
+            self, spark, tmp_path_factory):
+        """A tz-aware ns column (arrow ``timestamp[ns, tz=UTC]``,
+        parquet isAdjustedToUTC=true — e.g. pandas tz-aware writes)
+        is still a TOP-LEVEL convertible column: the pre-r10 detector
+        compared str(type) == "timestamp[ns]" exactly, so the tz
+        suffix failed the top-level membership test and the column
+        was misreported as nested (NotImplementedError). The tz is
+        irrelevant to the nanos-long conversion — values are UTC
+        epoch nanos either way."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gasket_spark.io import _nanos_timestamp_cols, read_table
+
+        d = tmp_path_factory.mktemp("nanos_tz")
+        tbl = pa.table({
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([-250, 1_999], pa.timestamp("ns", tz="UTC")),
+        })
+        pq.write_table(tbl, str(d / "t.parquet"))
+        assert _nanos_timestamp_cols(str(d / "t.parquet")) == ["ts"]
+        got = {r.id: r.us for r in
+               read_table(spark, str(d), "t")
+               .select("id", F.unix_micros("ts").alias("us")).collect()}
+        assert got == {1: -1, 2: 1}
+
     def test_nanos_sweep_is_stamp_cached(self, tmp_path_factory):
         """Repeat inspections reuse the cached footer sweep until a
         file's (size, mtime_ns) stamp changes; a rewrite that adds an
@@ -365,6 +392,53 @@ class TestPartitionedCompaction:
         # second pass: nothing fragmented anymore -> no-op, no job
         assert compact_partitioned(
             spark, path, target_file_bytes=64 * 1024 * 1024) == {}
+
+    def test_hostile_partition_values_round_trip(self, spark, tmp_path):
+        """The partition-matching classes a filter-predicate
+        implementation gets wrong (r9 advice): URI-escaped dir values
+        (``k=a%3Ab`` ⇔ value ``a:b``), type-normalized values
+        (``k=01`` reads as int 1 under inference, so a string
+        predicate never matches and the dir silently never compacts),
+        and the NULL partition (``__HIVE_DEFAULT_PARTITION__``).
+        Path-based reads with inference disabled must compact all
+        three IN PLACE — same dir names after, no duplicate rows, no
+        renamed ``k=1`` dir appearing next to ``k=01``."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from gasket_spark.io import compact_partitioned
+
+        path = str(tmp_path / "th")
+        hostile = spark.range(3000).select(
+            F.when(F.col("id") % 3 == 0, F.lit("a:b"))
+             .when(F.col("id") % 3 == 1, F.lit("01"))
+             .otherwise(F.lit(None).cast("string")).alias("k"),
+            F.col("id").alias("v"))
+        hostile.repartition(10).write.partitionBy("k").parquet(path)
+        dirs_before = sorted(
+            d for d in os.listdir(path) if d.startswith("k="))
+        assert dirs_before == [
+            "k=01", "k=__HIVE_DEFAULT_PARTITION__", "k=a%3Ab"]
+        before = sorted(r.v for r in spark.read.parquet(path).collect())
+
+        report = compact_partitioned(spark, path,
+                                     target_file_bytes=64 * 1024 * 1024)
+        assert sorted(report) == dirs_before  # all three compacted
+        dirs_after = sorted(
+            d for d in os.listdir(path) if d.startswith("k="))
+        assert dirs_after == dirs_before      # no k=1 rename, no adds
+        after = sorted(r.v for r in spark.read.parquet(path).collect())
+        assert after == before                # no duplication, no loss
+        for rel in dirs_before:               # actually compacted
+            n = len([f for f in os.listdir(os.path.join(path, rel))
+                     if f.endswith(".parquet")])
+            assert n < 10
+
+        # inference/overwrite confs restored
+        assert spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+        ) == "true"
 
     def test_multi_level_partitions(self, spark, tmp_path):
         """Two-level k=v/d=v layout: fragmentation judged and

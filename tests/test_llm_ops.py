@@ -556,6 +556,36 @@ class TestPacking:
         with pytest.raises(ValueError, match="checksum"):
             verify_shards(spark, path2)
 
+    def test_manifest_describes_on_disk_bytes_not_plan(
+            self, spark, tmp_path):
+        """A NONDETERMINISTIC upstream plan (every re-execution yields
+        different rows) must still produce a manifest that verifies
+        clean: fingerprints are taken from a read-back of the written
+        files, never from a separate pre-write action whose
+        re-execution could certify content that was never written
+        (r9 advice — phantom corruption / wrong baseline)."""
+        from pyspark.sql.types import LongType
+
+        from gasket_spark.operators.packing import (
+            verify_shards, write_shards_with_manifest)
+
+        calls = {"n": 0}
+
+        def _bump(v):
+            calls["n"] += 1
+            return calls["n"] * 1_000_000 + v
+
+        bump = F.udf(_bump, LongType()).asNondeterministic()
+        df = spark.range(200).coalesce(1).select(
+            (F.col("id") % 4).alias("shard_id"),
+            bump(F.col("id")).alias("payload"))
+        path = str(tmp_path / "nd_shards")
+        manifest = write_shards_with_manifest(df, path)
+        assert len(manifest["shards"]) == 4
+        # the written bytes ARE what the manifest certifies, even
+        # though a second execution of `df` would differ
+        assert verify_shards(spark, path) == []
+
 
 class TestIncrementalDedup:
     def test_new_batch_matches_corpus_only(self, spark, docs):

@@ -85,7 +85,32 @@ def base_round(base: str) -> float:
         return float("inf")  # unknown base tree: never exempt
     rounds = [int(m.group(1)) for n in names
               if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", n))]
-    return float(max(rounds)) if rounds else 0.0
+    # a base tree with ZERO artifacts (user-supplied ref predating
+    # them all) must behave like the unknown-tree case: brnd=0.0
+    # would silently exempt nearly every green (r9 advice)
+    return float(max(rounds)) if rounds else float("inf")
+
+
+def last_commit_ts(path: str) -> float:
+    """Committer timestamp of the newest commit touching `path`
+    (0.0 if never committed — e.g. a brand-new file)."""
+    try:
+        out = _git("log", "-1", "--format=%ct", "HEAD", "--", path)
+        return float(out.strip() or 0.0)
+    except subprocess.CalledProcessError:  # pragma: no cover
+        return 0.0
+
+
+def artifact_mtime(rnd: float) -> float:
+    """mtime of the on-disk CORRECTNESS artifact for round `rnd`
+    (-inf if absent — never exempt on a missing artifact)."""
+    p = os.path.join(REPO, f"CORRECTNESS_r{int(rnd):02d}.json")
+    if not os.path.exists(p):
+        p = os.path.join(REPO, f"CORRECTNESS_r{int(rnd)}.json")
+    try:
+        return os.path.getmtime(p)
+    except OSError:
+        return float("-inf")
 
 
 def changed_lines(base: str) -> dict[str, list[tuple[int, int]]]:
@@ -192,6 +217,7 @@ def main() -> None:
 
     hunks = changed_lines(base)
     affected: dict[str, set[str]] = {}   # query -> reasons
+    qpaths: dict[str, set[str]] = {}     # query -> changed paths behind it
     warnings: list[str] = []
     changed_helpers: list[tuple[str, str]] = []  # (name, path)
 
@@ -223,6 +249,7 @@ def main() -> None:
                     continue
                 if name.startswith("q_"):
                     affected.setdefault(name, set()).add("direct edit")
+                    qpaths.setdefault(name, set()).add(path)
                 else:
                     changed_helpers.append((name, path))
 
@@ -236,14 +263,26 @@ def main() -> None:
                             "by hand")
         for q in users:
             affected.setdefault(q, set()).add(f"calls {helper}")
+            qpaths.setdefault(q, set()).add(path)
 
     from gasket_spark.queries import QUERIES, _signal_rank
     rank = _signal_rank()
     pos = {n: i + 1 for i, n in enumerate(QUERIES)}  # registration order
     brnd = base_round(base)
     in_window = {q for q in affected if pos.get(q, 10 ** 9) <= window}
-    certified = {q for q in affected
-                 if q not in in_window and rank.get(q, 0.0) > brnd}
+    # CERT exemption: rank > brnd alone is NOT enough — an edit
+    # committed AFTER the round-N driver drop still carries rank N
+    # (r9 advice). Require the artifact file that certifies rank N to
+    # be NEWER than the last commit touching every changed path
+    # behind the query, so the certifying run provably saw the edits.
+    certified = set()
+    for q in affected:
+        if q in in_window or rank.get(q, 0.0) <= brnd:
+            continue
+        paths = qpaths.get(q)
+        if paths and artifact_mtime(rank[q]) >= max(
+                last_commit_ts(p) for p in paths):
+            certified.add(q)
     exposed = {q for q in affected
                if q in pos and q not in in_window
                and q not in certified and q not in acks}
