@@ -108,54 +108,73 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic seeded random hyperplanes (driver-side, tiny —
-    n_planes × dim floats broadcast as a literal)."""
+EMB_SCALE = 1e12  # embedding elements (|x| ≲ 1) round once to exact
+# int64 "picounits"; with INTEGER plane coords (|p| ≲ 5e3) a 64-term
+# dot stays < 64·1e12·5e3 ≈ 3e17 ≪ 2^63 — all-integer, overflow-free.
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42,
+                 scale: int = 1000) -> list[list[int]]:
+    """Deterministic seeded random hyperplanes with INTEGER
+    coordinates (Gaussian draws scaled by ``scale`` and rounded) —
+    driver-side, tiny (n_planes × dim ints broadcast as a literal).
+
+    Integer coordinates are the r10 bit-exactness fix: float plane
+    constants embedded in oracle SQL text parse as DECIMAL in DuckDB
+    and double-round 1 ULP off (tests/test_cross_engine.py::
+    test_decimal_literal_pitfall), so cross-engine sign agreement
+    rested on a per-corpus margin argument. Small integers render
+    exactly in SQL text, and the whole sign decision becomes exact
+    int64 arithmetic — bit-identical across engines BY CONSTRUCTION,
+    for any corpus. Rounding a Gaussian to 1/1000 granularity
+    perturbs each direction by ≲0.1% — immaterial to LSH quality."""
     rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).tolist()
+    return np.round(rng.randn(n_planes, dim) * scale) \
+        .astype(np.int64).tolist()
 
 
-def lsh_bucket_hof(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket_hof(vec: Column, planes: list[list[int]]) -> Column:
     """Sign-bit bucket id: bit j = 1 iff v · plane_j > 0 (JVM fold).
-    Interpreted-HOF fallback; hot path is :func:`lsh_bucket`."""
+    Interpreted-HOF fallback; hot path is :func:`lsh_bucket`. Same
+    exact-integer arithmetic: one HALF_UP round of each element to
+    EMB_SCALE units, then integer multiply-add."""
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = F.array(*[F.lit(int(x)).cast("long") for x in plane])
         dot = F.aggregate(
             F.zip_with(vec, lit_plane,
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, p: acc + p)
+                       lambda x, y: F.round(
+                           x.cast("double") * F.lit(EMB_SCALE))
+                       .cast("long") * y),
+            F.lit(0).cast("long"), lambda acc, p: acc + p)
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Vectorized sign-bit bucket id, one pass per Arrow batch.
     Deterministic for fixed planes; every caller (corpus side and
     probe side) uses this same kernel so bucket ids always agree.
 
-    Each sign decision is made on the INTEGER-SCALED dot product
-    (HALF_UP-rounded per-element products summed as int64 — the same
-    arithmetic as :func:`_dot_scaled`), not on a float accumulation:
-    float sums depend on summation order (numpy pairwise vs a SQL
-    engine's sequential fold), and a sign that flips across engines
-    would silently change bucket membership. Integer sums are
-    order-independent, which is what lets q_sim_ann's oracle
-    re-derive the buckets in ANSI SQL. (The oracle's embedded plane
-    literals are up to 1 ULP off after DuckDB's decimal-literal
-    double-rounding — see _ann_bucket_sql's precision note; the sign
-    agreement rests on the ≥5e9× margin between the smallest |scaled
-    dot| and the ≤64-unit worst-case perturbation, pinned by
-    tests/test_cross_engine.py.)"""
-    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    Each sign decision is EXACT int64 arithmetic: every embedding
+    element is HALF_UP-rounded ONCE to EMB_SCALE (1e-12) units — a
+    single deterministic double op both engines perform identically —
+    and the dot against the INTEGER plane coordinates is then pure
+    int64 multiply-add, order-independent and bit-identical in numpy,
+    Spark, and ANSI SQL by construction. No float accumulation (order-
+    dependent) and, since r10, no float plane constants (DuckDB
+    decimal-literal double-rounding made repr-embedded floats 1 ULP
+    off; see _hyperplanes). Exactness is pinned — full int64 dot
+    equality per plane, not just sign — by tests/test_cross_engine.py
+    ::TestAnnOracleExactness."""
+    P = np.asarray(planes, dtype=np.int64).T  # (dim, n_planes)
     weights = (1 << np.arange(P.shape[1])).astype(np.int64)
 
     @pandas_udf(LongType())
     def _bucket(v: pd.Series) -> pd.Series:
-        V = np.stack(v.to_numpy()).astype(np.float64)
-        bits = np.empty((V.shape[0], P.shape[1]), dtype=np.int64)
-        for j in range(P.shape[1]):
-            bits[:, j] = (_scaled_int_sum(V * P[:, j]) > 0).astype(np.int64)
+        V = np.stack(v.to_numpy()).astype(np.float64) * EMB_SCALE
+        E = (np.sign(V) * np.floor(np.abs(V) + 0.5)).astype(np.int64)
+        bits = ((E @ P) > 0).astype(np.int64)
         return pd.Series(bits @ weights)
 
     return _bucket(vec)

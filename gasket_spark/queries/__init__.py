@@ -171,7 +171,13 @@ _EDITED_R09: tuple[str, ...] = (
 
 # Queries whose implementation or oracle was EDITED in round 10.
 # Extended as r10 edits land.
-_EDITED_R10: tuple[str, ...] = ()
+_EDITED_R10: tuple[str, ...] = (
+    # integer-plane LSH rewrite (similarity._hyperplanes/lsh_bucket):
+    # the oracle's plane constants are now exact int literals — both
+    # downstream queries demoted for fresh certification.
+    "q_sim_ann",
+    "q_dedup_embedding",
+)
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.

@@ -435,30 +435,25 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5)
 
 
-def _ann_bucket_sql(planes: list[list[float]]) -> str:
+def _ann_bucket_sql(planes: list[list[int]]) -> str:
     """SQL twin of :func:`gasket_spark.operators.similarity.lsh_bucket`
-    for a FIXED seeded plane set: the hyperplane constants are
-    embedded as list literals and each sign decision uses the same
-    HALF_UP integer-scaled dot product as the Spark kernel.
-
-    PRECISION NOTE (r9 audit): repr-embedding is NOT bit-exact here —
-    DuckDB parses a 17-significant-digit literal as DECIMAL and the
-    later implicit cast to DOUBLE double-rounds (int128 mantissa →
-    double, then /10^s → double), leaving 68 of these 512 constants
-    one ULP off in the current build. The twin still agrees because
-    the decision is SIGN of an int64 sum: a 1-ULP constant error
-    shifts one rounded term by at most ±1, so the sum differs from
-    Spark's by ≤ 64, while the smallest |scaled dot| in the corpus is
-    ~3.3e11 (tests/test_cross_engine.py pins the margin). The margin,
-    not literal round-tripping, is the cross-engine guarantee; a
-    bit-exact integer-plane rewrite is queued as r10 hygiene."""
+    for a FIXED seeded plane set: the INTEGER hyperplane coordinates
+    are embedded as list literals (small ints render exactly in SQL
+    text — no DuckDB decimal-literal double-rounding, the r9 1-ULP
+    asterisk this r10 rewrite retires) and each sign decision is the
+    kernel's exact int64 arithmetic: one HALF_UP round of each
+    embedding element to 1e-12 units, then integer multiply-add
+    against the plane — bit-identical to Spark by construction, for
+    any corpus (pinned per-plane, full dot equality, by
+    tests/test_cross_engine.py::TestAnnOracleExactness)."""
     terms = []
     for j, plane in enumerate(planes):
-        lits = ", ".join(repr(float(x)) for x in plane)
+        lits = ", ".join(str(int(x)) for x in plane)
         terms.append(
             f"(CASE WHEN CAST(list_sum(list_transform(range(1, 65), i -> "
-            f"CAST(round(CAST(embedding[i] AS DOUBLE) * ([{lits}])[i] * 1e15)"
-            f" AS BIGINT))) AS BIGINT) > 0 THEN {1 << j} ELSE 0 END)")
+            f"CAST(round(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)"
+            f" * CAST(([{lits}])[i] AS BIGINT))) AS BIGINT) > 0"
+            f" THEN {1 << j} ELSE 0 END)")
     return " + ".join(terms)
 
 
@@ -499,14 +494,16 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiprobe) — the sublinear scale path for the same question
     q_sim_topk answers exactly.
 
-    HASH-verified, not rows-only: the seeded hyperplanes are constants,
-    every sign decision is an order-independent integer-scaled dot
-    product (see ``lsh_bucket``), and the Hamming-1 multiprobe makes
-    the candidate set exactly {c : hamming(bucket_q, bucket_c) <= 1} —
-    so the oracle re-derives buckets, candidates, exact-rerank cosines,
-    and the top-5 in ANSI SQL and the outputs match bit for bit. The
-    approximation vs exact search is unchanged; what's pinned is that
-    BOTH engines compute the same approximation."""
+    HASH-verified, not rows-only: the seeded hyperplanes are INTEGER
+    constants (exact in SQL text — no decimal-literal rounding), every
+    sign decision is exact int64 arithmetic after one HALF_UP round of
+    each embedding element (see ``lsh_bucket``), and the Hamming-1
+    multiprobe makes the candidate set exactly
+    {c : hamming(bucket_q, bucket_c) <= 1} — so the oracle re-derives
+    buckets, candidates, exact-rerank cosines, and the top-5 in ANSI
+    SQL and the outputs match bit for bit BY CONSTRUCTION, for any
+    corpus. The approximation vs exact search is unchanged; what's
+    pinned is that BOTH engines compute the same approximation."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_lsh_topk(emb, queries, k=5)

@@ -30,9 +30,12 @@ float64 transfer), exactly how the driver's parquet views do it.
 Oracle-authoring rule pinned by ``test_decimal_literal_pitfall``:
 never let a comparison rest on a repr-embedded double being
 bit-exact in DuckDB. The registry's one literal-embedding oracle
-(q_sim_ann's 512 plane constants, 68 of them 1 ULP off in this
-build) survives on an integer-sum MARGIN instead — pinned below by
-``TestAnnOracleMargin``.
+(q_sim_ann's 512 plane constants) embeds INTEGER coordinates since
+r10 — small ints render exactly in SQL text, and the whole sign
+decision is exact int64 arithmetic, so cross-engine agreement is by
+construction rather than by a per-corpus margin. Pinned below —
+full per-plane int64 dot equality, not just sign — by
+``TestAnnOracleExactness``.
 """
 
 from __future__ import annotations
@@ -172,32 +175,54 @@ class TestCrossEngineArithmetic:
             duck.unregister("tp")
 
 
-class TestAnnOracleMargin:
-    def test_lsh_sign_margin_dwarfs_literal_ulp_error(self):
-        """q_sim_ann's oracle embeds 512 plane constants as SQL
-        literals; DuckDB's decimal double-rounding leaves ~13% of
-        them one ULP off (see test_decimal_literal_pitfall). The
-        bucket ids still agree across engines because each sign
-        decision is an int64 sum where a 1-ULP constant error moves
-        one rounded term by at most ±1 (64 terms → ≤64 total), while
-        the corpus's smallest |scaled dot| is ~11 orders larger.
-        This pins that margin so a future fixture/plane change that
-        erodes it fails HERE, not as a driver hash red."""
+class TestAnnOracleExactness:
+    """r10 replacement for the retired TestAnnOracleMargin: with
+    INTEGER plane coordinates the q_sim_ann oracle is bit-exact by
+    construction — no per-corpus margin argument. Pin it directly:
+    for every embedding and every plane, the FULL int64 scaled dot
+    (not merely its sign) computed by the numpy kernel equals what
+    DuckDB computes from the literal-embedded oracle expression."""
+
+    def test_plane_literals_are_exact_integers(self):
+        from gasket_spark.operators.similarity import _hyperplanes
+
+        planes = _hyperplanes(64, 8, 42)
+        assert all(isinstance(x, int) for p in planes for x in p)
+        # small enough that BIGINT products of picounit elements
+        # stay far inside int64 (64 · 1e12 · max|p| < 2^63)
+        assert max(abs(x) for p in planes for x in p) < 10_000
+
+    def test_duckdb_dot_matches_kernel_bit_for_bit(self, duck):
         import numpy as np
 
-        from gasket_spark.operators.similarity import _hyperplanes
+        from gasket_spark.operators.similarity import (
+            EMB_SCALE, _hyperplanes)
 
         emb = pd.read_parquet(
             "/root/testdata/sf0.001/embeddings.parquet")
         V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-        P = np.asarray(_hyperplanes(64, 8, 42)).T  # (dim, planes)
-        min_abs = None
-        for j in range(P.shape[1]):
-            y = V * P[:, j] * 1e15
-            s = (np.sign(y) * np.floor(np.abs(y) + 0.5)) \
-                .astype(np.int64).sum(axis=1)
-            m = np.abs(s).min()
-            min_abs = m if min_abs is None else min(min_abs, m)
-        # worst-case cross-engine perturbation: one unit per term
-        assert min_abs > 64 * 10**6, (
-            f"sign margin {min_abs} too small vs ULP perturbation")
+        planes = _hyperplanes(64, 8, 42)
+        P = np.asarray(planes, dtype=np.int64).T      # (dim, planes)
+        S = V * EMB_SCALE
+        E = (np.sign(S) * np.floor(np.abs(S) + 0.5)).astype(np.int64)
+        want = E @ P                                   # (n, planes)
+
+        duck.register("emb", emb[["vec_id", "embedding"]])
+        try:
+            dots = []
+            for plane in planes:
+                lits = ", ".join(str(int(x)) for x in plane)
+                dots.append(
+                    "CAST(list_sum(list_transform(range(1, 65), i -> "
+                    "CAST(round(CAST(embedding[i] AS DOUBLE) * 1e12) "
+                    f"AS BIGINT) * CAST(([{lits}])[i] AS BIGINT))) "
+                    "AS BIGINT)")
+            got = duck.execute(
+                f"SELECT {', '.join(dots)} FROM emb ORDER BY vec_id"
+            ).fetchnumpy()
+        finally:
+            duck.unregister("emb")
+        order = np.argsort(emb["vec_id"].to_numpy(), kind="stable")
+        for j, col in enumerate(got):
+            assert np.array_equal(got[col], want[order, j]), (
+                f"plane {j}: DuckDB dot diverges from kernel")
