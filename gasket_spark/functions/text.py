@@ -65,13 +65,16 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length sweet-spot, low punct
     density, presence of stopwords — the standard cheap pre-filter
-    before expensive model scoring."""
+    before expensive model scoring. Returns the raw double composite;
+    callers that need a cross-engine-hashable value fixed-point it
+    (every op here is IEEE-exact: +, *, /, least/greatest — so
+    floor(x*1e9 + 0.5) is bit-agreed by construction)."""
     c = F.col(col) if isinstance(col, str) else col
     len_score = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
     punct_pen = F.least(punct_ratio(c) * 5, F.lit(1.0))
     stop_score = F.least(stopword_ratio(c) * 10, F.lit(1.0))
-    return F.round((len_score * 0.5 + stop_score * 0.3
-                    + (1 - punct_pen) * 0.2), 6)
+    return (len_score * 0.5 + stop_score * 0.3
+            + (1 - punct_pen) * 0.2)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

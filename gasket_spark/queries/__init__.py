@@ -177,6 +177,14 @@ _EDITED_R10: tuple[str, ...] = (
     # downstream queries demoted for fresh certification.
     "q_sim_ann",
     "q_dedup_embedding",
+    # round(x, N>0) → fixed-point conversion batch (quality_ppb,
+    # tfidf_micro, entropy_micro, sum_lp_micro/avg_logprob_ppb,
+    # metric_micro): output schemas changed — fresh certification.
+    "q_text_quality",
+    "q_tfidf",
+    "q_text_entropy",
+    "q_lm_score",
+    "q_multimodal_decode",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

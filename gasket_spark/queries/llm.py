@@ -69,24 +69,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_quality",
     oracle="""
     SELECT doc_id,
-           round(least(length(text) / 200.0, 1.0) * 0.5
+           CAST(floor((least(length(text) / 200.0, 1.0) * 0.5
                  + least(len(list_filter(string_split(text, ' '),
                      t -> t IN ('the','a','and','of','to')))
                    / greatest(len(string_split(text, ' ')), 1) * 10, 1.0) * 0.3
                  + (1 - least(len(regexp_extract_all(text, '[.!?,;:]'))
-                      / greatest(length(text), 1) * 5, 1.0)) * 0.2,
-                 6) AS quality,
+                      / greatest(length(text), 1) * 5, 1.0)) * 0.2)
+                 * 1e9 + 0.5) AS BIGINT) AS quality_ppb,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
     FROM documents
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristic (length sweet-spot + stopword
-    presence + punctuation density) — the pre-model filter."""
+    presence + punctuation density) — the pre-model filter. The score
+    is emitted in integer parts-per-billion: every op in the composite
+    is IEEE-exact (+, *, /, least), so floor(x*1e9 + 0.5) is
+    bit-agreed across engines by construction — no decimal round()
+    in either engine's final select."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.quality_score("text").alias("quality"),
+        F.floor(T.quality_score("text") * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint").alias("quality_ppb"),
         T.token_count("text").alias("n_tokens"),
     )
 
@@ -638,22 +643,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'avi:' || vw || 'x' || vh || ':' || vn || '@10'
            END AS feature,
            CASE WHEN doc_id % 3 = 1
-                THEN round(sqrt(CAST(list_sum(list_transform(
+                THEN CAST(round(sqrt(CAST(list_sum(list_transform(
                        range(0, length(text)),
                        i -> ((doc_id * 31 + i * 7) % 256 - 128)
                           * ((doc_id * 31 + i * 7) % 256 - 128)))
-                     AS DOUBLE) / length(text)), 6)
+                     AS DOUBLE) / length(text)) * 1e6) AS BIGINT)
                 WHEN doc_id % 3 = 0
-                THEN round(CAST(list_sum(list_transform(
+                THEN CAST(round(CAST(list_sum(list_transform(
                        range(0, 3 * w * h),
                        i -> (doc_id * 13 + i * 5) % 256))
-                     AS DOUBLE) / (3 * w * h), 6)
-                ELSE round(CAST(list_sum(list_transform(
+                     AS DOUBLE) / (3 * w * h) * 1e6) AS BIGINT)
+                ELSE CAST(round(CAST(list_sum(list_transform(
                        range(0, vn * 3 * vw * vh),
                        k -> (doc_id * 17 + (k // (3 * vw * vh)) * 11
                              + (k % (3 * vw * vh)) * 3) % 256))
-                     AS DOUBLE) / (vn * 3 * vw * vh), 6)
-           END AS metric
+                     AS DOUBLE) / (vn * 3 * vw * vh) * 1e6) AS BIGINT)
+           END AS metric_micro
     FROM m
     """,
 )
@@ -670,10 +675,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     BGR + stride padding → top-down RGB), metric = mean pixel across
     all frames, checksum over the canonical frame-major pixels. All
     re-derived in closed form by the oracle, so every decode is
-    exact-checked cross-engine."""
+    exact-checked cross-engine. The decoder emits metric as a
+    fixed-point double (floor(x*1e6+0.5)/1e6, an exact integer/1e6);
+    the query recovers the integer micro units with round-0 of
+    metric*1e6 (error from the /1e6 round-trip is <= 7e-6 << 0.5), so
+    the hashed value is an exact BIGINT on both engines — the
+    q_pipeline_multimodal metric_micro recipe."""
     docs = read_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_media(docs)).select(
-        "media_id", "modality", "n_bytes", "checksum", "feature", "metric")
+        "media_id", "modality", "n_bytes", "checksum", "feature",
+        F.round(F.col("metric") * F.lit(1e6)).cast("bigint")
+        .alias("metric_micro"))
 
 
 @query(
@@ -717,14 +729,15 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6)
-               AS tfidf
+             tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                                * 1e6) AS BIGINT) AS tfidf_micro
       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY doc_id
-               ORDER BY tfidf DESC, term) AS rk
+               ORDER BY tfidf_micro DESC, term) AS rk
       FROM scored)
-    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rank
+    SELECT doc_id, term, CAST(tfidf_micro AS BIGINT) AS tfidf_micro,
+           CAST(rk AS INT) AS rank
     FROM ranked WHERE rk <= 3
     """,
 )
@@ -734,8 +747,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term dictionary is tiny relative to the corpus) → windowed
     top-k. Two shuffles total (term counts, doc partitioning); the
     idf table broadcasts at any corpus size where |vocab| ≪ |corpus|.
-    Scores rounded to 1e-6 so cross-engine ln() ULP noise can't leak
-    into the comparison."""
+    The per-TERM idf is fixed-pointed FIRST (round-0 of ln()·1e6 —
+    integer±0.5 ties are exact in a double, so round-0 agrees across
+    engines) and the score is the exact integer product tf·idf_micro:
+    the window order and the emitted value are integer math end to
+    end, so libm ln() ULP noise is confined to the one round-0 mask
+    (the q_lm_score precedent) instead of a decimal round on the
+    final double."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " "))
                        .alias("term"))
@@ -746,17 +764,18 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .select("doc_id", "term",
-                F.round(F.col("tf") * F.log(F.lit(float(n_docs))
-                                            / F.col("df")), 6)
-                .alias("tfidf"))
+                (F.col("tf")
+                 * F.round(F.log(F.lit(float(n_docs)) / F.col("df"))
+                           * F.lit(1e6)).cast("bigint"))
+                .alias("tfidf_micro"))
     )
     from pyspark.sql import Window
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc())
+        F.col("tfidf_micro").desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tfidf", "rank")
+        .select("doc_id", "term", "tfidf_micro", "rank")
     )
 
 
@@ -1566,8 +1585,9 @@ def q_text_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT counts.doc_id,
            CAST(n AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           round(SUM(-(c / CAST(n AS DOUBLE))
-                     * ln(c / CAST(n AS DOUBLE))), 6) AS entropy
+           CAST(SUM(CAST(round((-(c / CAST(n AS DOUBLE)))
+                     * ln(c / CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
+                AS BIGINT) AS entropy_micro
     FROM counts JOIN totals USING (doc_id)
     GROUP BY counts.doc_id, n
     """,
@@ -1578,9 +1598,13 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     token repeated; anomalously high = random noise; real prose sits
     in a band). Shape: token-count aggregate then per-doc entropy
     fold — two shuffles whose volume is (doc, distinct-word) pairs,
-    not the corpus, the same scalable skeleton as TF-IDF. Entropy is
-    rounded to 6 dp so Spark's and DuckDB's libm ln() cannot diverge
-    in the hash (the q_lm_score precedent)."""
+    not the corpus, the same scalable skeleton as TF-IDF. Each
+    per-term contribution -(p)·ln(p) is fixed-pointed to integer
+    micro-nats FIRST (round-0: integer±0.5 ties are exact in a
+    double, so round-0 agrees across engines — the q_lm_score
+    precedent) and the per-doc entropy is the exact integer SUM:
+    order-independent, no double summation or decimal round in
+    either engine's final select."""
     docs = read_table(spark, sf_dir, "documents")
     counts = (
         docs.select("doc_id",
@@ -1588,14 +1612,15 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     )
     p = F.col("c") / F.col("n")
+    term_micro = F.round((-p) * F.log(p) * F.lit(1e6)).cast("bigint")
     return (
         counts
         .withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
         .groupBy("doc_id", "n")
         .agg(F.count(F.lit(1)).alias("n_distinct"),
-             F.round(F.sum(-p * F.log(p)), 6).alias("entropy"))
+             F.sum(term_micro).alias("entropy_micro"))
         .select("doc_id", F.col("n").alias("n_tokens"),
-                "n_distinct", "entropy")
+                "n_distinct", "entropy_micro")
     )
 
 
@@ -1849,8 +1874,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS lp
       FROM bg JOIN c12 USING (t1, t2) JOIN c1 USING (t1))
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
-             AS avg_logprob
+           CAST(SUM(lp) AS BIGINT) AS sum_lp_micro,
+           CAST((SUM(lp) * 1000) // COUNT(*) AS BIGINT)
+             AS avg_logprob_ppb
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1863,9 +1889,12 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram tables are vocabulary-sized, so they BROADCAST and the
     corpus makes one narrow pass — at 100 TB the model tables come
     from the same query over a sample. Per-bigram log-probs are
-    rounded to 1e-6 and summed in integer space so the per-doc mean
+    rounded to 1e-6 and summed in integer space so the per-doc sum
     is partition- and engine-independent (libm ln() can differ by an
-    ULP)."""
+    ULP); the mean stays integer too — avg_logprob_ppb =
+    (Σlp·1000) div n, and DuckDB `//` and Spark `div` both truncate
+    toward zero (pinned in tests/test_cross_engine.py), so no double
+    division or decimal round survives to the final select."""
     docs = read_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     bg = docs.select(
@@ -1885,10 +1914,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.log(F.col("c12").cast("double") / F.col("c1"))
                         * 1000000).cast("bigint").alias("lp"))
     )
-    return scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)) / 1000000.0,
-                6).alias("avg_logprob"))
+        F.sum("lp").alias("sum_lp_micro"))
+    return agg.select(
+        "doc_id", "n_bigrams", "sum_lp_micro",
+        F.expr("CAST((sum_lp_micro * 1000) div n_bigrams AS BIGINT)")
+        .alias("avg_logprob_ppb"))
 
 
 @query(
