@@ -6535,3 +6535,97 @@ def q_sql_sales_opportunity(spark: SparkSession,
             .groupBy("cc")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.sum("cents").cast("bigint").alias("total_cents")))
+
+
+@query(
+    "q_sql_market_share",
+    oracle="""
+    WITH all_nations AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS volume_cents,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND p.p_type = 'ECONOMY'),
+    g AS (
+      SELECT o_year,
+             CAST(SUM(CASE WHEN nation = 'NATION_12'
+                           THEN volume_cents ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+             CAST(SUM(volume_cents) AS BIGINT) AS total_cents
+      FROM all_nations GROUP BY o_year)
+    SELECT o_year, nation_cents, total_cents,
+           CASE WHEN total_cents <> 0
+                THEN CAST((CAST(nation_cents AS HUGEINT) * 1000000000)
+                          // total_cents AS BIGINT)
+           END AS mkt_share_ppb
+    FROM g
+    """,
+)
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share) via spark.sql — NATION_12
+    suppliers' share of the ASIA market for ECONOMY parts by order
+    year, over the full 7-table snowflake (the last classic shape
+    this fixture's tables support; Q9 alone needs the absent
+    partsupp). Reference parity: gasket expresses multi-stage
+    relational work as piped stages (reference index.js:1-258);
+    here the whole snowflake is ONE declarative plan.
+
+    Plan shape: p_type prunes part at the scan and the date window
+    prunes orders; part, supplier, both nation aliases, and region
+    all broadcast (nation must stay a distinct self-join pair — the
+    Q7 lesson), so the only real exchanges are the two fact-grain
+    joins lineitem⋈orders (orderkey) and orders⋈customer (custkey).
+    The share-of-group is the conditional-aggregate CASE WHEN inside
+    SUM — numerator and denominator fold into the SAME partial
+    aggregate, one shuffle of year-grain partials. Both stay exact
+    integer cents; the share is FIXED-POINT ×1e9 via truncating
+    integer div (Spark `div` / DuckDB `//`, widened to
+    decimal(38,0)/HUGEINT before the multiply — the q_sql_promo_share
+    recipe), so no engine-rounded double leaves the query. At 100 TB
+    the same plan holds: dims are O(nations+filtered parts), the two
+    shuffles are key-partitioned fact joins AQE can skew-split."""
+    for t in ("part", "supplier", "lineitem", "orders", "customer",
+              "nation", "region"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q8_{t}")
+    return spark.sql("""
+        WITH all_nations AS (
+          SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT) AS volume_cents,
+                 n2.n_name AS nation
+          FROM _q8_part p
+          JOIN _q8_lineitem l ON p.p_partkey = l.l_partkey
+          JOIN _q8_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN _q8_orders o ON l.l_orderkey = o.o_orderkey
+          JOIN _q8_customer c ON o.o_custkey = c.c_custkey
+          JOIN _q8_nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN _q8_region r ON n1.n_regionkey = r.r_regionkey
+          JOIN _q8_nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA'
+            AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            AND p.p_type = 'ECONOMY'),
+        g AS (
+          SELECT o_year,
+                 SUM(CASE WHEN nation = 'NATION_12'
+                          THEN volume_cents ELSE 0 END) AS nation_cents,
+                 SUM(volume_cents) AS total_cents
+          FROM all_nations GROUP BY o_year)
+        SELECT o_year, nation_cents, total_cents,
+               CASE WHEN total_cents <> 0
+                    THEN CAST((CAST(nation_cents AS DECIMAL(38,0))
+                               * 1000000000) div total_cents AS BIGINT)
+               END AS mkt_share_ppb
+        FROM g
+    """)

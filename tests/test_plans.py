@@ -413,6 +413,21 @@ class TestNewQueryPlanContracts:
         assert plan.count("Scan parquet") == 12, plan
         assert "SortMergeJoin" not in plan
 
+    def test_sql_q8_snowflake_broadcasts_and_pushes(self, spark):
+        """Q8's 7-table snowflake: nation joined twice (8 logical
+        scans → 16 printed), every dim broadcast at this size, the
+        p_type / r_name / order-date filters all pushed to their
+        scans, and the share folded into ONE year-grain two-phase
+        aggregate (numerator and denominator in the same partials —
+        no second pass over the join tree)."""
+        plan = _plan(QUERIES["q_sql_market_share"](spark, SF_SMALL))
+        assert plan.count("Scan parquet") == 16, plan
+        assert "SortMergeJoin" not in plan
+        assert "EqualTo(p_type,ECONOMY)" in plan
+        assert "EqualTo(r_name,ASIA)" in plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
+        assert plan.count("HashAggregate (") == 2
+
     def test_sql_q10_pushes_returnflag_take_ordered(self, spark):
         plan = _plan(QUERIES["q_sql_returned_items"](spark, SF_SMALL))
         assert "TakeOrderedAndProject" in plan
