@@ -118,6 +118,59 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def windowed_leaderboard(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "5 minutes") -> DataFrame:
+    """Streaming per-(window, user) running totals — the stateful
+    half of a windowed top-k leaderboard ("top spenders per hour").
+
+    Deliberately JVM-native (a watermarked windowed aggregate in
+    APPEND mode), not ``applyInPandasWithState``: the state rows are
+    (window, user) partial aggregates maintained by StateStoreSave,
+    each finalized window row is emitted EXACTLY ONCE when the
+    watermark passes its end, and the same watermark EVICTS the
+    window's state (numRowsRemoved > 0 in the state-operator
+    metrics — proven by
+    tests/test_streaming.py::test_windowed_leaderboard_state_evicts).
+    Peak state is bounded by the TIME HORIZON (open windows ×
+    active users), never by replay length — the property that keeps
+    a 100 TB/day leaderboard's state store flat. Totals accumulate
+    in exact integer cents (round-before-cast), so results are
+    replay- and partition-order independent.
+
+    The top-k CUT is a bounded post-pass on finalized
+    aggregate-grain rows (:func:`leaderboard_topk`) — ranking never
+    needs to live in the state store.
+
+    Reference parity: gasket's `pipe` composes a stream through
+    stage processes (reference index.js:1-258); here the stage is a
+    declarative stateful operator Catalyst schedules.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("total_cents"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "user_id", "n", "total_cents")
+    )
+
+
+def leaderboard_topk(finalized: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k cut over :func:`windowed_leaderboard` output
+    (finalized rows — a batch DataFrame read back from the sink).
+    Deterministic order: total_cents desc, then user_id. Aggregate
+    grain in, k rows per window out — the dashboard-side read."""
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("w_start")
+        .orderBy(F.col("total_cents").desc(), F.col("user_id")))
+    return (finalized.withColumn("rk", rk).filter(F.col("rk") <= k)
+            .withColumn("rk", F.col("rk").cast("int")))
+
+
 def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
                     watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-key within the watermark horizon

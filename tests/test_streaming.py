@@ -195,6 +195,81 @@ class TestStreamingEqualsBatch:
         assert totals[-1] <= 40, totals
         assert removed > 0  # eviction actually ran
 
+    def test_windowed_leaderboard_state_evicts(self, spark, tmp_path):
+        """EVICTION PROOF for the streaming leaderboard (the r9
+        semi-join recipe applied to the windowed-aggregate state
+        shape): a 50-hour ordered replay (10 files, 1 file/trigger,
+        1 h windows, 5 min watermark) must (a) emit every finalized
+        window EXACTLY once with exact integer-cent totals, (b) hold
+        peak state far below the full window×user history, and (c)
+        actually remove rows (numRowsRemoved > 0) as the watermark
+        closes windows. Without append-mode watermark eviction this
+        state grows linearly with replay length — the at-scale
+        failure mode the operator exists to prevent."""
+        from gasket_spark.streaming.core import (
+            leaderboard_topk, read_events_stream, windowed_leaderboard)
+
+        path = tmp_path / "board"
+        path.mkdir()
+        rows = []
+        for h in range(50):
+            ts = f"2024-01-{1 + h // 24:02d}T{h % 24:02d}"
+            rows.append({"event_id": 2 * h, "ts": f"{ts}:00:00",
+                         "user_id": 1, "event_type": "purchase",
+                         "value": float(h), "props": "{}"})
+            rows.append({"event_id": 2 * h + 1, "ts": f"{ts}:30:00",
+                         "user_id": 2, "event_type": "purchase",
+                         "value": float(2 * h), "props": "{}"})
+        import time as _time
+        base_t = _time.time() - 600
+        for i in range(10):  # time-ordered files → advancing watermark
+            f = path / f"f{i:02d}.json"
+            with open(f, "w") as fh:
+                for r in rows[i * 10:(i + 1) * 10]:
+                    fh.write(json.dumps(r) + "\n")
+            os.utime(f, (base_t + i, base_t + i))
+        board = windowed_leaderboard(
+            read_events_stream(spark, str(path), max_files_per_trigger=1),
+            window="1 hour", watermark="5 minutes")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (board.writeStream.format("memory")
+                 .queryName("t_board_evict").outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            progress = [p for p in q.recentProgress
+                        if p.get("stateOperators")]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        got = spark.table("t_board_evict")
+        # watermark reaches 49:25 → windows 0..48 finalize, window 49
+        # stays open: 49 windows × 2 users, each exactly once
+        assert got.count() == 98
+        assert got.select("w_start", "user_id").distinct().count() == 98
+        vals = {(r["w_start"].hour + 24 * (r["w_start"].day - 1),
+                 r["user_id"]): (r["n"], r["total_cents"])
+                for r in got.collect()}
+        for h in range(49):
+            assert vals[(h, 1)] == (1, 100 * h)
+            assert vals[(h, 2)] == (1, 200 * h)
+        # top-1 cut: user 2 wins every window except the h=0 tie,
+        # which breaks to the smaller user_id
+        top1 = {(r["w_start"].hour + 24 * (r["w_start"].day - 1)):
+                r["user_id"]
+                for r in leaderboard_topk(got, k=1).collect()}
+        assert top1[0] == 1
+        assert all(top1[h] == 2 for h in range(1, 49))
+        totals = [p["stateOperators"][0]["numRowsTotal"]
+                  for p in progress]
+        removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                      for p in progress)
+        # 98 finalized state rows existed over the replay; the store
+        # must never hold more than a ~1-batch watermark lag of them
+        assert max(totals) <= 40, totals
+        assert totals[-1] <= 40, totals
+        assert removed > 0  # eviction actually ran
+
     def test_stream_anti_join_needs_watermark_proof(self, spark,
                                                     tmp_path):
         """LEFT ANTI (negative evidence): purchases WITHOUT a prior-
