@@ -142,8 +142,11 @@ def _stripped_ast_dump(src: str, name: str) -> str | None:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                              ast.ClassDef)) and node.name == name:
             for sub in [node, *ast.walk(node)]:
+                # .body is a single expression on Lambda/IfExp nodes —
+                # only statement LISTS can open with a docstring
                 body = getattr(sub, "body", None)
-                if (body and isinstance(body[0], ast.Expr)
+                if (body and isinstance(body, list)
+                        and isinstance(body[0], ast.Expr)
                         and isinstance(body[0].value, ast.Constant)
                         and isinstance(body[0].value.value, str)):
                     del body[0]
