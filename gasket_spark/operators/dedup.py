@@ -240,6 +240,69 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold_num: int = 9, threshold_den: int = 10,
+                      max_doc_freq: int | None = 256) -> DataFrame:
+    """DIRECTED shingle-containment near-dup pairs: emit
+    (contained_id, container_id) whenever |A∩B| ≥ (num/den)·|A| —
+    the asymmetric signal Jaccard structurally misses. A short
+    document quoted whole inside a long one has |A∩B| = |A| (perfect
+    containment) but Jaccard |A|/|B| ≈ 0; training-data curation
+    cares about exactly this shape (boilerplate wrappers, quoted
+    articles, prompt templates embedded in longer pages).
+
+    Same scalable skeleton as :func:`ngram_jaccard_pairs`: one
+    df-capped inverted index on 64-bit hashed shingles, ONE
+    self-equi-join on the shingle producing each unordered pair once
+    (id < id), then BOTH directed containments derived from the same
+    (n_common, |A|, |B|) row — no second pass over the index. The
+    threshold is a RATIONAL compared by integer cross-multiply
+    (n_common·den ≥ num·|A|), so the cut is engine-exact — no float
+    ratio crosses a boundary differently elsewhere. ``max_doc_freq``
+    caps the self-join fan-out exactly as in ngram_jaccard_pairs
+    (Σ df² pairs per shingle uncapped — the 100 TB guard).
+
+    Reference parity: gasket pipes a corpus through filter stages
+    (reference index.js:1-258); containment screening is such a
+    stage, here one declarative plan."""
+    inv0 = df.select(
+        id_col,
+        F.explode(T.hashed_shingle_set(text_col, n)).alias("s"))
+    if max_doc_freq is not None:
+        keep = (inv0.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_doc_freq).select("s"))
+        inv = inv0.join(keep, "s")
+    else:
+        inv = inv0
+    inv = inv.persist()
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, [F.col("a.s") == F.col("b.s"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_lo"),
+                 F.col(f"b.{id_col}").alias("id_hi"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    lo = sizes.select(F.col(id_col).alias("id_lo"),
+                      F.col("n_sh").alias("n_lo"))
+    hi = sizes.select(F.col(id_col).alias("id_hi"),
+                      F.col("n_sh").alias("n_hi"))
+    j = common.join(lo, "id_lo").join(hi, "id_hi")
+    num, den = F.lit(threshold_num), F.lit(threshold_den)
+    fwd = (j.filter(F.col("n_common") * den >= num * F.col("n_lo"))
+           .select(F.col("id_lo").alias("contained_id"),
+                   F.col("id_hi").alias("container_id"),
+                   "n_common", F.col("n_lo").alias("n_contained")))
+    rev = (j.filter(F.col("n_common") * den >= num * F.col("n_hi"))
+           .select(F.col("id_hi").alias("contained_id"),
+                   F.col("id_lo").alias("container_id"),
+                   "n_common", F.col("n_hi").alias("n_contained")))
+    return fwd.unionByName(rev)
+
+
 def incremental_minhash_pairs(new: DataFrame, corpus: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", n: int = 3,

@@ -97,6 +97,43 @@ def pack_shards(df: DataFrame, token_col: str, id_col: str,
     return out
 
 
+def rendezvous_assign(df: DataFrame, key_col: str, n_shards: int,
+                      out_col: str = "shard") -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to argmax over shards of md5(key ':' shard) — the
+    consistent-hashing scheme whose defining property is MINIMAL
+    MOVEMENT: growing n→n+1 shards reassigns only the keys whose new
+    shard wins the argmax, i.e. an expected 1/(n+1) of the corpus
+    (mod-hashing reshuffles ~all of it). That is what makes periodic
+    re-sharding of a 100 TB content-addressed store an incremental
+    copy instead of a full rewrite.
+
+    Entirely JVM-side and engine-exact: the per-shard weights are
+    md5 hex strings and the argmax is ``array_max`` over
+    (weight, shard) structs — lexicographic string order, no floats,
+    so the same assignment is derivable in ANSI SQL (a DuckDB oracle
+    states the identical argmax). O(n_shards) work per row — the
+    inherent HRW cost, fine for shard counts in the hundreds; beyond
+    that, jump-consistent hashing is the constant-time alternative
+    (needs float iterates, so it trades away the cross-engine
+    exactness this repo pins).
+
+    Reference parity: gasket's `fork` fans a stream out to N branches
+    (reference index.js:1-258); rendezvous_assign is the stable
+    fan-out rule a resumable pipeline needs."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col).cast("string")
+    pairs = F.array(*[
+        F.struct(
+            F.md5(F.concat(key, F.lit(f":{s}"))).alias("w"),
+            F.lit(s).alias("shard"))
+        for s in range(n_shards)
+    ])
+    return df.withColumn(out_col,
+                         F.array_max(pairs)["shard"].cast("int"))
+
+
 def shard_fingerprints(df: DataFrame, shard_col: str = "shard_id",
                        content_cols: list | None = None) -> DataFrame:
     """Per-shard content fingerprint: SUM of per-row xxhash64 folded

@@ -464,6 +464,63 @@ class TestPQ:
         assert codes.count() == 9   # 3 queries x top-3
 
 
+class TestRendezvous:
+    def test_deterministic_and_covering(self, spark):
+        from gasket_spark.operators.packing import rendezvous_assign
+
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        a = {r.k: r.shard
+             for r in rendezvous_assign(df, "k", 8).collect()}
+        b = {r.k: r.shard
+             for r in rendezvous_assign(
+                 df.repartition(13), "k", 8).collect()}
+        assert a == b                       # partition-independent
+        assert set(a.values()) == set(range(8))
+        # no shard starved or hogging (expected 62.5/shard)
+        from collections import Counter
+        counts = Counter(a.values())
+        assert min(counts.values()) > 20 and max(counts.values()) < 120
+
+    def test_minimal_movement_on_grow(self, spark):
+        """The property that justifies HRW over mod-hashing: growing
+        10 → 11 shards moves ~1/11 of keys (and every moved key moves
+        TO the new shard); mod-hashing would move ~10/11."""
+        from gasket_spark.operators.packing import rendezvous_assign
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        s10 = {r.k: r.shard
+               for r in rendezvous_assign(df, "k", 10).collect()}
+        s11 = {r.k: r.shard
+               for r in rendezvous_assign(df, "k", 11).collect()}
+        moved = {k for k in s10 if s10[k] != s11[k]}
+        assert all(s11[k] == 10 for k in moved)   # only into the new one
+        frac = len(moved) / 2000
+        assert 0.04 < frac < 0.16, frac           # E = 1/11 ≈ 0.091
+        mod_moved = sum(1 for k in s10 if k % 10 != k % 11) / 2000
+        assert mod_moved > 0.85                   # the contrast
+
+    def test_cross_engine_argmax_matches_duckdb(self, spark):
+        """The assignment is pure md5-hex argmax, so ANSI SQL derives
+        the identical shards — the r11 oracle shape, pinned early."""
+        import duckdb
+
+        from gasket_spark.operators.packing import rendezvous_assign
+
+        df = spark.range(0, 300).withColumnRenamed("id", "k")
+        got = {r.k: r.shard
+               for r in rendezvous_assign(df, "k", 6).collect()}
+        con = duckdb.connect()
+        weights = " UNION ALL ".join(
+            f"SELECT k, {s} AS shard, md5(CAST(k AS VARCHAR) || ':{s}')"
+            f" AS w FROM range(0, 300) t(k)" for s in range(6))
+        want = dict(con.execute(
+            f"""SELECT k, CAST(shard AS INT) FROM ({weights}) w0
+                QUALIFY row_number() OVER (
+                  PARTITION BY k ORDER BY w DESC, shard DESC) = 1
+                ORDER BY k""").fetchall())
+        assert got == want
+
+
 class TestPacking:
     def test_prefix_sum_invariant_to_partitioning(self, spark, docs):
         """The two-phase distributed prefix sum must produce identical
@@ -665,6 +722,64 @@ class TestHotShingleCap:
         assert D.ngram_jaccard_pairs(df, threshold=0.1).count() == 0
         assert D.ngram_jaccard_pairs(df, threshold=0.1,
                                      max_doc_freq=None).count() > 0
+
+
+class TestContainment:
+    def test_quote_embedding_detected_jaccard_blind(self, spark):
+        """The operator's reason to exist: a short doc quoted WHOLE
+        inside a much longer one is perfect containment (every
+        A-shingle in B) while the symmetric Jaccard is far below any
+        practical near-dup threshold."""
+        short = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(1, short), (2, filler + " " + short + " " + filler)],
+            "doc_id long, text string")
+        got = D.containment_pairs(df, threshold_num=1, threshold_den=1)
+        rows = got.collect()
+        assert [(r.contained_id, r.container_id) for r in rows] == [(1, 2)]
+        # Jaccard over the same shingle space misses it entirely
+        assert D.ngram_jaccard_pairs(df, threshold=0.3).count() == 0
+
+    def test_matches_brute_force_both_directions(self, spark):
+        """Exactness: the directed pair set equals a Python-set brute
+        force over every ordered pair, at a rational threshold that
+        exercises the integer cross-multiply boundary."""
+        texts = {
+            1: "a b c d e f g h",
+            2: "a b c d e f g h i j k l",     # contains most of 1
+            3: "a b c d x y z w",             # partial overlap with 1
+            4: "p q r s t u v",               # unrelated
+            5: "a b c d e f g h",             # exact twin of 1
+        }
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+
+        def sh(t):
+            w = t.split(" ")
+            return {tuple(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        want = set()
+        for ia, ta in texts.items():
+            for ib, tb in texts.items():
+                if ia == ib:
+                    continue
+                a, b = sh(ta), sh(tb)
+                if len(a & b) * 3 >= 2 * len(a):   # ≥ 2/3 of A in B
+                    want.add((ia, ib))
+        got = {(r.contained_id, r.container_id)
+               for r in D.containment_pairs(
+                   df, threshold_num=2, threshold_den=3).collect()}
+        assert got == want and (1, 2) in got and (2, 1) not in got
+
+    def test_df_cap_guards_fanout(self, spark):
+        """Same skew posture as ngram_jaccard_pairs: boilerplate
+        shingles above the cap are excluded before the self-join."""
+        df = spark.createDataFrame(
+            [(i, "common boilerplate shingle text here") for i in range(300)],
+            "doc_id long, text string")
+        assert D.containment_pairs(df).count() == 0
+        assert D.containment_pairs(df, max_doc_freq=None).count() > 0
 
 
 class TestPrefixFilter:
