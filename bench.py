@@ -133,6 +133,12 @@ HEADLINE: dict[str, str] = {
     "q_sql_discounted_revenue": "collect",
     "q_sql_waiting_suppliers": "collect",
     "q_sql_sales_opportunity": "collect",
+    # r10 additions: Q8 7-table snowflake share, the integer-exact
+    # TF-IDF topk and bigram-LM scoring paths (explode + broadcast
+    # model tables + window cut)
+    "q_sql_market_share": "collect",
+    "q_tfidf": "count",
+    "q_lm_score": "count",
 }
 
 
