@@ -303,6 +303,72 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     return fwd.unionByName(rev)
 
 
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", w: int = 20,
+                    max_doc_freq: int | None = 256) -> DataFrame:
+    """EXACT duplicated-substring spans across documents — the
+    "exact substring dedup" of Lee et al. (Deduplicating Training
+    Data Makes Language Models Better, 2022), re-expressed as
+    DataFrame ops instead of a suffix array: any ``w``-token window
+    shared verbatim by two documents is a match, and consecutive
+    matches on the same alignment diagonal merge into the MAXIMAL
+    duplicated span (start_a, start_b, span_tokens).
+
+    Shape: per-position rolling ``w``-gram 64-bit hashes (one
+    ``transform`` over token indices — JVM-side, no explode of the
+    token stream itself), a df-capped inverted index on the hash,
+    ONE self-equi-join producing each cross-doc position match, then
+    the gaps-and-islands trick per (doc_a, doc_b, pos_a−pos_b)
+    diagonal: runs of consecutive pos_a are contiguous spans, so a
+    200-token copied passage emits ONE row, not 181. Hash collisions
+    are the usual 64-bit caveat (P ≈ matches²/2⁶⁴) — the oracle twin
+    recomputes STRING w-grams, which is exactly what verifies them.
+    ``max_doc_freq`` caps boilerplate windows before the self-join
+    (Σ df² fan-out — the 100 TB guard, same posture as
+    ngram_jaccard_pairs).
+
+    Reference parity: gasket pipes corpora through dedup stages
+    (reference index.js:1-258); this is the span-grain stage, one
+    declarative plan."""
+    toks = F.split(F.col(text_col), " ")
+    npos = F.greatest(F.size(toks) - (w - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w)))
+            .alias("h")))
+    inv0 = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(grams).alias("g"))
+            .select("_id", F.col("g.pos").alias("pos"),
+                    F.col("g.h").alias("h")))
+    if max_doc_freq is not None:
+        keep = (inv0.groupBy("h")
+                .agg(F.count_distinct("_id").alias("_df"))
+                .filter(F.col("_df") <= max_doc_freq).select("h"))
+        inv0 = inv0.join(keep, "h")
+    a, b = inv0.alias("a"), inv0.alias("b")
+    matches = (
+        a.join(b, [F.col("a.h") == F.col("b.h"),
+                   F.col("a._id") < F.col("b._id")])
+        .select(F.col("a._id").alias("doc_a"),
+                F.col("b._id").alias("doc_b"),
+                F.col("a.pos").alias("pos_a"),
+                F.col("b.pos").alias("pos_b"))
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (matches.select("doc_a", "doc_b", "pos_a", "pos_b", diag)
+            .withColumn("_grp",
+                        F.col("pos_a") - F.row_number().over(win)))
+    return (runs.groupBy("doc_a", "doc_b", "diag", "_grp")
+            .agg(F.min("pos_a").alias("start_a"),
+                 F.min("pos_b").alias("start_b"),
+                 (F.count(F.lit(1)) + (w - 1)).alias("span_tokens"))
+            .select("doc_a", "doc_b", "start_a", "start_b",
+                    "span_tokens"))
+
+
 def incremental_minhash_pairs(new: DataFrame, corpus: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", n: int = 3,

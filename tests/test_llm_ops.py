@@ -782,6 +782,71 @@ class TestContainment:
         assert D.containment_pairs(df, max_doc_freq=None).count() > 0
 
 
+class TestDuplicateSpans:
+    def test_copied_passage_merges_to_one_maximal_span(self, spark):
+        """A 30-token passage copied verbatim at different offsets
+        must come back as ONE (start_a, start_b, 30) row — 21
+        window matches merged on the alignment diagonal — not 21
+        rows."""
+        passage = " ".join(f"p{i}" for i in range(30))
+        pre_a = " ".join(f"a{i}" for i in range(7))
+        pre_b = " ".join(f"b{i}" for i in range(13))
+        tail = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, f"{pre_a} {passage} {tail}"),
+             (2, f"{pre_b} {passage}")],
+            "doc_id long, text string")
+        rows = D.duplicate_spans(df, w=10).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.doc_a, r.doc_b, r.start_a, r.start_b,
+                r.span_tokens) == (1, 2, 8, 14, 30)
+
+    def test_matches_brute_force_spans(self, spark):
+        """Span set equals a Python brute force (string w-grams,
+        runs merged per diagonal) on a corpus with overlapping and
+        repeated structure."""
+        texts = {
+            1: "x1 x2 c1 c2 c3 c4 c5 x3 d1 d2 d3 d4",
+            2: "y1 c1 c2 c3 c4 c5 y2 y3 d1 d2 d3 d4",
+            3: "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12",
+        }
+        w = 3
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+
+        def spans(ta, tb):
+            wa, wb = ta.split(" "), tb.split(" ")
+            m = {(i + 1, j + 1)
+                 for i in range(len(wa) - w + 1)
+                 for j in range(len(wb) - w + 1)
+                 if wa[i:i + w] == wb[j:j + w]}
+            out = set()
+            for (i, j) in m:
+                if (i - 1, j - 1) in m:
+                    continue            # not a run head
+                n = 0
+                while (i + n, j + n) in m:
+                    n += 1
+                out.add((i, j, n + w - 1))
+            return out
+
+        want = {(a, b, i, j, n)
+                for a in texts for b in texts if a < b
+                for (i, j, n) in spans(texts[a], texts[b])}
+        got = {(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+               for r in D.duplicate_spans(df, w=w).collect()}
+        assert got == want and len(got) >= 2
+
+    def test_df_cap_guards_boilerplate_windows(self, spark):
+        df = spark.createDataFrame(
+            [(i, "the same boilerplate header text always")
+             for i in range(300)],
+            "doc_id long, text string")
+        assert D.duplicate_spans(df, w=4).count() == 0
+        assert D.duplicate_spans(df, w=4, max_doc_freq=None).count() > 0
+
+
 class TestPrefixFilter:
     def test_prefix_pairs_equal_uncapped_exact(self, spark):
         """Prefix filtering is a LOSSLESS candidate filter: over the
