@@ -273,7 +273,12 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         keep = (inv0.groupBy("s")
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") <= max_doc_freq).select("s"))
-        inv = inv0.join(keep, "s")
+        # the keep table is SHINGLE-VOCABULARY sized — never
+        # broadcastable at corpus scale (a blind size estimate made
+        # Catalyst try at 10x sf0.1 and OOM the driver build). The
+        # shuffle-hash hint keeps it a co-partitioned join on the
+        # same key ``s`` the self-join below shuffles on anyway.
+        inv = inv0.join(keep.hint("shuffle_hash"), "s")
     else:
         inv = inv0
     inv = inv.persist()
@@ -331,9 +336,14 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     (reference index.js:1-258); this is the span-grain stage, one
     declarative plan."""
     toks = F.split(F.col(text_col), " ")
-    npos = F.greatest(F.size(toks) - (w - 1), F.lit(0))
+    npos = F.size(toks) - (w - 1)
+    # docs shorter than w tokens have no window at all — and
+    # sequence(1, 0) DESCENDS to [1, 0], feeding slice an illegal
+    # start of 0, so the empty case must be an explicit empty array
+    idx = F.when(npos >= 1, F.sequence(F.lit(1), npos)) \
+        .otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), npos),
+        idx,
         lambda i: F.struct(
             i.alias("pos"),
             F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w)))
@@ -346,7 +356,9 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
         keep = (inv0.groupBy("h")
                 .agg(F.count_distinct("_id").alias("_df"))
                 .filter(F.col("_df") <= max_doc_freq).select("h"))
-        inv0 = inv0.join(keep, "h")
+        # window-vocabulary sized — same never-broadcast rule as
+        # containment_pairs' keep table (shares the self-join's key)
+        inv0 = inv0.join(keep.hint("shuffle_hash"), "h")
     a, b = inv0.alias("a"), inv0.alias("b")
     matches = (
         a.join(b, [F.col("a.h") == F.col("b.h"),
