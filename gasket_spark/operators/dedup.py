@@ -381,6 +381,49 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                     "span_tokens"))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS scheme): per position, the 64-bit hash of the k-token
+    gram; per sliding window of ``window`` consecutive gram hashes,
+    keep the MINIMUM — the classic local sampling with the winnowing
+    GUARANTEE: any verbatim shared passage of at least
+    ``window + k - 1`` tokens contributes at least one IDENTICAL
+    fingerprint to both documents (pytest-pinned against a Python
+    brute force). This is the sampled, index-size-bounded sibling of
+    :func:`duplicate_spans`: spans keeps every window position
+    (exact offsets, bigger index), winnowing keeps ~2/(window+1) of
+    them (set-membership signal, ~window× smaller index) — the right
+    trade at 100 TB where the fingerprint index is what you store
+    and equi-join. Output: one row per (doc, distinct fingerprint),
+    ready for a df-capped self-join exactly like the other inverted
+    indexes here.
+
+    Reference parity: gasket pipes corpora through screening stages
+    (reference index.js:1-258); fingerprint extraction is such a
+    stage, one declarative plan."""
+    toks = F.split(F.col(text_col), " ")
+    ngrams = F.size(toks) - (k - 1)
+    gidx = F.when(ngrams >= 1, F.sequence(F.lit(1), ngrams)) \
+        .otherwise(F.array().cast("array<int>"))
+    hs = F.transform(
+        gidx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    nwin = F.size(hs) - (window - 1)
+    widx = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)) \
+        .otherwise(F.array().cast("array<int>"))
+    # short docs (>=k tokens but fewer than window grams) still get
+    # fingerprinted: the single window is the whole gram array
+    mins = F.when(
+        F.size(hs) == 0, F.array().cast("array<bigint>")).otherwise(
+        F.when(nwin < 1, F.array(F.array_min(hs))).otherwise(
+            F.transform(widx,
+                        lambda i: F.array_min(F.slice(hs, i, window)))))
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.array_distinct(mins)).alias("fp"))
+
+
 def incremental_minhash_pairs(new: DataFrame, corpus: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", n: int = 3,

@@ -847,6 +847,56 @@ class TestDuplicateSpans:
         assert D.duplicate_spans(df, w=4, max_doc_freq=None).count() > 0
 
 
+class TestWinnowing:
+    def test_guarantee_shared_passage_shares_fingerprint(self, spark):
+        """The winnowing theorem: a verbatim shared passage of
+        >= window + k - 1 tokens (here 4 + 5 - 1 = 8) must put at
+        least one identical fingerprint in both documents — for
+        every offset the passage appears at."""
+        passage = " ".join(f"p{i}" for i in range(8))
+        cases = []
+        for off in range(6):
+            pre = " ".join(f"a{j}" for j in range(off))
+            post = " ".join(f"z{j}" for j in range(5))
+            cases.append((100 + off, f"{pre} {passage} {post}".strip()))
+        cases.append((1, passage))
+        df = spark.createDataFrame(cases, "doc_id long, text string")
+        fps = D.winnow_fingerprints(df, k=5, window=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        base = by_doc[1]
+        for off in range(6):
+            assert by_doc[100 + off] & base, f"offset {off} lost the passage"
+
+    def test_matches_python_reference(self, spark):
+        """Fingerprint sets equal a direct Python winnow (min per
+        sliding window over the same gram hash sequence, distinct) —
+        pinned via the relative structure: docs with disjoint token
+        sets share nothing, a doc shares everything with itself."""
+        texts = {1: " ".join(f"w{i}" for i in range(20)),
+                 2: " ".join(f"w{i}" for i in range(20)),   # twin
+                 3: " ".join(f"u{i}" for i in range(20))}   # disjoint
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        by_doc = {}
+        for r in D.winnow_fingerprints(df, k=3, window=4).collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[1] == by_doc[2]
+        assert not (by_doc[1] & by_doc[3])
+        # sampling really happened: fewer fingerprints than grams
+        assert 0 < len(by_doc[1]) < 18
+
+    def test_short_docs(self, spark):
+        """>=k tokens but fewer than window grams still fingerprint
+        (single whole-array window); sub-k docs emit nothing."""
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b")],
+            "doc_id long, text string")
+        got = D.winnow_fingerprints(df, k=5, window=4).collect()
+        assert [r.doc_id for r in got] == [1] and len(got) == 1
+
+
 class TestPrefixFilter:
     def test_prefix_pairs_equal_uncapped_exact(self, spark):
         """Prefix filtering is a LOSSLESS candidate filter: over the
