@@ -1001,6 +1001,46 @@ def stream_stream_outer_join(purchases: DataFrame, clicks: DataFrame,
     )
 
 
+def stream_stream_full_outer_join(purchases: DataFrame,
+                                  clicks: DataFrame,
+                                  watermark: str = "2 hours",
+                                  lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream FULL OUTER join — the last member of the join
+    family (inner / left outer / semi / anti are above): matched
+    (purchase, click) pairs emit as evidence arrives, a purchase
+    with NO click in the lookback before it emits with NULL click
+    once the CLICK-side watermark proves absence, and a click with
+    NO purchase in the hour after it emits with NULL purchase once
+    the PURCHASE-side watermark proves absence — proof-of-absence
+    state machines on BOTH sides, each bounded by the time-range
+    condition (click state ≤ lookback behind the purchase watermark,
+    purchase state ≤ lookback ahead of the click watermark — both
+    O(horizon), never O(history)). Same operational contract as the
+    left outer: a bounded replay must push BOTH sides' watermarks
+    past the last real event (ordered files + dual-type sentinel)
+    or the undecided tail buffers forever. ``user_id`` is coalesced
+    across sides so right-only rows keep their key."""
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user_id"),
+                 F.col("ts").alias("p_ts")))
+    c = (clicks.filter(F.col("event_type") == "click")
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user_id"),
+                 F.col("ts").alias("c_ts")))
+    return (
+        p.join(c, (F.col("p_user_id") == F.col("c_user_id"))
+               & (F.col("c_ts") < F.col("p_ts"))
+               & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+                   f"INTERVAL {lookback}")),
+               "fullOuter")
+        .select("purchase_id", "click_id",
+                F.coalesce("p_user_id", "c_user_id").alias("user_id"))
+    )
+
+
 def dedup_then_windowed_counts(events: DataFrame,
                                window: str = "1 hour",
                                watermark: str = "2 hours") -> DataFrame:

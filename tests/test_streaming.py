@@ -355,6 +355,89 @@ class TestStreamingEqualsBatch:
         assert semi == purchases - want_anti  # duality
         assert not (anti & semi)
 
+    def test_stream_full_outer_partitions_both_streams(self, spark,
+                                                       tmp_path):
+        """FULL OUTER (the last join-family member): matched pairs,
+        purchase-only rows (NULL click, proven by the click
+        watermark) and click-only rows (NULL purchase, proven by the
+        purchase watermark) together must partition BOTH input
+        streams — checked against batch truth computed from the same
+        rows. Even hours: click@h:00 + purchase@h:30 (matched); odd
+        hours: purchase only (left-only); user 2: clicks with no
+        purchases at all (right-only)."""
+        from gasket_spark.streaming.core import (
+            read_events_stream, stream_stream_full_outer_join)
+
+        path = tmp_path / "full"
+        path.mkdir()
+        rows = []
+        eid = 0
+        for h in range(12):
+            if h % 2 == 0:
+                rows.append({"event_id": (eid := eid + 1),
+                             "ts": f"2024-01-01T{h:02d}:00:00",
+                             "user_id": 1, "event_type": "click",
+                             "value": 1.0, "props": "{}"})
+            rows.append({"event_id": (eid := eid + 1),
+                         "ts": f"2024-01-01T{h:02d}:30:00",
+                         "user_id": 1, "event_type": "purchase",
+                         "value": 1.0, "props": "{}"})
+        for h in (2, 7):   # right-only: user 2 never purchases
+            rows.append({"event_id": (eid := eid + 1),
+                         "ts": f"2024-01-01T{h:02d}:05:00",
+                         "user_id": 2, "event_type": "click",
+                         "value": 1.0, "props": "{}"})
+        sentinels = [
+            {"event_id": 9999, "ts": "2024-03-01T00:00:00",
+             "user_id": -1, "event_type": "purchase",
+             "value": 0.0, "props": "{}"},
+            {"event_id": 9998, "ts": "2024-03-01T00:00:00",
+             "user_id": -1, "event_type": "click",
+             "value": 0.0, "props": "{}"},
+        ]
+        import os as _os
+        import time as _time
+        base_t = _time.time() - 600
+        ordered = sorted(rows, key=lambda r: r["ts"])
+        chunks = [ordered[i:i + 3] for i in range(0, len(ordered), 3)]
+        chunks.append(sentinels)
+        for i, chunk in enumerate(chunks):
+            f = path / f"f{i:02d}.json"
+            with open(f, "w") as fh:
+                for r in chunk:
+                    fh.write(json.dumps(r) + "\n")
+            _os.utime(f, (base_t + i, base_t + i))
+        s1 = read_events_stream(spark, str(path), max_files_per_trigger=1)
+        s2 = read_events_stream(spark, str(path), max_files_per_trigger=1)
+        out = run_to_completion(
+            stream_stream_full_outer_join(s1, s2, watermark="5 minutes"),
+            "t_full_outer_ut", output_mode="append")
+        got = {(r.purchase_id, r.click_id, r.user_id)
+               for r in out.collect() if r.user_id != -1}
+        # batch truth from the same rows
+        purchases = [r for r in rows if r["event_type"] == "purchase"]
+        clicks = [r for r in rows if r["event_type"] == "click"]
+        want, matched_c = set(), set()
+        for p in purchases:
+            ms = [c for c in clicks
+                  if c["user_id"] == p["user_id"] and c["ts"] < p["ts"]
+                  and (int(p["ts"][11:13]) * 60 + int(p["ts"][14:16]))
+                  - (int(c["ts"][11:13]) * 60 + int(c["ts"][14:16])) <= 60]
+            if ms:
+                for c in ms:
+                    want.add((p["event_id"], c["event_id"], 1))
+                    matched_c.add(c["event_id"])
+            else:
+                want.add((p["event_id"], None, p["user_id"]))
+        for c in clicks:
+            if c["event_id"] not in matched_c:
+                want.add((None, c["event_id"], c["user_id"]))
+        assert got == want
+        # both partitions are present and disjointly typed
+        assert any(p is None for p, _, _ in got)       # click-only
+        assert any(c is None for _, c, _ in got)       # purchase-only
+        assert any(p and c for p, c, _ in got)         # matched
+
     def test_streaming_dedup(self, spark, tmp_path):
         # duplicate event_ids across files → exactly one survivor each
         rows = [{"event_id": i % 5, "ts": f"2024-01-01T00:0{i % 5}:00",
