@@ -731,3 +731,119 @@ def tdigest_quantiles(sketches: DataFrame, probs: list[float]) -> DataFrame:
         out = out.withColumn(col, q_at(p)(F.col("means"),
                                           F.col("weights")))
     return out.drop("means", "weights")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter summary (mergeable, Agarwal et al. 2013)
+# ---------------------------------------------------------------------------
+#
+# The frequency sibling of the quantile sketches above: a capacity-k
+# counter table whose merge is "add counters itemwise, subtract the
+# (k+1)-th largest count, drop non-positive" — associative enough to
+# run as per-partition summaries + one state-grain shuffle, with the
+# classic deterministic guarantees (no RNG, no hashing error):
+#   * every stored count UNDERestimates by at most err_bound,
+#   * err_bound ≤ n_rows/(k+1) cumulatively,
+#   * any item with true frequency > err_bound is PRESENT in the
+#     summary (it cannot have been decremented to zero).
+# Unlike the exact q_heavy_hitters groupBy (shuffle = |vocab|), the
+# shuffle here is ≤ partitions·k counters per group — the posture for
+# n-gram/URL-grain keys whose vocabulary no longer fits a shuffle.
+
+
+def _mg_reduce(counts: dict, k: int) -> tuple[dict, int]:
+    """Truncate a counter table to capacity k: subtract the (k+1)-th
+    largest count from everything, drop non-positive. Returns the
+    reduced table and the subtracted offset (the step's added
+    undercount)."""
+    if len(counts) <= k:
+        return counts, 0
+    d = sorted(counts.values(), reverse=True)[k]
+    return {i: c - d for i, c in counts.items() if c > d}, d
+
+
+def mg_sketch(df: DataFrame, group_cols: list[str], value_col: str,
+              k: int = 64) -> DataFrame:
+    """Distributed Misra-Gries build: per-partition counter tables
+    (mapInPandas — zero shuffle over the data; each Arrow batch folds
+    through one pandas value_counts per group), then ONE shuffle of
+    ≤ k counters per (partition, group) and a per-group applyInPandas
+    merge. Returns (group_cols…, items: array<string>,
+    counts: array<long>, err_bound: long, n_rows: long) with counts
+    descending (ties: item asc) — exact (err_bound = 0) whenever a
+    group's distinct-item count never exceeded k on any path, which
+    makes small groups self-certifying."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    src = df.select(*group_cols, F.col(value_col).cast("string")
+                    .alias("_v"))
+    gfields = [src.schema[c] for c in group_cols]
+    sk_schema = StructType(list(gfields) + [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("err_bound", LongType()),
+        StructField("n_rows", LongType()),
+    ])
+    cols = [f.name for f in sk_schema.fields]
+
+    def _emit(states):
+        rows = []
+        for key, st in states.items():
+            ordered = sorted(st["counts"].items(),
+                             key=lambda kv: (-kv[1], kv[0]))
+            rows.append((*key, [i for i, _ in ordered],
+                         [c for _, c in ordered], st["err"], st["n"]))
+        return pd.DataFrame(rows, columns=cols)
+
+    def build(batches):
+        states = {}
+        for pdf in batches:
+            for key, vals in pdf.groupby(group_cols, sort=False)["_v"]:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                st = states.setdefault(
+                    key, {"counts": {}, "err": 0, "n": 0})
+                for item, c in vals.value_counts().items():
+                    st["counts"][item] = st["counts"].get(item, 0) \
+                        + int(c)
+                st["n"] += len(vals)
+                st["counts"], d = _mg_reduce(st["counts"], k)
+                st["err"] += d
+        yield _emit(states)
+
+    partial = src.mapInPandas(build, schema=sk_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts, err, n = {}, 0, 0
+        for row in pdf.itertuples(index=False):
+            for item, c in zip(row.items, row.counts):
+                counts[item] = counts.get(item, 0) + int(c)
+            err += int(row.err_bound)
+            n += int(row.n_rows)
+        counts, d = _mg_reduce(counts, k)
+        key = tuple(pdf.iloc[0][c] for c in group_cols)
+        return _emit({key: {"counts": counts, "err": err + d, "n": n}})
+
+    return partial.groupBy(*group_cols).applyInPandas(merge,
+                                                      schema=sk_schema)
+
+
+def mg_topk(sketches: DataFrame, m: int = 10) -> DataFrame:
+    """Read the top-``m`` heavy hitters out of mg_sketch rows with
+    their deterministic count brackets: the stored count is the LOWER
+    bound, stored + err_bound the UPPER. One row per (group, item)."""
+    ex = sketches.select(
+        *[c for c in sketches.columns
+          if c not in ("items", "counts", "err_bound", "n_rows")],
+        F.col("err_bound"), F.col("n_rows"),
+        F.posexplode(F.arrays_zip("items", "counts"))
+        .alias("_rk", "_ic"))
+    return (ex.filter(F.col("_rk") < m)
+            .select(*[c for c in ex.columns
+                      if c not in ("_rk", "_ic")],
+                    F.col("_ic.items").alias("item"),
+                    F.col("_ic.counts").alias("count_lo"),
+                    (F.col("_ic.counts") + F.col("err_bound"))
+                    .alias("count_hi")))

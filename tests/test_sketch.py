@@ -421,3 +421,57 @@ class TestTDigest:
         tail_cap = 50_000 * (3.1416 / 100.0) ** 2 * 2
         assert r.weights[0] <= tail_cap and r.weights[-1] <= tail_cap
         assert max(r.weights) > 10 * max(r.weights[0], r.weights[-1])
+
+
+class TestMisraGries:
+    def test_exact_when_under_capacity(self, spark):
+        """distinct ≤ k on every path → err_bound 0 and counts equal
+        the exact groupBy, regardless of partitioning."""
+        from gasket_spark.operators.sketch import mg_sketch
+
+        df = spark.range(0, 3000).select(
+            F.lit("g").alias("g"),
+            (F.col("id") % 40).cast("string").alias("v")).repartition(7)
+        row = mg_sketch(df, ["g"], "v", k=64).collect()[0]
+        assert row.err_bound == 0 and row.n_rows == 3000
+        assert dict(zip(row.items, row.counts)) == {
+            str(i): 75 for i in range(40)}
+
+    def test_guarantees_on_skewed_stream(self, spark):
+        """The deterministic MG guarantees under truncation: every
+        stored count underestimates by ≤ err_bound,
+        err_bound ≤ n/(k+1), and every item with true frequency >
+        err_bound is PRESENT — on a skewed corpus with far more
+        distinct items than capacity, under two different
+        partitionings."""
+        from gasket_spark.operators.sketch import mg_sketch
+
+        # 3 heavy items (1000 each) + 3000 singletons
+        heavy = [(f"h{i}", 1000) for i in range(3)]
+        rows = [("g", h) for h, c in heavy for _ in range(c)]
+        rows += [("g", f"s{j}") for j in range(3000)]
+        true = {h: c for h, c in heavy}
+        n = len(rows)
+        k = 32
+        for parts in (3, 11):
+            df = spark.createDataFrame(rows, "g string, v string") \
+                      .repartition(parts)
+            row = mg_sketch(df, ["g"], "v", k=k).collect()[0]
+            got = dict(zip(row.items, row.counts))
+            assert row.n_rows == n
+            assert 0 < row.err_bound <= n // (k + 1)
+            for h, c in true.items():
+                assert h in got                      # presence
+                assert c - row.err_bound <= got[h] <= c   # bracket
+            assert len(got) <= k
+
+    def test_topk_brackets(self, spark):
+        from gasket_spark.operators.sketch import mg_sketch, mg_topk
+
+        rows = [("g", "big")] * 500 + [("g", f"x{i}") for i in range(400)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        top = mg_topk(mg_sketch(df, ["g"], "v", k=16), m=1).collect()
+        assert len(top) == 1
+        r = top[0]
+        assert r.item == "big"
+        assert r.count_lo <= 500 <= r.count_hi
