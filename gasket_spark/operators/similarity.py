@@ -108,6 +108,38 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def knn_label(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              label_col: str = "label") -> DataFrame:
+    """k-NN majority-vote labeling — the weak-supervision primitive
+    (label the unlabeled split from its nearest labeled neighbors).
+    Composes :func:`cosine_topk` (queries broadcast, corpus streams
+    map-side — no corpus shuffle) with a label lookup and a per-query
+    vote. The lookup joins the corpus-sized label table against the
+    BROADCAST neighbor set (|queries|·k rows), so the corpus again
+    makes one narrow pass; the vote is a |queries|·k-row aggregate.
+    Deterministic end to end: neighbor cut ties on neighbor id
+    (cosine_topk), vote ties on the SMALLER label. Returns
+    (query_id, pred_label, n_votes).
+
+    Reference parity: gasket's `map` transforms a stream through a
+    stage (reference index.js:1-258); labeling is such a stage, one
+    declarative plan."""
+    nbrs = cosine_topk(corpus, queries, k=k, id_col=id_col,
+                       vec_col=vec_col)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).alias("_lbl"))
+    votes = (labels.join(F.broadcast(nbrs), "neighbor_id")
+             .groupBy("query_id", "_lbl")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("_lbl").asc())
+    return (votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("query_id", F.col("_lbl").alias("pred_label"),
+                    "n_votes"))
+
+
 EMB_SCALE = 1e12  # embedding elements (|x| ≲ 1) round once to exact
 # int64 "picounits"; with INTEGER plane coords (|p| ≲ 5e3) a 64-term
 # dot stays < 64·1e12·5e3 ≈ 3e17 ≪ 2^63 — all-integer, overflow-free.

@@ -521,6 +521,57 @@ class TestRendezvous:
         assert got == want
 
 
+class TestKnnLabel:
+    def _clustered(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        vid = 0
+        centers = {0: np.array([1.0, 0, 0, 0]),
+                   1: np.array([0, 1.0, 0, 0]),
+                   2: np.array([0, 0, 1.0, 0])}
+        for lbl, c in centers.items():
+            for _ in range(8):
+                v = c + rng.normal(0, 0.02, 4)
+                rows.append((vid, [float(x) for x in v], lbl))
+                vid += 1
+        # queries: one near each center, ids disjoint from corpus
+        q = [(100 + lbl, [float(x) for x in c + 0.01], -1)
+             for lbl, c in centers.items()]
+        mk = lambda r: spark.createDataFrame(
+            r, "vec_id long, embedding array<float>, label int")
+        return mk(rows), mk(q)
+
+    def test_labels_clusters_correctly(self, spark):
+        corpus, queries = self._clustered(spark)
+        got = {r.query_id: (r.pred_label, r.n_votes)
+               for r in S.knn_label(corpus, queries, k=5).collect()}
+        assert got == {100: (0, 5), 101: (1, 5), 102: (2, 5)}
+
+    def test_vote_tie_breaks_to_smaller_label(self, spark):
+        """k=2 with one neighbor from each of two labels → 1-1 tie →
+        the smaller label wins, deterministically."""
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0], 7), (2, [0.9, 0.1], 3)],
+            "vec_id long, embedding array<float>, label int")
+        queries = spark.createDataFrame(
+            [(100, [1.0, 0.05], -1)],
+            "vec_id long, embedding array<float>, label int")
+        got = S.knn_label(corpus, queries, k=2).collect()
+        assert [(r.query_id, r.pred_label, r.n_votes)
+                for r in got] == [(100, 3, 1)]
+
+    def test_partition_invariant(self, spark):
+        corpus, queries = self._clustered(spark)
+        a = sorted(map(tuple, S.knn_label(corpus, queries, k=3)
+                       .collect()))
+        b = sorted(map(tuple, S.knn_label(corpus.repartition(13),
+                                          queries.repartition(2), k=3)
+                       .collect()))
+        assert a == b
+
+
 class TestPacking:
     def test_prefix_sum_invariant_to_partitioning(self, spark, docs):
         """The two-phase distributed prefix sum must produce identical
