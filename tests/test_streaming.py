@@ -438,6 +438,49 @@ class TestStreamingEqualsBatch:
         assert any(c is None for _, c, _ in got)       # purchase-only
         assert any(p and c for p, c, _ in got)         # matched
 
+    def test_streaming_dedup_retries_with_skewed_timestamps(
+            self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark vs plain dropDuplicates: a
+        producer retry that restamps the event time (the
+        at-least-once gateway shape) must still dedup to one row per
+        event_id — while the (key, ts)-exact dedup correctly treats
+        the restamped copy as a distinct row (the contrast that
+        documents WHY this variant exists)."""
+        from gasket_spark.streaming.core import (
+            read_events_stream, streaming_dedup, streaming_dedup_retries)
+
+        path = tmp_path / "retries"
+        path.mkdir()
+        originals = [{"event_id": i, "ts": f"2024-01-01T10:{i:02d}:00",
+                      "user_id": 1, "event_type": "view", "value": 1.0,
+                      "props": "{}"} for i in range(8)]
+        retries = [dict(r, ts=r["ts"][:14] + f"{int(r['ts'][14:16]) + 20}:00")
+                   for r in originals]   # +20 min restamp
+        import os as _os
+        import time as _time
+        base_t = _time.time() - 600
+        with open(path / "f0.json", "w") as fh:
+            for r in originals:
+                fh.write(json.dumps(r) + "\n")
+        with open(path / "f1.json", "w") as fh:
+            for r in retries:
+                fh.write(json.dumps(r) + "\n")
+        _os.utime(path / "f0.json", (base_t, base_t))
+        _os.utime(path / "f1.json", (base_t + 1, base_t + 1))
+
+        s = read_events_stream(spark, str(path), max_files_per_trigger=1)
+        got = run_to_completion(
+            streaming_dedup_retries(s, watermark="2 hours"),
+            "t_dedup_retry", output_mode="append")
+        assert got.count() == 8                     # one per event_id
+        assert {r.event_id for r in got.collect()} == set(range(8))
+
+        s2 = read_events_stream(spark, str(path), max_files_per_trigger=1)
+        exact = run_to_completion(
+            streaming_dedup(s2), "t_dedup_exact_contrast",
+            output_mode="append")
+        assert exact.count() == 16                  # restamps survive
+
     def test_streaming_dedup(self, spark, tmp_path):
         # duplicate event_ids across files → exactly one survivor each
         rows = [{"event_id": i % 5, "ts": f"2024-01-01T00:0{i % 5}:00",
