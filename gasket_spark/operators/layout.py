@@ -258,3 +258,127 @@ def hilbert_write(df: DataFrame, path: str, hilbert_cols: list[str],
     keyed.repartition(1 << k, "_hcell") \
         .sortWithinPartitions("_hcell", "_h").drop("_h") \
         .write.mode(mode).partitionBy("_hcell").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Bloom file index: file-level skipping for point lookups
+# ---------------------------------------------------------------------------
+#
+# Min-max stats (and the range/Z-order/Hilbert layouts above) prune
+# RANGE predicates on clustered columns; they are useless for point
+# lookups on a high-cardinality column every file spans (user ids,
+# content hashes). A per-FILE Bloom filter sidecar answers "which
+# files can contain v" before any footer is opened — at 10^5+ files
+# that is the difference between a point lookup and a full listing
+# scan. Parquet's native row-group bloom filters (write option
+# parquet.bloom.filter.enabled#col) are the complementary layer INSIDE
+# each file; this index sits a level above, at the file manifest
+# grain, like a lakehouse file-stats table.
+#
+# Determinism: positions come from Spark-side xxhash64(col, seed) —
+# the probe side computes hashes with the SAME engine expression, so
+# there is no Python reimplementation to drift. No false negatives by
+# construction (tested); false-positive rate ~ (1 - e^{-kn/m})^k.
+
+BLOOM_M = 1 << 17          # bits per file (16 KiB packed)
+BLOOM_K = 5                # hash functions
+
+
+def _bloom_positions(col, m: int = BLOOM_M, k: int = BLOOM_K) -> list:
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m)) for i in range(k)]
+
+
+def bloom_index_write(df: DataFrame, path: str, column: str,
+                      m: int = BLOOM_M, k: int = BLOOM_K,
+                      mode: str = "overwrite") -> None:
+    """Write ``df`` as parquet plus a ``_bloom_index`` sidecar: one row
+    per data file with that file's packed Bloom bitset over
+    ``column``. The index is built from the WRITTEN files (one
+    read-back pass), so it always describes the on-disk bytes — the
+    same post-write discipline as the shard manifests. Underscore
+    prefix keeps Spark's file index from reading the sidecar as
+    data."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    df.write.mode(mode).parquet(path)
+    spark = df.sparkSession
+    scan = spark.read.parquet(path)
+    pos = (scan.select(F.input_file_name().alias("file"),
+                       F.explode(F.array(*_bloom_positions(column, m, k)))
+                       .alias("p"))
+           .distinct())
+    schema = StructType([StructField("file", StringType()),
+                         StructField("words", ArrayType(LongType())),
+                         StructField("m", LongType()),
+                         StructField("k", LongType())])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(m // 64, dtype=np.uint64)
+        ps = pdf["p"].to_numpy(dtype=np.int64)
+        words[ps >> 6] |= 0   # touch for dtype clarity
+        np.bitwise_or.at(words, ps >> 6,
+                         np.left_shift(np.uint64(1),
+                                       (ps & 63).astype(np.uint64)))
+        return pd.DataFrame(
+            [(pdf.iloc[0]["file"], words.view(np.int64).tolist(), m, k)],
+            columns=["file", "words", "m", "k"])
+
+    (pos.groupBy("file").applyInPandas(pack, schema=schema)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(os.path.join(path,
+                                                      "_bloom_index")))
+
+
+def bloom_candidate_files(spark, path: str, column: str,
+                          values: list) -> list[str]:
+    """Files under ``path`` that MAY contain any of ``values`` in
+    ``column`` (no false negatives; false positives at the Bloom
+    rate). Probe hashes are computed by the same Spark xxhash64
+    expression that built the index. The bit checks run driver-side
+    over the file-grain index — fine to ~10^5 files; beyond that the
+    index is itself a table to semi-join (the listing-service
+    boundary, same note as compact_partitioned)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(os.path.join(path, "_bloom_index")) \
+        .collect()
+    if not idx:
+        return []
+    m, k = int(idx[0]["m"]), int(idx[0]["k"])
+    probe = (spark.createDataFrame([(v,) for v in values], ["v"])
+             .select(F.array(*_bloom_positions("v", m, k)).alias("ps"))
+             .collect())
+    out = []
+    for row in idx:
+        words = np.array(row["words"], dtype=np.int64).view(np.uint64)
+        for pr in probe:
+            ps = np.array(pr["ps"], dtype=np.int64)
+            bits = (words[ps >> 6] >> (ps & 63).astype(np.uint64)) \
+                & np.uint64(1)
+            if bits.all():
+                out.append(row["file"])
+                break
+    return sorted(out)
+
+
+def bloom_skip_read(spark, path: str, column: str,
+                    values: list) -> DataFrame:
+    """Point-lookup read through the Bloom file index: open ONLY the
+    candidate files, then apply the exact IN filter (Bloom false
+    positives are removed here; false negatives cannot exist)."""
+    from pyspark.sql import functions as F
+
+    files = bloom_candidate_files(spark, path, column, values)
+    if not files:
+        return (spark.read.parquet(path)
+                .filter(F.lit(False)))
+    return (spark.read.option("basePath", path).parquet(*files)
+            .filter(F.col(column).isin(values)))

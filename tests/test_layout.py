@@ -178,3 +178,49 @@ class TestHilbertWrite:
         assert back.count() == li.count()
         assert back.agg(F.sum("l_partkey")).collect()[0][0] == \
             li.agg(F.sum("l_partkey")).collect()[0][0]
+
+
+class TestBloomFileIndex:
+    def test_no_false_negatives_and_real_skipping(self, spark, tmp_path):
+        """Write customers hash-distributed on custkey into 8 files
+        with a bloom index on c_custkey: every probed present key's
+        file must be a candidate (no false negatives), the candidate
+        set must be a strict subset of all files (real skipping), and
+        the pruned read must equal the full-scan filter exactly."""
+        from gasket_spark.operators.layout import (
+            bloom_candidate_files, bloom_index_write, bloom_skip_read)
+
+        path = str(tmp_path / "bloomed")
+        cust = read_table(spark, SF_SMALL, "customer") \
+            .select("c_custkey", "c_name", "c_acctbal")
+        bloom_index_write(cust.repartition(8, "c_custkey"), path,
+                          "c_custkey")
+        keys = [r.c_custkey for r in cust.limit(5).collect()]
+        total_files = len({r[0] for r in spark.read.parquet(path)
+                           .select(F.input_file_name()).distinct()
+                           .collect()})
+        cand = bloom_candidate_files(spark, path, "c_custkey", keys)
+        assert 0 < len(cand) < total_files   # skipped something
+        got = bloom_skip_read(spark, path, "c_custkey", keys)
+        want = spark.read.parquet(path).filter(
+            F.col("c_custkey").isin(keys))
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+        assert got.count() == len(keys)
+
+    def test_absent_value_reads_nothing_or_fp_only(self, spark,
+                                                   tmp_path):
+        from gasket_spark.operators.layout import (
+            bloom_candidate_files, bloom_index_write, bloom_skip_read)
+
+        path = str(tmp_path / "bloomed2")
+        cust = read_table(spark, SF_SMALL, "customer") \
+            .select("c_custkey", "c_name")
+        bloom_index_write(cust.repartition(6, "c_custkey"), path,
+                          "c_custkey")
+        # far outside the key domain: candidates may be FP files but
+        # the exact filter must return zero rows
+        assert bloom_skip_read(spark, path, "c_custkey",
+                               [10**12]).count() == 0
+        # and the sidecar is invisible to a plain read
+        assert spark.read.parquet(path).count() == cust.count()
