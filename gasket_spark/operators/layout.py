@@ -288,6 +288,12 @@ def _bloom_positions(col, m: int = BLOOM_M, k: int = BLOOM_K) -> list:
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
+    # canonicalize to STRING before hashing: Spark's xxhash64 hashes
+    # int32 and int64 of the same numeric value DIFFERENTLY, so a
+    # probe list inferred as long against an int-typed column would
+    # silently produce false negatives — the one failure mode a Bloom
+    # index must never have. String rendering is width-proof.
+    c = c.cast("string")
     return [F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m)) for i in range(k)]
 
 
@@ -322,7 +328,6 @@ def bloom_index_write(df: DataFrame, path: str, column: str,
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         words = np.zeros(m // 64, dtype=np.uint64)
         ps = pdf["p"].to_numpy(dtype=np.int64)
-        words[ps >> 6] |= 0   # touch for dtype clarity
         np.bitwise_or.at(words, ps >> 6,
                          np.left_shift(np.uint64(1),
                                        (ps & 63).astype(np.uint64)))

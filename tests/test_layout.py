@@ -208,6 +208,26 @@ class TestBloomFileIndex:
             == sorted(map(tuple, want.collect()))
         assert got.count() == len(keys)
 
+    def test_int_typed_column_probed_with_python_ints(self, spark,
+                                                      tmp_path):
+        """Type-width proofing: an INT (32-bit) indexed column probed
+        with Python ints (inferred LONG) must still have zero false
+        negatives — Spark's xxhash64 hashes int32 and int64 of the
+        same value differently, which is why positions hash the
+        STRING canonicalization."""
+        from gasket_spark.operators.layout import (
+            bloom_index_write, bloom_skip_read)
+
+        path = str(tmp_path / "bloomed_int")
+        df = spark.range(0, 2000).select(
+            (F.col("id") % 997).cast("int").alias("k"),
+            F.col("id").alias("v"))
+        bloom_index_write(df.repartition(8, "k"), path, "k")
+        got = bloom_skip_read(spark, path, "k", [5, 13, 996])
+        want = spark.read.parquet(path).filter(
+            F.col("k").isin([5, 13, 996]))
+        assert got.count() == want.count() > 0
+
     def test_absent_value_reads_nothing_or_fp_only(self, spark,
                                                    tmp_path):
         from gasket_spark.operators.layout import (
