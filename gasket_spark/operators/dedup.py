@@ -261,7 +261,11 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     (n_common·den ≥ num·|A|), so the cut is engine-exact — no float
     ratio crosses a boundary differently elsewhere. ``max_doc_freq``
     caps the self-join fan-out exactly as in ngram_jaccard_pairs
-    (Σ df² pairs per shingle uncapped — the 100 TB guard).
+    (Σ df² pairs per shingle uncapped — the 100 TB guard); under the
+    cap the test is CONSERVATIVE: |A| stays the full pre-cap set
+    while the intersection counts only rare shingles, so every
+    emitted pair truly satisfies the contract and only
+    boilerplate-dominated evidence can be missed.
 
     Reference parity: gasket pipes a corpus through filter stages
     (reference index.js:1-258); containment screening is such a
@@ -269,6 +273,16 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     inv0 = df.select(
         id_col,
         F.explode(T.hashed_shingle_set(text_col, n)).alias("s"))
+    # |A| is the PRE-cap distinct-shingle count: the df-cap may only
+    # shrink the NUMERATOR (rare-shingle intersection), never the
+    # denominator — so the capped test |A∩B ∩ rare| ≥ t·|A| implies
+    # the true |A∩B| ≥ t·|A| (sound; conservative when a doc is
+    # mostly boilerplate). Sizing post-cap would instead INFLATE the
+    # ratio one-sidedly: a 100-shingle doc with 95 hot shingles
+    # would read as |A| = 5 and fire the 9/10 threshold on 5% true
+    # containment. (ngram_jaccard_pairs sizes post-cap on purpose —
+    # there the cap hits numerator and denominator symmetrically.)
+    sizes = inv0.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         keep = (inv0.groupBy("s")
                 .agg(F.count(F.lit(1)).alias("_df"))
@@ -282,7 +296,6 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     else:
         inv = inv0
     inv = inv.persist()
-    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, [F.col("a.s") == F.col("b.s"),

@@ -316,6 +316,10 @@ def bloom_index_write(df: DataFrame, path: str, column: str,
     df.write.mode(mode).parquet(path)
     spark = df.sparkSession
     scan = spark.read.parquet(path)
+    # record the indexed column's type so probes canonicalize to the
+    # SAME string: an int probe against a double column must render
+    # "1.0" like the build did, not "1" (silent false negatives)
+    coltype = scan.schema[column].dataType.simpleString()
     pos = (scan.select(F.input_file_name().alias("file"),
                        F.explode(F.array(*_bloom_positions(column, m, k)))
                        .alias("p"))
@@ -323,7 +327,8 @@ def bloom_index_write(df: DataFrame, path: str, column: str,
     schema = StructType([StructField("file", StringType()),
                          StructField("words", ArrayType(LongType())),
                          StructField("m", LongType()),
-                         StructField("k", LongType())])
+                         StructField("k", LongType()),
+                         StructField("coltype", StringType())])
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         words = np.zeros(m // 64, dtype=np.uint64)
@@ -332,8 +337,9 @@ def bloom_index_write(df: DataFrame, path: str, column: str,
                          np.left_shift(np.uint64(1),
                                        (ps & 63).astype(np.uint64)))
         return pd.DataFrame(
-            [(pdf.iloc[0]["file"], words.view(np.int64).tolist(), m, k)],
-            columns=["file", "words", "m", "k"])
+            [(pdf.iloc[0]["file"], words.view(np.int64).tolist(), m, k,
+              coltype)],
+            columns=["file", "words", "m", "k", "coltype"])
 
     (pos.groupBy("file").applyInPandas(pack, schema=schema)
         .coalesce(1)
@@ -353,13 +359,20 @@ def bloom_candidate_files(spark, path: str, column: str,
     import numpy as np
     from pyspark.sql import functions as F
 
+    if not values:
+        return []
     idx = spark.read.parquet(os.path.join(path, "_bloom_index")) \
         .collect()
     if not idx:
         return []
     m, k = int(idx[0]["m"]), int(idx[0]["k"])
+    # cast the probes to the INDEXED column's type before the string
+    # canonicalization — an int probe against a double column must
+    # hash as "1.0", exactly as the build pass rendered it
+    coltype = idx[0]["coltype"]
     probe = (spark.createDataFrame([(v,) for v in values], ["v"])
-             .select(F.array(*_bloom_positions("v", m, k)).alias("ps"))
+             .select(F.array(*_bloom_positions(
+                 F.col("v").cast(coltype), m, k)).alias("ps"))
              .collect())
     out = []
     for row in idx:

@@ -84,19 +84,27 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_same_id: bool = True) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     ``queries`` is broadcast (small side); the corpus streams through
     map-side — no corpus shuffle. Ties break on neighbor id so the
-    result set is unique. Returns (query_id, neighbor_id, cos_sim,
-    rank)."""
+    result set is unique. ``exclude_same_id`` (default) drops the
+    query_id == neighbor_id diagonal — right when queries are drawn
+    FROM the corpus (self is never its own neighbor); pass False for
+    cross-split lookups where the two tables have independent id
+    spaces and a numeric collision must not silently hide a real
+    neighbor (the knn_label case). Returns (query_id, neighbor_id,
+    cos_sim, rank)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"))
+    cond = (F.col("query_id") != F.col("neighbor_id")) \
+        if exclude_same_id else F.lit(True)
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), cond)
         .select("query_id", "neighbor_id",
                 cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
     )
@@ -125,8 +133,11 @@ def knn_label(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Reference parity: gasket's `map` transforms a stream through a
     stage (reference index.js:1-258); labeling is such a stage, one
     declarative plan."""
+    # exclude_same_id=False: corpus and queries are separate splits
+    # with independent id spaces — a numeric id collision must not
+    # silently drop a real labeled neighbor from the vote
     nbrs = cosine_topk(corpus, queries, k=k, id_col=id_col,
-                       vec_col=vec_col)
+                       vec_col=vec_col, exclude_same_id=False)
     labels = corpus.select(F.col(id_col).alias("neighbor_id"),
                            F.col(label_col).alias("_lbl"))
     votes = (labels.join(F.broadcast(nbrs), "neighbor_id")
@@ -193,18 +204,34 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     single deterministic double op both engines perform identically —
     and the dot against the INTEGER plane coordinates is then pure
     int64 multiply-add, order-independent and bit-identical in numpy,
-    Spark, and ANSI SQL by construction. No float accumulation (order-
-    dependent) and, since r10, no float plane constants (DuckDB
-    decimal-literal double-rounding made repr-embedded floats 1 ULP
-    off; see _hyperplanes). Exactness is pinned — full int64 dot
-    equality per plane, not just sign — by tests/test_cross_engine.py
-    ::TestAnnOracleExactness."""
+    Spark, and ANSI SQL by construction — on the guarded domain
+    |x| ≤ 16 (beyond that the 64-term int64 sum could exceed 2^63,
+    where numpy wraps silently while the oracle's HUGEINT keeps the
+    true sign: the kernel raises instead). No float accumulation
+    (order-dependent) and, since r10, no float plane constants
+    (DuckDB decimal-literal double-rounding made repr-embedded floats
+    1 ULP off; see _hyperplanes). Exactness is pinned — full int64
+    dot equality per plane, not just sign — by
+    tests/test_cross_engine.py::TestAnnOracleExactness."""
     P = np.asarray(planes, dtype=np.int64).T  # (dim, n_planes)
     weights = (1 << np.arange(P.shape[1])).astype(np.int64)
+
+    # int64 headroom: |dot| ≤ dim·max|E|·max|P|. With dim=64 and
+    # |P| ≤ ~5e3 the sum wraps past 2^63 once an element exceeds
+    # |x| ≈ 29 — numpy would wrap SILENTLY (flipping the sign/bucket)
+    # while the SQL oracle's HUGEINT keeps the true sign. Refuse
+    # loudly instead at a conservative |x| ≤ 16 domain bound.
+    _max_abs_x = 16.0
 
     @pandas_udf(LongType())
     def _bucket(v: pd.Series) -> pd.Series:
         V = np.stack(v.to_numpy()).astype(np.float64) * EMB_SCALE
+        if np.abs(V).max(initial=0.0) > _max_abs_x * EMB_SCALE:
+            raise ValueError(
+                "lsh_bucket: embedding element exceeds |x| <= 16 — "
+                "the exact-int64 dot would overflow (silent numpy "
+                "wraparound vs HUGEINT oracle). Normalize or rescale "
+                "the embeddings first.")
         E = (np.sign(V) * np.floor(np.abs(V) + 0.5)).astype(np.int64)
         bits = ((E @ P) > 0).astype(np.int64)
         return pd.Series(bits @ weights)

@@ -791,8 +791,11 @@ def mg_sketch(df: DataFrame, group_cols: list[str], value_col: str,
     def _emit(states):
         rows = []
         for key, st in states.items():
+            # NULL items sort after every string on count ties (SQL
+            # NULLS LAST flavor) — None is not comparable to str
             ordered = sorted(st["counts"].items(),
-                             key=lambda kv: (-kv[1], kv[0]))
+                             key=lambda kv: (-kv[1], kv[0] is None,
+                                             kv[0] or ""))
             rows.append((*key, [i for i, _ in ordered],
                          [c for _, c in ordered], st["err"], st["n"]))
         return pd.DataFrame(rows, columns=cols)
@@ -800,12 +803,20 @@ def mg_sketch(df: DataFrame, group_cols: list[str], value_col: str,
     def build(batches):
         states = {}
         for pdf in batches:
-            for key, vals in pdf.groupby(group_cols, sort=False)["_v"]:
+            # dropna=False everywhere: SQL GROUP BY keeps NULL keys
+            # and a NULL value is a countable item — pandas' silent
+            # dropna=True default would both lose null-keyed groups
+            # and inflate n_rows relative to counted mass, breaking
+            # the presence guarantee
+            for key, vals in pdf.groupby(group_cols, sort=False,
+                                         dropna=False)["_v"]:
                 if not isinstance(key, tuple):
                     key = (key,)
+                key = tuple(None if pd.isna(x) else x for x in key)
                 st = states.setdefault(
                     key, {"counts": {}, "err": 0, "n": 0})
-                for item, c in vals.value_counts().items():
+                for item, c in vals.value_counts(dropna=False).items():
+                    item = None if pd.isna(item) else item
                     st["counts"][item] = st["counts"].get(item, 0) \
                         + int(c)
                 st["n"] += len(vals)

@@ -185,6 +185,11 @@ _EDITED_R10: tuple[str, ...] = (
     "q_text_entropy",
     "q_lm_score",
     "q_multimodal_decode",
+    # cosine_topk grew an exclude_same_id param (default preserves
+    # the old behavior; knn_label passes False) — demote its one
+    # query caller for fresh certification anyway. r5 green already
+    # inside the window, so this costs no drain slot.
+    "q_sim_topk",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

@@ -228,6 +228,28 @@ class TestBloomFileIndex:
             F.col("k").isin([5, 13, 996]))
         assert got.count() == want.count() > 0
 
+    def test_double_column_probed_with_python_ints(self, spark,
+                                                   tmp_path):
+        """Cross-type probing: a DOUBLE indexed column probed with
+        Python ints must match everything the exact isin() filter
+        matches (Spark coerces 1 == 1.0) — the sidecar records the
+        column type so probes canonicalize to the same string the
+        build hashed ('1.0', not '1')."""
+        from gasket_spark.operators.layout import (
+            bloom_index_write, bloom_skip_read)
+
+        path = str(tmp_path / "bloomed_dbl")
+        df = spark.range(0, 800).select(
+            (F.col("id") % 97).cast("double").alias("k"),
+            F.col("id").alias("v"))
+        bloom_index_write(df.repartition(6, "k"), path, "k")
+        got = bloom_skip_read(spark, path, "k", [5, 13])
+        want = spark.read.parquet(path).filter(
+            F.col("k").isin([5, 13]))
+        assert got.count() == want.count() > 0
+        # empty probe list is a no-op, not a crash
+        assert bloom_skip_read(spark, path, "k", []).count() == 0
+
     def test_absent_value_reads_nothing_or_fp_only(self, spark,
                                                    tmp_path):
         from gasket_spark.operators.layout import (

@@ -571,6 +571,23 @@ class TestKnnLabel:
                        .collect()))
         assert a == b
 
+    def test_id_collision_does_not_hide_neighbors(self, spark):
+        """Cross-split id spaces are independent: a query whose
+        numeric id collides with a corpus id must still see that
+        corpus vector as a neighbor (cosine_topk's self-exclusion is
+        for queries drawn FROM the corpus, so knn_label turns it
+        off)."""
+        corpus = spark.createDataFrame(
+            [(7, [1.0, 0.0], 4), (8, [0.95, 0.05], 4)],
+            "vec_id long, embedding array<float>, label int")
+        # query id 7 collides with the nearest corpus vector's id
+        queries = spark.createDataFrame(
+            [(7, [1.0, 0.01], -1)],
+            "vec_id long, embedding array<float>, label int")
+        got = S.knn_label(corpus, queries, k=2).collect()
+        assert [(r.query_id, r.pred_label, r.n_votes)
+                for r in got] == [(7, 4, 2)]   # BOTH neighbors voted
+
 
 class TestPacking:
     def test_prefix_sum_invariant_to_partitioning(self, spark, docs):
@@ -832,6 +849,28 @@ class TestContainment:
         assert D.containment_pairs(df).count() == 0
         assert D.containment_pairs(df, max_doc_freq=None).count() > 0
 
+    def test_cap_is_conservative_not_inflating(self, spark):
+        """|A| must be the PRE-cap shingle count: a doc that is
+        mostly boilerplate (hot shingles dropped by the cap) with a
+        tiny rare overlap must NOT fire the threshold — a post-cap
+        denominator would read 5-of-5 and emit a spurious pair."""
+        boiler = " ".join(f"b{i % 4}" for i in range(40))   # hot
+        rare_a = "ra1 ra2 ra3 ra4 ra5 ra6 ra7"
+        df = spark.createDataFrame(
+            [(i, boiler) for i in range(1, 20)]             # heat it
+            + [(100, f"{boiler} {rare_a}"),                  # A
+               (200, f"{rare_a} unrelated tail words here")],  # B
+            "doc_id long, text string")
+        got = D.containment_pairs(df, threshold_num=9,
+                                  threshold_den=10, max_doc_freq=10)
+        pairs = {(r.contained_id, r.container_id) for r in got.collect()}
+        # A's true containment in B is tiny (rare_a is a sliver of A):
+        # no (100, 200) pair may appear...
+        assert (100, 200) not in pairs
+        # ...while B — whose content really is mostly rare_a — may
+        # legitimately read as contained in A.
+        assert pairs <= {(200, 100)}
+
 
 class TestDuplicateSpans:
     def test_copied_passage_merges_to_one_maximal_span(self, spark):
@@ -1023,3 +1062,24 @@ class TestPrefixFilter:
         free_checkpoint(spark, ids)
         assert not (set(ids)
                     & set(dict(jsc.getPersistentRDDs())))
+
+
+class TestLshDomainGuard:
+    def test_oversized_embedding_raises_not_wraps(self, spark):
+        """An embedding element beyond the |x| <= 16 int64-headroom
+        bound must raise loudly — numpy would otherwise wrap the
+        exact-int64 dot silently while the SQL oracle's HUGEINT
+        keeps the true sign (a cross-engine bucket divergence)."""
+        import pytest as _pytest
+
+        from gasket_spark.operators.similarity import (
+            _hyperplanes, lsh_bucket)
+
+        planes = _hyperplanes(4, 4)
+        ok = spark.createDataFrame([(1, [0.5, -0.5, 1.0, -1.0])],
+                                   "vec_id long, embedding array<float>")
+        ok.select(lsh_bucket(F.col("embedding"), planes)).collect()
+        bad = spark.createDataFrame([(1, [40.0, 0.0, 0.0, 0.0])],
+                                    "vec_id long, embedding array<float>")
+        with _pytest.raises(Exception, match="overflow|exceeds"):
+            bad.select(lsh_bucket(F.col("embedding"), planes)).collect()

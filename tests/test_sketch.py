@@ -475,3 +475,22 @@ class TestMisraGries:
         r = top[0]
         assert r.item == "big"
         assert r.count_lo <= 500 <= r.count_hi
+
+    def test_null_groups_and_null_items_counted(self, spark):
+        """SQL semantics under NULLs: a NULL group key still gets a
+        sketch row and NULL values count as an item — pandas'
+        dropna defaults would silently lose both."""
+        from gasket_spark.operators.sketch import mg_sketch
+
+        rows = ([("a", "x")] * 5 + [("a", None)] * 3
+                + [(None, "y")] * 4 + [(None, None)] * 2)
+        df = spark.createDataFrame(rows, "g string, v string") \
+                  .repartition(3)
+        got = {r.g: r for r in mg_sketch(df, ["g"], "v", k=8).collect()}
+        assert set(got) == {"a", None}
+        assert dict(zip(got["a"].items, got["a"].counts)) \
+            == {"x": 5, None: 3}
+        assert got["a"].n_rows == 8 and got["a"].err_bound == 0
+        assert dict(zip(got[None].items, got[None].counts)) \
+            == {"y": 4, None: 2}
+        assert got[None].n_rows == 6 and got[None].err_bound == 0

@@ -102,8 +102,15 @@ def last_commit_ts(path: str) -> float:
 
 
 def artifact_mtime(rnd: float) -> float:
-    """mtime of the on-disk CORRECTNESS artifact for round `rnd`
-    (-inf if absent — never exempt on a missing artifact)."""
+    """mtime of the on-disk CORRECTNESS artifact for the round that
+    PRODUCED rank `rnd` (-inf if absent — never exempt on a missing
+    artifact). Rows-only passes carry fractional rank N−0.5 but were
+    produced by the round-N artifact, so round UP — int() would
+    consult round N−1, either flagging a legitimately certified query
+    or exempting on an artifact that never saw the edit."""
+    import math
+
+    rnd = math.ceil(rnd)
     p = os.path.join(REPO, f"CORRECTNESS_r{int(rnd):02d}.json")
     if not os.path.exists(p):
         p = os.path.join(REPO, f"CORRECTNESS_r{int(rnd)}.json")
@@ -111,6 +118,28 @@ def artifact_mtime(rnd: float) -> float:
         return os.path.getmtime(p)
     except OSError:
         return float("-inf")
+
+
+def mtimes_untrustworthy() -> bool:
+    """True when artifact mtimes carry no information — the fresh
+    clone/checkout case, where EVERY file's mtime is checkout time:
+    all CORRECTNESS artifacts share one mtime (±5 s) that postdates
+    HEAD's commit. Trusting mtimes there would CERT-exempt
+    everything, reopening exactly the hole the guard closes."""
+    mts = []
+    for n in os.listdir(REPO):
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", n):
+            try:
+                mts.append(os.path.getmtime(os.path.join(REPO, n)))
+            except OSError:
+                pass
+    if len(mts) < 2:
+        return False
+    try:
+        head_ts = float(_git("log", "-1", "--format=%ct").strip())
+    except (subprocess.CalledProcessError, ValueError):
+        return True
+    return max(mts) - min(mts) < 5.0 and min(mts) > head_ts
 
 
 def changed_lines(base: str) -> dict[str, list[tuple[int, int]]]:
@@ -279,8 +308,15 @@ def main() -> None:
     # be NEWER than the last commit touching every changed path
     # behind the query, so the certifying run provably saw the edits.
     certified = set()
+    mtime_blind = mtimes_untrustworthy()
+    if mtime_blind:
+        warnings.append(
+            "artifact mtimes look like a fresh checkout (all equal, "
+            "newer than HEAD) — CERT exemptions disabled this run")
     for q in affected:
         if q in in_window or rank.get(q, 0.0) <= brnd:
+            continue
+        if mtime_blind:
             continue
         paths = qpaths.get(q)
         if paths and artifact_mtime(rank[q]) >= max(
