@@ -35,3 +35,43 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.sparkSession.createDataFrame(
         out, "col string, n bigint, n_nonnull bigint, "
              "distinct_est bigint, min_v string, max_v string")
+
+
+def quarantine_split(df: DataFrame, rules: dict) -> tuple:
+    """Validate-and-route: evaluate every named rule (a boolean
+    Column that is TRUE for valid rows) in ONE pass and split the
+    input into (good, bad) — bad rows carry ``_violations``, the
+    sorted array of failed rule names (NULL rule results count as
+    violations: an unevaluable rule must never wave a row through).
+    The quarantine-and-continue lane every 100 TB ingest needs: a
+    handful of malformed rows must neither kill the job (fail-fast)
+    nor silently vanish (dropMalformed) — they land in an auditable
+    side table with machine-readable reasons.
+
+    Both returned frames derive from one annotated plan, so a
+    rule's expression is evaluated once per row whether the row
+    passes or fails; Catalyst prunes the `_violations` construction
+    out of the GOOD branch's plan. Rules compose from plain Column
+    expressions — the same predicates a CHECK constraint would
+    state, so the quarantine reasons are derivable in ANSI SQL (the
+    r11+ oracle shape).
+
+    Reference parity: gasket's `fork` routes a stream to branches
+    (reference index.js:1-258); this is the validity fork, one
+    declarative plan."""
+    from pyspark.sql import functions as F
+
+    if not rules:
+        raise ValueError("quarantine_split needs at least one rule")
+    viol = F.sort_array(F.filter(
+        F.array(*[
+            F.when(F.coalesce(cond, F.lit(False)), F.lit(None)
+                   .cast("string")).otherwise(F.lit(name))
+            for name, cond in sorted(rules.items())
+        ]),
+        lambda x: x.isNotNull()))
+    annotated = df.withColumn("_violations", viol)
+    good = annotated.filter(F.size("_violations") == 0) \
+        .drop("_violations")
+    bad = annotated.filter(F.size("_violations") > 0)
+    return good, bad

@@ -129,3 +129,40 @@ class TestApproxPercentileBound:
         rows = QUERIES["q_agg_percentile_approx"](spark, SF_ORACLE).collect()
         assert len(rows) == 3
         assert all(r.p50_ok and r.p90_ok for r in rows)
+
+
+class TestQuarantineSplit:
+    def test_routes_with_reasons_and_partitions_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from gasket_spark.operators.profile import quarantine_split
+
+        df = spark.createDataFrame(
+            [(1, "ok", 10.0), (2, None, 5.0), (3, "ok", -1.0),
+             (4, None, -2.0), (5, "ok", 0.5)],
+            "id long, name string, value double")
+        good, bad = quarantine_split(df, {
+            "name_present": F.col("name").isNotNull(),
+            "value_positive": F.col("value") > 0,
+        })
+        assert sorted(r.id for r in good.collect()) == [1, 5]
+        got = {r.id: list(r._violations) for r in bad.collect()}
+        assert got == {2: ["name_present"],
+                       3: ["value_positive"],
+                       4: ["name_present", "value_positive"]}
+        # partition of the input, schema preserved on the good lane
+        assert good.columns == df.columns
+        assert good.count() + bad.count() == df.count()
+
+    def test_null_rule_result_is_a_violation(self, spark):
+        """A rule that evaluates to NULL (e.g. comparison against a
+        NULL column) must quarantine, not pass — unevaluable is not
+        valid."""
+        from pyspark.sql import functions as F
+
+        from gasket_spark.operators.profile import quarantine_split
+
+        df = spark.createDataFrame([(1, None)], "id long, v double")
+        good, bad = quarantine_split(df, {"v_big": F.col("v") > 100})
+        assert good.count() == 0
+        assert [list(r._violations) for r in bad.collect()] == [["v_big"]]
