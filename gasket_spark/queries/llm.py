@@ -2632,3 +2632,338 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, ids = D.prefix_filter_pairs_tracked(corpus, threshold=0.5)
     _PREFIX_PAIR_CACHE[key] = (pairs, ids)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# round-11 registrations of the round-10 banked library operators
+# ---------------------------------------------------------------------------
+
+# documents ∪ quoted snippets (first 40 tokens, id+200000): the
+# asymmetric shape containment detects and Jaccard misses — SQL twin
+# of _containment_corpus below.
+_CONTAIN_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:40], ' ') AS text
+      FROM documents
+"""
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    snip = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 40)).alias("text"))
+    return docs.unionByName(snip)
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH corpus AS ({_CONTAIN_SQL}),
+    inv0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS s
+      FROM corpus),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv0 GROUP BY doc_id),
+    keep AS (
+      SELECT s FROM (SELECT s, COUNT(*) AS df FROM inv0 GROUP BY s)
+      WHERE df <= 32),
+    inv AS (SELECT doc_id, s FROM inv0 JOIN keep USING (s)),
+    common AS (
+      SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT c.id_lo, c.id_hi, c.n_common,
+             lo.n_sh AS n_lo, hi.n_sh AS n_hi
+      FROM common c
+      JOIN sizes lo ON lo.doc_id = c.id_lo
+      JOIN sizes hi ON hi.doc_id = c.id_hi)
+    SELECT id_lo AS contained_id, id_hi AS container_id,
+           n_common, n_lo AS n_contained
+    FROM j WHERE n_common * 10 >= 9 * n_lo
+    UNION ALL
+    SELECT id_hi, id_lo, n_common, n_hi
+    FROM j WHERE n_common * 10 >= 9 * n_hi
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED shingle containment (|A∩B| >= 0.9·|A|) on a corpus
+    with injected quoted snippets — the boilerplate/quoted-whole
+    near-dup shape Jaccard structurally misses (a 40-token snippet
+    inside a 400-token page is perfect containment but tiny Jaccard).
+    df-capped inverted index (max_doc_freq=32 — sized so the cap
+    still passes snippet evidence at sf0.1's 10000-doc corpus, where
+    the q_dedup_ngram df<=8 posture filters every shingle of this
+    generated text; the cap bounds the self-join fan-out at corpus
+    scale and is CONSERVATIVE here — |A| stays pre-cap so every
+    emitted pair truly satisfies the contract), integer
+    cross-multiplied rational threshold so the cut is engine-exact.
+    Both directions derive from ONE self-join pass
+    (operators/dedup.py:containment_pairs)."""
+    corpus = _containment_corpus(spark, sf_dir) \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return D.containment_pairs(corpus, n=3, threshold_num=9,
+                               threshold_den=10, max_doc_freq=32)
+
+
+# documents ∪ passage copies: tokens 5..34 of every >=40-token doc,
+# wrapped in per-doc unique junk tokens so only the copied passage
+# aligns — SQL twin of _spans_corpus below.
+_SPANS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id,
+             'zqa' || doc_id || ' ' ||
+             array_to_string(string_split(text, ' ')[5:34], ' ') ||
+             ' zqz' || doc_id AS text
+      FROM documents WHERE len(string_split(text, ' ')) >= 40
+"""
+
+
+def _spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    cp = docs.filter(F.size(toks) >= 40).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("zqa"), F.col("doc_id").cast("string")),
+            F.concat_ws(" ", F.slice(toks, 5, 30)),
+            F.concat(F.lit("zqz"), F.col("doc_id").cast("string")),
+        ).alias("text"))
+    return docs.unionByName(cp)
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH corpus AS ({_SPANS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+    pos AS (
+      SELECT doc_id, pg.pos AS pos, pg.g AS g
+      FROM (SELECT doc_id,
+              unnest(list_transform(
+                range(1, greatest(len(tk) - 19, 0) + 1),
+                i -> struct_pack(pos := i,
+                                 g := array_to_string(tk[i:i+19], ' '))))
+                AS pg
+            FROM toks)),
+    keep AS (
+      SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
+                     FROM pos GROUP BY g)
+      WHERE df <= 256),
+    inv AS (SELECT doc_id, pos, g FROM pos JOIN keep USING (g)),
+    matches AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b
+               ORDER BY pos_a) AS grp
+      FROM matches)
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_b) AS BIGINT) AS start_b,
+           CAST(COUNT(*) + 19 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans (Lee et al. 2022) on a corpus
+    with injected copied passages: any 20-token window shared verbatim
+    across documents, consecutive matches merged into MAXIMAL spans by
+    gaps-and-islands per alignment diagonal — a copied 30-token
+    passage emits ONE row (start_a, start_b, span_tokens=30), not 11.
+    Spark side hashes each window once (rolling xxhash64 via one JVM
+    transform, df-capped inverted index, one self-join:
+    operators/dedup.py:duplicate_spans); the oracle twin recomputes
+    STRING 20-grams — exactly the verification that proves the hashed
+    index loses and invents nothing on this corpus."""
+    corpus = _spans_corpus(spark, sf_dir)
+    return (D.duplicate_spans(corpus, w=20, max_doc_freq=256)
+            .select("doc_a", "doc_b",
+                    F.col("start_a").cast("long").alias("start_a"),
+                    F.col("start_b").cast("long").alias("start_b"),
+                    F.col("span_tokens").cast("long")
+                    .alias("span_tokens")))
+
+
+@query(
+    "q_fingerprint_winnow",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_DUP_SQL}),
+    inv8 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 7, 0) + 1),
+               i -> array_to_string(string_split(text,' ')[i:i+7], ' '))))
+               AS g
+      FROM corpus)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_8grams
+    FROM inv8 a JOIN inv8 b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint candidate generation + exact verify on
+    the near-dup corpus: MOSS winnowing (k=5 token grams, window=4)
+    samples ~2/(window+1) of the gram hashes per doc, the fingerprint
+    self-join proposes candidate pairs, and each candidate is
+    verified by counting its truly shared verbatim 8-token windows
+    (window+k-1 = 8). The winnowing GUARANTEE (any shared passage of
+    >= 8 tokens contributes an identical fingerprint to both docs —
+    pytest-pinned at every offset) makes the candidate set a provable
+    SUPERSET of the true pair set, so verify(candidates) equals the
+    ground truth the oracle computes directly — recall 1.0 by
+    construction, which is what lets the sampled index replace the
+    full positional one at 100 TB (operators/dedup.py:
+    winnow_fingerprints).
+
+    Plan notes: the corpus is repartitioned to the session's full
+    parallelism BEFORE fingerprinting — the gram/min HOF chain is
+    ~O(tokens·k) interpreted work per doc, and the 2-file parquet
+    fixture would otherwise run it on 2 cores (measured 78 s vs ~6 s
+    at sf0.1); the fingerprint table is persisted so the candidate
+    self-join's two sides don't recompute it."""
+    corpus = _docs_with_near_dups(spark, sf_dir) \
+        .repartition(spark.sparkContext.defaultParallelism)
+    fps = D.winnow_fingerprints(corpus, k=5, window=4).persist()
+    a, b = fps.alias("a"), fps.alias("b")
+    cand = (a.join(b, [F.col("a.fp") == F.col("b.fp"),
+                       F.col("a.doc_id") < F.col("b.doc_id")])
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    toks = F.split("text", " ")
+    n8 = F.size(toks) - 7
+    gidx = F.when(n8 >= 1, F.sequence(F.lit(1), n8)) \
+        .otherwise(F.array().cast("array<int>"))
+    g8 = F.transform(
+        gidx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))))
+    inv8 = corpus.select("doc_id",
+                         F.explode(F.array_distinct(g8)).alias("g"))
+    ia, ib = inv8.alias("ia"), inv8.alias("ib")
+    shared = (ia.join(ib, [F.col("ia.g") == F.col("ib.g"),
+                           F.col("ia.doc_id") < F.col("ib.doc_id")])
+              .groupBy(F.col("ia.doc_id").alias("id_a"),
+                       F.col("ib.doc_id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared_8grams")))
+    return shared.join(cand, ["id_a", "id_b"])
+
+
+@query(
+    "q_shard_rendezvous",
+    oracle="""
+    SELECT doc_id, CAST(shard AS INT) AS shard FROM (
+      SELECT doc_id, t.s AS shard,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || t.s) DESC)
+               AS rk
+      FROM documents, (SELECT unnest(range(12)) AS s) t)
+    WHERE rk = 1
+    """,
+)
+def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment of the
+    corpus to 12 shards — the consistent-hashing rule whose defining
+    property is MINIMAL MOVEMENT on re-sharding (n -> n+1 moves an
+    expected 1/(n+1) of keys, all INTO the new shard; mod-hashing
+    reshuffles ~everything — both pytest-pinned). Entirely JVM-side
+    and engine-exact: per-shard weights are md5 hex strings, the
+    argmax is array_max over (weight, shard) structs, and the oracle
+    derives the identical argmax in ANSI SQL
+    (operators/packing.py:rendezvous_assign)."""
+    from gasket_spark.operators.packing import rendezvous_assign
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_assign(docs, "doc_id", 12).select("doc_id", "shard")
+
+
+@query(
+    "q_heavy_hitters_mg",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source AS item, COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2),
+    n AS (SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY 1),
+    r AS (
+      SELECT lang, item, cnt, row_number() OVER (
+        PARTITION BY lang ORDER BY cnt DESC, item) AS rk
+      FROM c)
+    SELECT r.lang, r.item, CAST(r.cnt AS BIGINT) AS count_lo,
+           CAST(r.cnt AS BIGINT) AS count_hi,
+           CAST(0 AS BIGINT) AS err_bound,
+           CAST(n.n_rows AS BIGINT) AS n_rows
+    FROM r JOIN n USING (lang) WHERE rk <= 3
+    """,
+)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy hitters: top-3 sources per language
+    with deterministic count brackets. Per-partition counter tables
+    (mapInPandas — no shuffle of the rows), ONE shuffle of <=
+    partitions·k counters, a per-group merge — the
+    vocabulary-shuffle-free sibling of q_heavy_hitters. k=32 exceeds
+    the global source cardinality (20), so no truncation happens on
+    ANY partition path and the sketch is EXACT and self-certifying:
+    err_bound = 0, count_lo = count_hi = the true count — which is
+    precisely the property that makes the result partition-layout
+    independent and hash-verifiable (the truncation-engaged
+    guarantees are pinned separately under two partitionings in
+    tests/test_sketch.py) (operators/sketch.py:mg_sketch/mg_topk)."""
+    from gasket_spark.operators.sketch import mg_sketch, mg_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    sk = mg_sketch(docs, ["lang"], "source", k=32)
+    return (mg_topk(sk, m=3)
+            .select("lang", "item", "count_lo", "count_hi",
+                    "err_bound", "n_rows"))
+
+
+@query(
+    "q_knn_label",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS lbl, {_cos_expr('q', 'c')} AS cos_sim
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0),
+    nbrs AS (
+      SELECT query_id, lbl FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+    votes AS (
+      SELECT query_id, lbl, COUNT(*) AS n_votes
+      FROM nbrs GROUP BY 1, 2)
+    SELECT query_id, lbl AS pred_label, n_votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY n_votes DESC, lbl) AS rk
+      FROM votes) WHERE rk = 1
+    """,
+)
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling — the weak-supervision primitive:
+    every 5th vector plays the unlabeled split, the rest are the
+    labeled corpus; each query takes the majority label of its 5
+    nearest labeled neighbors by exact integer-scaled cosine
+    (queries broadcast, corpus streams map-side — no corpus shuffle;
+    label lookup joins the corpus against the BROADCAST |queries|·k
+    neighbor set, so the corpus makes one more narrow pass).
+    Deterministic end to end: neighbor ties on neighbor_id, vote
+    ties on the smaller label
+    (operators/similarity.py:knn_label)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    return S.knn_label(corpus, queries, k=5)
