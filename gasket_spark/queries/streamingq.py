@@ -1031,3 +1031,94 @@ def q_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (updates.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("user_id", "n_seen", "n_kept", "kept_cents"))
+
+
+# ---------------------------------------------------------------------------
+# round-11 registrations of the round-10 banked streaming operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_leaderboard",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS w_end,
+             user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events GROUP BY 1, 2, 3)
+    SELECT w_start, w_end, user_id, n, total_cents,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY w_start
+            ORDER BY total_cents DESC, user_id) AS rk FROM agg)
+    WHERE rk <= 3
+    """,
+)
+def q_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k leaderboard (top-3 spenders per hour),
+    JVM-native end to end: a watermarked windowed aggregate in APPEND
+    mode maintains per-(window, user) running totals in the state
+    store — each finalized window emits EXACTLY ONCE as the ordered
+    replay's watermark passes its end, and the same watermark EVICTS
+    the window's state (numRowsRemoved > 0, peak state bounded by the
+    time horizon — proven from the state-operator metrics by
+    tests/test_streaming.py::test_windowed_leaderboard_state_evicts).
+    Deliberately NOT applyInPandasWithState: per-group Python
+    invocation is a measured constant-factor tax (NOTES r10 Arrow
+    A/B), while StateStoreSave keeps the whole path in the JVM. The
+    top-3 CUT is a bounded post-pass on finalized aggregate-grain
+    rows — ranking never lives in the state store
+    (streaming/core.py:windowed_leaderboard/leaderboard_topk).
+    Totals accumulate in exact integer cents, so the result is
+    replay- and partition-order independent and hash-verifies against
+    the batch windowed GROUP BY + row_number oracle."""
+    from gasket_spark.streaming.core import (
+        leaderboard_topk, run_to_completion, windowed_leaderboard)
+
+    agg = windowed_leaderboard(
+        _events_as_ordered_stream(spark, sf_dir),
+        window="1 hour", watermark="1 minute")
+    out = run_to_completion(agg, _unique_name("t_leaderboard"),
+                            output_mode="append")
+    return leaderboard_topk(
+        out.filter(F.col("user_id") != _SENTINEL_UID), k=3)
+
+
+@query(
+    "q_stream_full_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           coalesce(p.user_id, c.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts < p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join executed BY Structured Streaming
+    — the last member of the join family (inner/left outer/semi/anti
+    are registered above): matched (purchase, click) pairs emit as
+    evidence arrives; a purchase with no click in the prior hour
+    emits NULL-click once the CLICK-side watermark proves absence; a
+    click with no purchase in the following hour emits NULL-purchase
+    once the PURCHASE-side watermark proves absence —
+    proof-of-absence state machines on BOTH sides, each bounded by
+    the time-range condition (O(horizon), never O(history)). Runs
+    over the time-ordered replay with the DUAL-TYPE sentinel (each
+    side filters to its event_type BEFORE its watermark node, so the
+    sentinel must carry both types to advance both watermarks — the
+    r10 lesson). Hash-verified against the batch FULL JOIN oracle
+    (streaming/core.py:stream_stream_full_outer_join)."""
+    from gasket_spark.streaming.core import (
+        run_to_completion, stream_stream_full_outer_join)
+
+    joined = stream_stream_full_outer_join(
+        _events_as_ordered_stream(spark, sf_dir),
+        _events_as_ordered_stream(spark, sf_dir),
+        watermark="1 minute")
+    out = run_to_completion(joined, _unique_name("t_full_outer"),
+                            output_mode="append")
+    return out.filter(F.col("user_id") != _SENTINEL_UID)
