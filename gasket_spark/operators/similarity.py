@@ -698,7 +698,10 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     cosine can't express. Same scale shape as :func:`cosine_topk`:
     queries broadcast, corpus streams map-side through one Arrow
     batch kernel, per-query top-k via window on the exact integer
-    score (ties on neighbor id)."""
+    score (ties on neighbor id). The score is REPORTED as that exact
+    int64 too (femto-units, 1e-15) — the earlier round(score/1e15, 9)
+    double re-introduced engine-specific decimal rounding on an
+    otherwise bit-exact pipeline (the r8 fixed-point rule)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -713,5 +716,5 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
-                    F.round(F.col("score_i") / SCALE, 9).alias("maxsim"),
+                    F.col("score_i").alias("maxsim_femto"),
                     F.col("rank").cast("int").alias("rank")))

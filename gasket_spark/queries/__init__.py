@@ -192,6 +192,31 @@ _EDITED_R10: tuple[str, ...] = (
     "q_sim_topk",
 )
 
+# Queries whose implementation or oracle was EDITED in round 11.
+# Extended as r11 edits land.
+_EDITED_R11: tuple[str, ...] = (
+    # the final round(x, N>0) → fixed-point conversion batch (nano
+    # floor-scale for median/IQR/percent_rank/cume_dist/interp; pure
+    # integer div for EWMA/confidence/lift/pct_change/logit/A-ES
+    # priority; exact femto integer for MaxSim): output schemas
+    # changed — fresh certification. All ten are r6 greens already
+    # inside the r11 window, so the demotion reorders without
+    # evicting any drain.
+    "q_rolling_median",
+    "q_anomaly_iqr",
+    "q_window_distribution",
+    "q_window_ewma",
+    "q_resample_interp",
+    "q_basket_rules",
+    "q_period_over_period",
+    "q_quality_classifier",
+    "q_sim_maxsim",
+    "q_sample_weighted",
+    # oracle-only: HUGEINT→DOUBLE casts routed through VARCHAR (the
+    # r8 q_agg_moments rule) so the compare stays exact past 2^64
+    "q_agg_stats",
+)
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -316,6 +341,10 @@ def _signal_rank() -> dict[str, float]:
             # r10-edited: same rule, one round later again.
             if 0 < rank.get(n, 0.0) <= 9.0:
                 rank[n] = 1.02
+        for n in _EDITED_R11:
+            # r11-edited: same rule, one round later again.
+            if 0 < rank.get(n, 0.0) <= 10.0:
+                rank[n] = 1.01
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

@@ -2366,10 +2366,8 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM feats f JOIN weights w USING (bucket)
       GROUP BY f.doc_id)
     SELECT doc_id,
-           round(1.0 / (1.0 + exp(-(CAST(z_milli AS DOUBLE)
-                 / (1000.0 * n_tokens)))), 6) AS score,
-           (CAST(z_milli AS DOUBLE) / (1000.0 * n_tokens)) >= 0.0
-             AS keep
+           CAST(z_milli * 1000 // n_tokens AS BIGINT) AS logit_micro,
+           z_milli >= 0 AS keep
     FROM z
     """,
 )
@@ -2382,9 +2380,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained weights loaded from storage) broadcast to every executor;
     tokens hash into buckets (the hashing trick — fixed feature width
     at any vocabulary), the logit accumulates in exact INTEGER
-    milliweight units (order-independent, partition-proof), and only
-    the final sigmoid touches floats (rounded 1e-6, the cross-engine
-    rule). One shuffle (per-doc sum); the corpus never joins anything
+    milliweight units (order-independent, partition-proof), and the
+    reported score IS the logit in exact micro-units (one truncating
+    integer division, Spark ``div`` ≡ DuckDB ``//`` — no float
+    anywhere, retiring the round(sigmoid, 6) whose exp() is a libm
+    call with no cross-engine bit contract; sigmoid is monotone, so
+    thresholds/rankings on logit_micro are the same decisions, and
+    the keep gate is the exact integer sign test z_milli >= 0). One
+    shuffle (per-doc sum); the corpus never joins anything
     bigger than the 256-row model. At 100 TB this is the pattern for
     any linear/embedding-dot scorer: broadcast weights, map-side
     feature hashing, one partial-agg reduction."""
@@ -2403,12 +2406,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("doc_id")
          .agg(F.sum("k_milli").alias("z_milli"),
               F.count(F.lit(1)).alias("n_tokens")))
-    logit = F.col("z_milli").cast("double") / (1000.0 * F.col("n_tokens"))
     return z.select(
         "doc_id",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
-        .alias("score"),
-        (logit >= 0.0).alias("keep"))
+        F.expr("z_milli * 1000 div n_tokens").alias("logit_micro"),
+        (F.col("z_milli") >= 0).alias("keep"))
 
 
 @query(
@@ -2547,7 +2548,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS BIGINT)))))
                AS BIGINT) AS score_i
       FROM q, embeddings e WHERE e.vec_id <> q.query_id)
-    SELECT query_id, neighbor_id, round(score_i / 1e15, 9) AS maxsim,
+    SELECT query_id, neighbor_id, score_i AS maxsim_femto,
            CAST(rnk AS INT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY score_i DESC, neighbor_id) AS rnk FROM p)

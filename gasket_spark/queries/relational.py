@@ -1579,14 +1579,16 @@ def q_agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
       FROM v GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
-           CAST(n * sxx - sx * sx AS DOUBLE)
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+             / CAST(n AS DOUBLE) AS avg_qty,
+           CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
              / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
-           SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+           SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
              / CAST(n * (n - 1) AS DOUBLE)) AS std_qty,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-                * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / (SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                * SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR)
+                            AS DOUBLE)))
              AS corr_qty_price
     FROM s
     """,
@@ -1599,6 +1601,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side, HUGEINT oracle-side), and the closed-form estimators
     are single deterministic IEEE-754 expressions over those exact
     moments — bit-identical across engines AND partition layouts.
+    The oracle's HUGEINT→DOUBLE casts route through VARCHAR (the r8
+    q_agg_moments rule): DuckDB's direct int128→double conversion is
+    not guaranteed correctly-rounded, while decimal-string→double is
+    — matching Spark's Decimal.toDouble — so the compare stays exact
+    past 2^64 (Σcents² crosses it between sf0.1 and sf1).
     One two-phase hash aggregate, map-side partials, no second pass
     (vs the naive mean-then-residuals plan)."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -2778,12 +2785,18 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_rolling_median",
     oracle="""
+    WITH a AS (
+      SELECT event_id, user_id,
+             list_sort(list(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      FROM events)
     SELECT event_id, user_id,
-           round(median(value) OVER (PARTITION BY user_id
-             ORDER BY ts, event_id
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
-             AS rolling_median
-    FROM events
+           CAST(floor((CASE WHEN len(arr) % 2 = 1
+                  THEN arr[(len(arr) + 1) // 2]
+                  ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2
+                END) * 1e9 + 0.5) AS BIGINT) AS rolling_median_nano
+    FROM a
     """,
 )
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2793,8 +2806,12 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list over the ROWS frame (bounded: ≤ 7 doubles per row,
     so state is O(frame), never O(partition)), array_sort, and an
     odd/even interpolation pick — no Python worker in the loop. One
-    shuffle on user_id. Rounded to 1e-6 so the two engines' (a+b)/2
-    interpolation can't differ in the last ULP."""
+    shuffle on user_id. Emitted as floor(x·1e9 + 0.5) BIGINT — the
+    oracle states the IDENTICAL sort/pick/(a+b)/2 construction (not
+    DuckDB's median(), whose interpolation formula is its own), so
+    every op is the same IEEE expression on both engines and the
+    integer is bit-agreed by construction (the r8 fixed-point rule;
+    round(x, 6) invoked engine-specific decimal rounding)."""
     ev = read_table(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-6, 0))
@@ -2805,7 +2822,8 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = F.when(n % 2 == 1, lo).otherwise(
         (F.element_at(arr, (n / 2).cast("int")) + hi) / 2)
     return ev.select("event_id", "user_id",
-                     F.round(med, 6).alias("rolling_median"))
+                     F.floor(med * F.lit(1e9) + F.lit(0.5))
+                     .alias("rolling_median_nano"))
 
 
 # ---------------------------------------------------------------------------
@@ -3127,17 +3145,21 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample_weighted",
     oracle="""
-    WITH pri AS (
+    WITH lnm AS (
       SELECT lang, doc_id, n_chars AS weight,
-             round(ln(greatest(
+             CAST(round(ln(greatest(
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'),
                                1, 15))::BIGINT
-                 / 1152921504606846976.0, 1e-18)) / n_chars, 12)
-               AS priority
-      FROM documents)
-    SELECT lang, doc_id, weight, priority, CAST(rk AS INT) AS rank
+                 / 1152921504606846976.0, 1e-18)) * 1000000) AS BIGINT)
+               AS ln_micro
+      FROM documents),
+    pri AS (
+      SELECT lang, doc_id, weight,
+             ln_micro * 1000000 // weight AS priority_pico
+      FROM lnm)
+    SELECT lang, doc_id, weight, priority_pico, CAST(rk AS INT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY lang
-            ORDER BY priority DESC, doc_id) AS rk FROM pri)
+            ORDER BY priority_pico DESC, doc_id) AS rk FROM pri)
     WHERE rk <= 5
     """,
 )
@@ -3151,18 +3173,27 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the global top-k of per-partition top-ks — TakeOrdered shape,
     no full sort). The 100 TB form of 'sample 1M docs weighted by
     length' without a shuffle of the corpus: one windowed top-k per
-    stratum. ln() is rounded to 1e-12 with a doc_id tie-break (the
-    q_tfidf cross-engine float rule)."""
+    stratum. ln() — the one libm call — is HALF_UP-rounded ONCE to
+    exact integer micro-units (the q_lm_score/q_tfidf per-term
+    round-0 mask), and everything after is integer arithmetic: the
+    priority is ln_micro·1e6 div weight pico-units (Spark ``div`` ≡
+    DuckDB ``//``) and the rank compares integers — retiring the
+    round(x, 12) decimal rounding, with the doc_id tie-break
+    unchanged."""
     docs = read_table(spark, sf_dir, "documents")
     u = (F.conv(F.substring(F.md5(F.concat(
         F.col("doc_id").cast("string"), F.lit(":wsamp"))), 1, 15), 16, 10)
         .cast("long") / F.lit(float(2 ** 60)))
-    pri = F.round(F.log(F.greatest(u, F.lit(1e-18))) / F.col("n_chars"), 12)
+    lnm = F.round(F.log(F.greatest(u, F.lit(1e-18))) * F.lit(1e6)) \
+        .cast("long")
     w = Window.partitionBy("lang").orderBy(
-        F.col("priority").desc(), F.col("doc_id").asc())
+        F.col("priority_pico").desc(), F.col("doc_id").asc())
     return (docs.select("lang", "doc_id",
                         F.col("n_chars").alias("weight"),
-                        pri.alias("priority"))
+                        lnm.alias("_ln_micro"))
+            .withColumn("priority_pico",
+                        F.expr("_ln_micro * 1000000 div weight"))
+            .drop("_ln_micro")
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5))
 
@@ -3355,7 +3386,8 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
              quantile_cont(value, 0.75) AS q3
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type, e.value,
-           round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+           CAST(floor(q.q1 * 1e9 + 0.5) AS BIGINT) AS q1_nano,
+           CAST(floor(q.q3 * 1e9 + 0.5) AS BIGINT) AS q3_nano,
            (e.value < q.q1 - 1.5 * (q.q3 - q.q1)
             OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
     FROM events e JOIN q USING (event_type)
@@ -3371,18 +3403,23 @@ def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group count is tiny → broadcast back), then one map-side fence
     filter over the stream — the corpus is scanned, never shuffled.
     Fence arithmetic happens on UNROUNDED quantiles on both engines;
-    the reported q1/q3 are rounded for display only."""
+    the reported q1/q3 are floor(x·1e9 + 0.5) BIGINT (both engines'
+    exact-percentile interpolation is the same lower + frac·(upper −
+    lower) IEEE expression over the same sorted multiset, so the
+    scaled integer is bit-agreed; round(x, 6) invoked engine-specific
+    decimal rounding — the r8 fixed-point rule)."""
     ev = read_table(spark, sf_dir, "events")
     q = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.25)).alias("q1"),
         F.percentile("value", F.lit(0.75)).alias("q3"))
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    nano = lambda c: F.floor(F.col(c) * F.lit(1e9) + F.lit(0.5))  # noqa: E731
     return (ev.join(F.broadcast(q), "event_type")
             .filter((F.col("value") < lo) | (F.col("value") > hi))
             .select("event_id", "event_type", "value",
-                    F.round("q1", 6).alias("q1"),
-                    F.round("q3", 6).alias("q3"),
+                    nano("q1").alias("q1_nano"),
+                    nano("q3").alias("q3_nano"),
                     ((F.col("value") < lo) | (F.col("value") > hi))
                     .alias("is_outlier")))
 
@@ -3602,8 +3639,10 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_distribution",
     oracle="""
     SELECT event_id, event_type,
-           round(percent_rank() OVER w, 9) AS pct_rank,
-           round(cume_dist() OVER w, 9) AS cume
+           CAST(floor(percent_rank() OVER w * 1e9 + 0.5) AS BIGINT)
+             AS pct_rank_nano,
+           CAST(floor(cume_dist() OVER w * 1e9 + 0.5) AS BIGINT)
+             AS cume_nano
     FROM events
     WINDOW w AS (PARTITION BY event_type ORDER BY value)
     """,
@@ -3614,13 +3653,17 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution' pack that complements q_window_ntile's bucketing.
     Value ties share a rank on both engines (ORDER BY value alone),
     so the result is deterministic without an id tie-break; one
-    shuffle on the partition key."""
+    shuffle on the partition key. Both stats are ONE integer-ratio
+    IEEE division ((rank−1)/(n−1), c/n) so floor(x·1e9 + 0.5) BIGINT
+    is bit-agreed by construction (the r8 fixed-point rule;
+    round(x, 9) invoked engine-specific decimal rounding)."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value")
+    nano = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5))  # noqa: E731
     return ev.select(
         "event_id", "event_type",
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"))
+        nano(F.percent_rank().over(w)).alias("pct_rank_nano"),
+        nano(F.cume_dist().over(w)).alias("cume_nano"))
 
 
 @query(
@@ -3836,8 +3879,9 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ewma_oracle_sql(k: int = 8) -> str:
     """Fixed-point EWMA oracle: alpha = 1/2 over the last ``k`` events,
     weights 2^(k-1-i) for lag i, renormalized over the lags that exist
-    — all-integer numerator/denominator, one double division at the
-    end, so both engines compute the identical value."""
+    — all-integer numerator/denominator and ONE truncating integer
+    division to nano-cents (`//` ≡ Spark `div`), so both engines
+    compute the identical BIGINT with no float anywhere."""
     num = [f"c * {1 << (k - 1)}"]
     den = [str(1 << (k - 1))]
     for i in range(1, k):
@@ -3851,8 +3895,8 @@ def _ewma_oracle_sql(k: int = 8) -> str:
              CAST(round(value * 100) AS BIGINT) AS c
       FROM events)
     SELECT user_id, event_id, c AS cents,
-           round(({" + ".join(num)}) * 1.0
-                 / ({" + ".join(den)}), 6) AS ewma_cents
+           ({" + ".join(num)}) * 1000000000
+                 // ({" + ".join(den)}) AS ewma_cents_nano
     FROM c
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3866,11 +3910,14 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition is unrolled into a finite weighted sum with power-of-
     two integer weights (2^7..2^0), renormalized over however many
     lags actually exist, so the whole computation is exact integer
-    adds + one final double division — partition-order independent
-    and bit-identical across engines. Truncating at 8 lags bounds the
-    error at 2^-8 of the true infinite-history EWMA while keeping the
-    operator a pure JVM window expression (no Python, no state store);
-    one shuffle on user_id."""
+    adds + ONE integer division at the end (nano-cent units; Spark
+    ``div`` and DuckDB ``//`` both truncate toward zero) —
+    partition-order independent and bit-identical across engines
+    with no float anywhere (the r8 fixed-point rule retiring the
+    last round(x, 6)). Truncating at 8 lags bounds the error at 2^-8
+    of the true infinite-history EWMA while keeping the operator a
+    pure JVM window expression (no Python, no state store); one
+    shuffle on user_id."""
     k = 8
     ev = read_table(spark, sf_dir, "events")
     c = ev.select("user_id", "event_id", "ts",
@@ -3883,9 +3930,10 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = F.lag("c", i).over(w)
         num = num + F.coalesce(li * wgt, F.lit(0))
         den = den + F.when(li.isNotNull(), F.lit(wgt)).otherwise(0)
-    return c.select(
-        "user_id", "event_id", F.col("c").alias("cents"),
-        F.round(num * F.lit(1.0) / den, 6).alias("ewma_cents"))
+    return (c.withColumn("_num", num).withColumn("_den", den)
+            .select("user_id", "event_id", F.col("c").alias("cents"),
+                    F.expr("_num * 1000000000 div _den")
+                    .alias("ewma_cents_nano")))
 
 
 @query(
@@ -3927,11 +3975,13 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              wf AS (PARTITION BY user_id ORDER BY idx
                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
     SELECT user_id, hour, val_cents,
-           CASE WHEN val_cents IS NOT NULL THEN CAST(val_cents AS DOUBLE)
+           CASE WHEN val_cents IS NOT NULL THEN val_cents * 1000000000
                 WHEN pv IS NULL OR nv IS NULL THEN NULL
-                ELSE round(pv + (nv - pv) * CAST(idx - pi AS DOUBLE)
-                                / CAST(ni - pi AS DOUBLE), 6)
-           END AS interp_cents
+                ELSE CAST(floor((pv + (nv - pv)
+                                 * CAST(idx - pi AS DOUBLE)
+                                 / CAST(ni - pi AS DOUBLE))
+                                * 1e9 + 0.5) AS BIGINT)
+           END AS interp_cents_nano
     FROM x
     """,
 )
@@ -3940,8 +3990,11 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_resample_ffill's gap-fill twin for continuous signals: each
     user's sparse hourly sums land on a dense grid, and every missing
     hour gets prev + (next-prev) * elapsed/span, computed from exact
-    integer cents and integer grid indices with one double division
-    (bit-identical cross-engine). No extrapolation: hours before the
+    integer cents and integer grid indices with one double division,
+    then emitted as floor(x·1e9 + 0.5) BIGINT nano-cents — every op
+    is the identical IEEE expression on both engines, so the integer
+    is bit-agreed by construction (the r8 fixed-point rule retiring
+    round(x, 6)). No extrapolation: hours before the
     first or after the last observation stay NULL. The grid is
     sequence()-exploded per user (no driver loop); the fill is two
     IGNORE NULLS window passes — one forward, one backward — on the
@@ -3974,16 +4027,18 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("pi", F.last(obs_idx, ignorenulls=True).over(wp))
          .withColumn("nv", F.first("val_cents", ignorenulls=True).over(wf))
          .withColumn("ni", F.first(obs_idx, ignorenulls=True).over(wf)))
-    interp = F.round(
-        F.col("pv") + (F.col("nv") - F.col("pv"))
-        * (F.col("idx") - F.col("pi")).cast("double")
-        / (F.col("ni") - F.col("pi")).cast("double"), 6)
+    interp = F.floor(
+        (F.col("pv") + (F.col("nv") - F.col("pv"))
+         * (F.col("idx") - F.col("pi")).cast("double")
+         / (F.col("ni") - F.col("pi")).cast("double"))
+        * F.lit(1e9) + F.lit(0.5))
     return x.select(
         "user_id", "hour", "val_cents",
         F.when(F.col("val_cents").isNotNull(),
-               F.col("val_cents").cast("double"))
-         .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
-         .otherwise(interp).alias("interp_cents"))
+               F.col("val_cents") * F.lit(1000000000))
+         .when(F.col("pv").isNull() | F.col("nv").isNull(),
+               F.lit(None).cast("bigint"))
+         .otherwise(interp).alias("interp_cents_nano"))
 
 
 def _sssp_oracle_sql(max_hops: int = 4) -> str:
@@ -4633,8 +4688,10 @@ def q_scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
       GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2)
     SELECT p.part_a, p.part_b, CAST(p.c_ab AS BIGINT) AS support_cnt,
-           round(p.c_ab * 1.0 / ca.c, 9) AS confidence,
-           round(p.c_ab * n.n_orders * 1.0 / (ca.c * cb.c), 9) AS lift
+           CAST(p.c_ab * 1000000000 // ca.c AS BIGINT)
+             AS confidence_ppb,
+           CAST(CAST(p.c_ab AS HUGEINT) * n.n_orders * 1000000000
+                // (ca.c * cb.c) AS BIGINT) AS lift_ppb
     FROM pairs p
     JOIN cnt ca ON ca.pk = p.part_a
     JOIN cnt cb ON cb.pk = p.part_b
@@ -4650,8 +4707,11 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Σ basket²), bounded by basket size, never corpus×corpus; a
     support floor (≥2) prunes before the per-item count attach; both
     stats tables are item-sized (broadcast). All counts exact
-    integers; confidence/lift are single double divisions of exact
-    ints, rounded — bit-stable cross-engine."""
+    integers; confidence/lift are ONE truncating integer division
+    each in parts-per-billion (Spark ``div`` ≡ DuckDB ``//``), the
+    lift numerator widened to decimal(38)/HUGEINT before the triple
+    multiply — no float anywhere (the r8 fixed-point rule retiring
+    round(x, 9))."""
     li = read_table(spark, sf_dir, "lineitem")
     items = (li.filter(F.col("l_orderkey") % 10 == 0)
              .select(F.col("l_orderkey").alias("ok"),
@@ -4677,10 +4737,11 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "part_a", "part_b",
                 F.col("c_ab").cast("bigint").alias("support_cnt"),
-                F.round(F.col("c_ab") * F.lit(1.0) / F.col("ca"), 9)
-                .alias("confidence"),
-                F.round(F.col("c_ab") * F.col("n_orders") * F.lit(1.0)
-                        / (F.col("ca") * F.col("cb")), 9).alias("lift")))
+                F.expr("c_ab * 1000000000 div ca")
+                .alias("confidence_ppb"),
+                F.expr("CAST(c_ab AS DECIMAL(38,0)) * n_orders"
+                       " * 1000000000 div (ca * cb)")
+                .alias("lift_ppb")))
 
 
 @query(
@@ -4693,8 +4754,10 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2)
     SELECT event_type, day, rev_cents,
            lag(rev_cents) OVER w AS prev_cents,
-           round((rev_cents - lag(rev_cents) OVER w) * 1.0
-                 / lag(rev_cents) OVER w, 9) AS pct_change
+           CAST(CAST(rev_cents - lag(rev_cents) OVER w AS HUGEINT)
+                * 1000000000
+                // nullif(lag(rev_cents) OVER w, 0) AS BIGINT)
+             AS pct_change_ppb
     FROM d
     WINDOW w AS (PARTITION BY event_type ORDER BY day)
     """,
@@ -4702,21 +4765,26 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERIOD-OVER-PERIOD change — the BI time-intelligence staple
     (day-over-day revenue delta per event type): daily integer-cents
-    rollup, then lag + one double division per row. First day per
-    type is NULL (no fabricated baseline). Two-phase agg into a tiny
-    (type, day) table, then a window over it — the window input is
-    grain-sized, not event-sized, so the sort is negligible at any
-    corpus size."""
+    rollup, then lag + ONE truncating integer division per row in
+    parts-per-billion (Spark ``div`` ≡ DuckDB ``//``; numerator
+    widened to decimal(38)/HUGEINT, zero baseline NULL-guarded
+    identically on both sides — the r8 fixed-point rule retiring
+    round(x, 9)). First day per type is NULL (no fabricated
+    baseline). Two-phase agg into a tiny (type, day) table, then a
+    window over it — the window input is grain-sized, not
+    event-sized, so the sort is negligible at any corpus size."""
     ev = read_table(spark, sf_dir, "events")
     d = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
          .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
               .cast("bigint").alias("rev_cents")))
     w = Window.partitionBy("event_type").orderBy("day")
     prev = F.lag("rev_cents").over(w)
-    return d.select(
-        "event_type", "day", "rev_cents", prev.alias("prev_cents"),
-        F.round((F.col("rev_cents") - prev) * F.lit(1.0) / prev, 9)
-        .alias("pct_change"))
+    return (d.withColumn("prev_cents", prev)
+            .select("event_type", "day", "rev_cents", "prev_cents",
+                    F.expr("CAST(rev_cents - prev_cents AS"
+                           " DECIMAL(38,0)) * 1000000000"
+                           " div nullif(prev_cents, 0)")
+                    .alias("pct_change_ppb")))
 
 
 @query(

@@ -72,7 +72,7 @@ class TestRollingMedian:
     def test_matches_numpy_for_one_user(self, spark):
         import numpy as np
 
-        out = {r.event_id: r.rolling_median
+        out = {r.event_id: r.rolling_median_nano
                for r in QUERIES["q_rolling_median"](spark, SF_SMALL)
                .filter(F.col("user_id") == 3).collect()}
         ev = (read_table(spark, SF_SMALL, "events")
@@ -83,7 +83,9 @@ class TestRollingMedian:
         for i, r in enumerate(ev):
             window = vals[max(0, i - 6):i + 1]
             expect = float(np.median(np.array(window)))
-            assert out[r.event_id] == pytest.approx(expect, abs=1e-6)
+            # output is floor(x*1e9 + 0.5) nano-units
+            assert out[r.event_id] / 1e9 == pytest.approx(
+                expect, abs=1e-8)
 
 
 class TestTriangles:
@@ -192,8 +194,13 @@ class TestWeightedSample:
             h = int(hashlib.md5(f"{r.doc_id}:wsamp".encode())
                     .hexdigest()[:15], 16)
             u = max(h / 2 ** 60, 1e-18)
-            pri.append((round(math.log(u) / r.n_chars, 12), -r.doc_id,
-                        r.doc_id))
+            # the engine's fixed-point key: ln HALF_UP-rounded once to
+            # micro-units, then trunc-toward-zero pico division
+            ln_micro = math.floor(abs(math.log(u)) * 1e6 + 0.5) \
+                * (1 if math.log(u) >= 0 else -1)
+            num = ln_micro * 1000000
+            pico = (abs(num) // r.n_chars) * (1 if num >= 0 else -1)
+            pri.append((pico, -r.doc_id, r.doc_id))
         expect = [d for _, _, d in sorted(pri, reverse=True)[:5]]
         got = [r.doc_id for r in
                QUERIES["q_sample_weighted"](spark, SF_SMALL)
@@ -255,14 +262,19 @@ class TestQualityClassifier:
                 k = int(hashlib.md5(f"w:{b}".encode())
                         .hexdigest()[:15], 16) % 2001 - 1000
                 z_milli += k
-            z = z_milli / (1000.0 * len(toks))
-            score = round(1.0 / (1.0 + math.exp(-z)), 6)
-            assert got[d.doc_id].score == pytest.approx(score, abs=1e-9)
-            assert got[d.doc_id].keep == (z >= 0.0)
+            # logit in exact micro-units: trunc-toward-zero division
+            # (Spark div / DuckDB //), NOT Python's floor //
+            num = z_milli * 1000
+            logit_micro = (abs(num) // len(toks)) * (1 if num >= 0 else -1)
+            assert got[d.doc_id].logit_micro == logit_micro
+            assert got[d.doc_id].keep == (z_milli >= 0)
 
     def test_scores_are_probabilities(self, spark):
+        """logit_micro is the exact pre-sigmoid score: bounded by the
+        max |weight| (1000 milli = 1e6 micro), monotone with the
+        sigmoid it replaced; both classes occur."""
         rows = QUERIES["q_quality_classifier"](spark, SF_SMALL).collect()
-        assert rows and all(0.0 < r.score < 1.0 for r in rows)
+        assert rows and all(abs(r.logit_micro) <= 1_000_000 for r in rows)
         # the md5 weight vector is ~zero-mean: both classes occur
         keeps = sum(1 for r in rows if r.keep)
         assert 0 < keeps < len(rows)
@@ -363,13 +375,13 @@ class TestAnomalyIQRAndTimegrain:
         rows = QUERIES["q_anomaly_iqr"](spark, SF_SMALL).collect()
         assert rows and all(r.is_outlier for r in rows)
         for r in rows:
-            iqr = r.q3 - r.q1
-            # q1/q3 are rounded to 1e-6 in the output, so LOOSEN both
-            # fences by the rounding slack (+1e-5 on the lower fence,
-            # -1e-5 on the upper) — tightening would flag genuine
-            # outliers sitting within the slack as failures
-            assert (r.value < r.q1 - 1.5 * iqr + 1e-5
-                    or r.value > r.q3 + 1.5 * iqr - 1e-5)
+            q1, q3 = r.q1_nano / 1e9, r.q3_nano / 1e9
+            iqr = q3 - q1
+            # q1/q3 are floor(x*1e9+0.5) nano-units, so LOOSEN both
+            # fences by the scaling slack — tightening would flag
+            # genuine outliers sitting within the slack as failures
+            assert (r.value < q1 - 1.5 * iqr + 1e-7
+                    or r.value > q3 + 1.5 * iqr - 1e-7)
 
     def test_timegrain_partitions_per_grain(self, spark):
         total = read_table(spark, SF_SMALL, "events").count()
