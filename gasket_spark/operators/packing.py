@@ -123,7 +123,13 @@ def rendezvous_assign(df: DataFrame, key_col: str, n_shards: int,
     fan-out rule a resumable pipeline needs."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    key = F.col(key_col).cast("string")
+    # NULL keys hash as a sentinel string instead of propagating NULL
+    # into every md5 weight: an all-NULL weight array would resolve
+    # by Spark-specific NULL-in-struct ordering (engine-dependent,
+    # and it would pile every NULL key onto one arbitrary shard
+    # silently) — the repo's NULL-guard rule says decide explicitly.
+    # "\\x00null" cannot collide with a real key's string form.
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
     pairs = F.array(*[
         F.struct(
             F.md5(F.concat(key, F.lit(f":{s}"))).alias("w"),

@@ -37,12 +37,15 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
              "distinct_est bigint, min_v string, max_v string")
 
 
-def quarantine_split(df: DataFrame, rules: dict) -> tuple:
+def quarantine_split(df: DataFrame, rules: dict,
+                     out_col: str = "_violations") -> tuple:
     """Validate-and-route: evaluate every named rule (a boolean
     Column that is TRUE for valid rows) in ONE pass and split the
-    input into (good, bad) — bad rows carry ``_violations``, the
-    sorted array of failed rule names (NULL rule results count as
-    violations: an unevaluable rule must never wave a row through).
+    input into (good, bad) — bad rows carry ``out_col`` (default
+    ``_violations``; refuses to clobber an existing column of that
+    name), the sorted array of failed rule names (NULL rule results
+    count as violations: an unevaluable rule must never wave a row
+    through).
     The quarantine-and-continue lane every 100 TB ingest needs: a
     handful of malformed rows must neither kill the job (fail-fast)
     nor silently vanish (dropMalformed) — they land in an auditable
@@ -63,6 +66,12 @@ def quarantine_split(df: DataFrame, rules: dict) -> tuple:
 
     if not rules:
         raise ValueError("quarantine_split needs at least one rule")
+    if out_col in df.columns:
+        # silently overwriting would drop the caller's column from
+        # the good branch and replace it in the bad one (r11 advice)
+        raise ValueError(
+            f"quarantine_split: input already has a {out_col!r} column"
+            " — pass a different out_col")
     viol = F.sort_array(F.filter(
         F.array(*[
             F.when(F.coalesce(cond, F.lit(False)), F.lit(None)
@@ -70,8 +79,7 @@ def quarantine_split(df: DataFrame, rules: dict) -> tuple:
             for name, cond in sorted(rules.items())
         ]),
         lambda x: x.isNotNull()))
-    annotated = df.withColumn("_violations", viol)
-    good = annotated.filter(F.size("_violations") == 0) \
-        .drop("_violations")
-    bad = annotated.filter(F.size("_violations") > 0)
+    annotated = df.withColumn(out_col, viol)
+    good = annotated.filter(F.size(out_col) == 0).drop(out_col)
+    bad = annotated.filter(F.size(out_col) > 0)
     return good, bad

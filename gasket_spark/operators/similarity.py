@@ -127,8 +127,15 @@ def knn_label(corpus: DataFrame, queries: DataFrame, k: int = 5,
     BROADCAST neighbor set (|queries|·k rows), so the corpus again
     makes one narrow pass; the vote is a |queries|·k-row aggregate.
     Deterministic end to end: neighbor cut ties on neighbor id
-    (cosine_topk), vote ties on the SMALLER label. Returns
+    (cosine_topk), vote ties on the SMALLER label with NULL labels
+    LAST (asc_nulls_last — Spark's bare asc places NULL first, which
+    would let an unlabeled corpus row defeat every real label on a
+    tie; ANSI SQL ASC is NULLS LAST). Returns
     (query_id, pred_label, n_votes).
+
+    Precondition: corpus ``id_col`` values are DISTINCT — a
+    duplicated corpus id would attach its label to the same neighbor
+    row multiple times and double-count that vote.
 
     Reference parity: gasket's `map` transforms a stream through a
     stage (reference index.js:1-258); labeling is such a stage, one
@@ -144,7 +151,7 @@ def knn_label(corpus: DataFrame, queries: DataFrame, k: int = 5,
              .groupBy("query_id", "_lbl")
              .agg(F.count(F.lit(1)).alias("n_votes")))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("_lbl").asc())
+        F.col("n_votes").desc(), F.col("_lbl").asc_nulls_last())
     return (votes.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("query_id", F.col("_lbl").alias("pred_label"),
@@ -154,6 +161,17 @@ def knn_label(corpus: DataFrame, queries: DataFrame, k: int = 5,
 EMB_SCALE = 1e12  # embedding elements (|x| ≲ 1) round once to exact
 # int64 "picounits"; with INTEGER plane coords (|p| ≲ 5e3) a 64-term
 # dot stays < 64·1e12·5e3 ≈ 3e17 ≪ 2^63 — all-integer, overflow-free.
+
+# Joint LSH domain bounds: every bucket kernel (vectorized AND HOF)
+# refuses |x| > MAX_ABS_EMB, and _hyperplanes asserts |P| <=
+# MAX_ABS_PLANE, so the worst 64-term dot is bounded by
+# 64 · MAX_ABS_EMB·EMB_SCALE · MAX_ABS_PLANE = 64·16e12·5000
+# ≈ 5.1e18 < 2^63 ≈ 9.2e18 — overflow is impossible BY THE PAIR of
+# guards, not by either alone (r11 advice: the old per-kernel
+# |x| <= 16 check plus a 10k plane allowance left 64·16e12·9999
+# ≈ 1.02e19 > 2^63 of formal headroom gap).
+MAX_ABS_EMB = 16.0
+MAX_ABS_PLANE = 5000
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42,
@@ -170,7 +188,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42,
     exactly in SQL text, and the whole sign decision becomes exact
     int64 arithmetic — bit-identical across engines BY CONSTRUCTION,
     for any corpus. Rounding a Gaussian to 1/1000 granularity
-    perturbs each direction by ≲0.1% — immaterial to LSH quality."""
+    perturbs each direction by ≲0.1% — immaterial to LSH quality.
+
+    Joint overflow contract: coordinates must stay within
+    MAX_ABS_PLANE (see above) — pinned for the shipped seeds by
+    tests/test_cross_engine.py::test_plane_literals_are_exact_integers
+    (seed 42 max is 3853), kept test-side rather than a runtime
+    assert so the certified kernels' code is byte-identical."""
     rng = np.random.RandomState(seed)
     return np.round(rng.randn(n_planes, dim) * scale) \
         .astype(np.int64).tolist()
@@ -180,8 +204,25 @@ def lsh_bucket_hof(vec: Column, planes: list[list[int]]) -> Column:
     """Sign-bit bucket id: bit j = 1 iff v · plane_j > 0 (JVM fold).
     Interpreted-HOF fallback; hot path is :func:`lsh_bucket`. Same
     exact-integer arithmetic: one HALF_UP round of each element to
-    EMB_SCALE units, then integer multiply-add."""
-    bucket = F.lit(0).cast("long")
+    EMB_SCALE units, then integer multiply-add — and the SAME
+    |x| <= MAX_ABS_EMB domain guard (r11 advice: a fallback that
+    silently wraps where the hot path raises is a trap, since long
+    multiply-add has no overflow check in the JVM either)."""
+    # assert_true yields NULL when the bound holds and raises
+    # otherwise, so folding its coalesce(…, 0) into the bucket sum
+    # enforces the domain without changing any in-domain value
+    guard = F.coalesce(
+        F.assert_true(
+            F.coalesce(
+                F.array_max(F.transform(
+                    vec, lambda x: F.abs(x.cast("double")))),
+                F.lit(0.0)) <= F.lit(MAX_ABS_EMB),
+            F.lit("lsh_bucket_hof: embedding element exceeds |x| <= "
+                  f"{MAX_ABS_EMB} — the exact-int64 dot could overflow "
+                  "(silent JVM wraparound vs HUGEINT oracle). Normalize "
+                  "or rescale the embeddings first.")).cast("long"),
+        F.lit(0))
+    bucket = guard
     for j, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(int(x)).cast("long") for x in plane])
         dot = F.aggregate(
@@ -217,10 +258,11 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     weights = (1 << np.arange(P.shape[1])).astype(np.int64)
 
     # int64 headroom: |dot| ≤ dim·max|E|·max|P|. With dim=64 and
-    # |P| ≤ ~5e3 the sum wraps past 2^63 once an element exceeds
-    # |x| ≈ 29 — numpy would wrap SILENTLY (flipping the sign/bucket)
-    # while the SQL oracle's HUGEINT keeps the true sign. Refuse
-    # loudly instead at a conservative |x| ≤ 16 domain bound.
+    # |P| ≤ MAX_ABS_PLANE (test-pinned for the shipped seeds) the sum
+    # wraps past 2^63 once an element exceeds |x| ≈ 29 — numpy would
+    # wrap SILENTLY (flipping the sign/bucket) while the SQL oracle's
+    # HUGEINT keeps the true sign. Refuse loudly instead at the
+    # conservative MAX_ABS_EMB (= 16) bound (joint contract above).
     _max_abs_x = 16.0
 
     @pandas_udf(LongType())

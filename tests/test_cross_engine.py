@@ -184,13 +184,17 @@ class TestAnnOracleExactness:
     DuckDB computes from the literal-embedded oracle expression."""
 
     def test_plane_literals_are_exact_integers(self):
-        from gasket_spark.operators.similarity import _hyperplanes
+        from gasket_spark.operators.similarity import (
+            EMB_SCALE, MAX_ABS_EMB, MAX_ABS_PLANE, _hyperplanes)
 
         planes = _hyperplanes(64, 8, 42)
         assert all(isinstance(x, int) for p in planes for x in p)
-        # small enough that BIGINT products of picounit elements
-        # stay far inside int64 (64 · 1e12 · max|p| < 2^63)
-        assert max(abs(x) for p in planes for x in p) < 10_000
+        # the JOINT overflow contract (r11 advice): the plane bound
+        # and the kernels' |x| <= MAX_ABS_EMB guard must TOGETHER
+        # leave int64 headroom — the old <10_000 allowance did not
+        # (64·16e12·9999 > 2^63)
+        assert max(abs(x) for p in planes for x in p) <= MAX_ABS_PLANE
+        assert 64 * MAX_ABS_EMB * EMB_SCALE * MAX_ABS_PLANE < 2 ** 63
 
     def test_duckdb_dot_matches_kernel_bit_for_bit(self, duck):
         import numpy as np

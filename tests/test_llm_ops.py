@@ -1083,3 +1083,78 @@ class TestLshDomainGuard:
                                     "vec_id long, embedding array<float>")
         with _pytest.raises(Exception, match="overflow|exceeds"):
             bad.select(lsh_bucket(F.col("embedding"), planes)).collect()
+
+
+class TestAdviceR11Guards:
+    def test_hof_fallback_raises_on_oversized_embedding(self, spark):
+        """The interpreted-HOF fallback must enforce the SAME
+        |x| <= MAX_ABS_EMB domain bound as the vectorized kernel —
+        a fallback that silently wraps where the hot path raises
+        would flip buckets only when the fallback is in play."""
+        import pytest as _pytest
+
+        from gasket_spark.operators.similarity import (
+            _hyperplanes, lsh_bucket_hof)
+
+        planes = _hyperplanes(4, 4)
+        ok = spark.createDataFrame([(1, [0.5, -0.5, 1.0, -1.0])],
+                                   "vec_id long, embedding array<float>")
+        ok_rows = ok.select(
+            lsh_bucket_hof(F.col("embedding"), planes).alias("b")
+        ).collect()
+        assert len(ok_rows) == 1 and ok_rows[0].b is not None
+        bad = spark.createDataFrame([(1, [40.0, 0.0, 0.0, 0.0])],
+                                    "vec_id long, embedding array<float>")
+        with _pytest.raises(Exception, match="overflow|exceeds"):
+            bad.select(
+                lsh_bucket_hof(F.col("embedding"), planes)).collect()
+
+    def test_hof_and_kernel_agree_in_domain(self, spark):
+        from gasket_spark.operators.similarity import (
+            _hyperplanes, lsh_bucket, lsh_bucket_hof)
+
+        planes = _hyperplanes(8, 6, seed=7)
+        df = spark.createDataFrame(
+            [(i, [((i * 31 + j * 7) % 33 - 16) / 4.0 for j in range(8)])
+             for i in range(40)],
+            "vec_id long, embedding array<float>")
+        got = df.select(
+            lsh_bucket(F.col("embedding"), planes).alias("a"),
+            lsh_bucket_hof(F.col("embedding"), planes).alias("b"),
+        ).collect()
+        assert got and all(r.a == r.b for r in got)
+
+    def test_rendezvous_null_key_gets_sentinel_shard(self, spark):
+        """NULL keys must land on ONE deterministic shard via the
+        explicit sentinel hash — not fall out of Spark-specific
+        NULL-in-struct argmax ordering (engine-dependent and silent)."""
+        import hashlib
+
+        from gasket_spark.operators.packing import rendezvous_assign
+
+        df = spark.createDataFrame(
+            [(None,), (None,), (7,)], "k long")
+        got = rendezvous_assign(df, "k", 8).collect()
+        null_shards = {r.shard for r in got if r.k is None}
+        assert len(null_shards) == 1
+        want = max(range(8),
+                   key=lambda s: hashlib.md5(
+                       f"\x00null:{s}".encode()).hexdigest())
+        assert null_shards == {want}
+
+    def test_knn_label_null_label_loses_ties(self, spark):
+        """A NULL corpus label must not defeat a real label on a vote
+        tie (Spark's bare asc sorts NULL first; the operator pins
+        asc_nulls_last, the ANSI order)."""
+        from gasket_spark.operators.similarity import knn_label
+
+        # two corpus vectors equidistant from the query: one labeled,
+        # one NULL -> 1-1 tie at k=2, real label must win
+        corpus = spark.createDataFrame(
+            [(10, [1.0, 0.0], 3), (11, [0.0, 1.0], None)],
+            "vec_id long, embedding array<float>, label int")
+        queries = spark.createDataFrame(
+            [(1, [1.0, 1.0])], "vec_id long, embedding array<float>")
+        got = knn_label(corpus, queries, k=2).collect()
+        assert len(got) == 1
+        assert got[0].pred_label == 3 and got[0].n_votes == 1

@@ -166,3 +166,34 @@ class TestQuarantineSplit:
         good, bad = quarantine_split(df, {"v_big": F.col("v") > 100})
         assert good.count() == 0
         assert [list(r._violations) for r in bad.collect()] == [["v_big"]]
+
+
+class TestQuarantineOutCol:
+    def test_refuses_to_clobber_existing_column(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from gasket_spark.operators.profile import quarantine_split
+
+        df = spark.createDataFrame(
+            [(1, ["old"])], "v long, _violations array<string>")
+        with _pytest.raises(ValueError, match="_violations"):
+            quarantine_split(df, {"v_pos": F.col("v") > 0})
+
+    def test_custom_out_col_routes_and_annotates(self, spark):
+        from pyspark.sql import functions as F
+
+        from gasket_spark.operators.profile import quarantine_split
+
+        df = spark.createDataFrame(
+            [(1, ["keep-me"]), (-1, ["keep-me-too"])],
+            "v long, _violations array<string>")
+        good, bad = quarantine_split(
+            df, {"v_pos": F.col("v") > 0}, out_col="_qc")
+        g = good.collect()
+        assert [r.v for r in g] == [1]
+        # the caller's own _violations column survives on BOTH sides
+        assert g[0]._violations == ["keep-me"]
+        b = bad.collect()
+        assert b[0]._violations == ["keep-me-too"]
+        assert b[0]._qc == ["v_pos"]

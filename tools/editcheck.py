@@ -101,23 +101,74 @@ def last_commit_ts(path: str) -> float:
         return 0.0
 
 
-def artifact_mtime(rnd: float) -> float:
-    """mtime of the on-disk CORRECTNESS artifact for the round that
-    PRODUCED rank `rnd` (-inf if absent — never exempt on a missing
-    artifact). Rows-only passes carry fractional rank N−0.5 but were
-    produced by the round-N artifact, so round UP — int() would
-    consult round N−1, either flagging a legitimately certified query
-    or exempting on an artifact that never saw the edit."""
+def artifact_certify_ts(rnd: float) -> float:
+    """Trustworthy timestamp of the CORRECTNESS artifact for the
+    round that PRODUCED rank `rnd` (-inf if absent — never exempt on
+    a missing artifact). Rows-only passes carry fractional rank N−0.5
+    but were produced by the round-N artifact, so round UP — int()
+    would consult round N−1, either flagging a legitimately certified
+    query or exempting on an artifact that never saw the edit.
+
+    Timestamp source (r11 advice — wall-clock mtime alone is
+    forgeable by any single-file restore: `git checkout -- f`, a
+    branch switch, or `cp` refreshes one artifact's mtime to NOW and
+    would silently CERT-exempt every edited query carrying that
+    rank):
+
+    * tracked and UNMODIFIED → the artifact's last COMMITTER
+      timestamp. Artifacts are committed at round-open, BEFORE any
+      same-round edits, so `commit_ts(artifact) >= commit_ts(edit)`
+      holds exactly when the edit predates the certifying drop —
+      and a checkout/cp refresh cannot move a commit timestamp.
+    * tracked but locally MODIFIED → -inf (a hand-edited artifact
+      must never certify anything).
+    * untracked (the transient end-of-round drop, not yet committed)
+      → fall back to mtime, still subject to the
+      mtimes_untrustworthy() fresh-checkout tripwire."""
     import math
 
     rnd = math.ceil(rnd)
     p = os.path.join(REPO, f"CORRECTNESS_r{int(rnd):02d}.json")
     if not os.path.exists(p):
         p = os.path.join(REPO, f"CORRECTNESS_r{int(rnd)}.json")
+    if not os.path.exists(p):
+        return float("-inf")
+    rel = os.path.relpath(p, REPO)
+    try:
+        _git("ls-files", "--error-unmatch", rel)
+        tracked = True
+    except subprocess.CalledProcessError:
+        tracked = False
+    if tracked:
+        try:
+            if _git("status", "--porcelain", "--", rel).strip():
+                return float("-inf")
+        except subprocess.CalledProcessError:  # pragma: no cover
+            return float("-inf")
+        return last_commit_ts(rel)
     try:
         return os.path.getmtime(p)
-    except OSError:
+    except OSError:  # pragma: no cover
         return float("-inf")
+
+
+def _artifact_committed(rnd: float) -> bool:
+    """True when rank `rnd`'s artifact is a TRACKED file — its CERT
+    timestamp then comes from git history and survives the
+    fresh-checkout mtime tripwire."""
+    import math
+
+    rnd = math.ceil(rnd)
+    p = os.path.join(REPO, f"CORRECTNESS_r{int(rnd):02d}.json")
+    if not os.path.exists(p):
+        p = os.path.join(REPO, f"CORRECTNESS_r{int(rnd)}.json")
+    if not os.path.exists(p):
+        return False
+    try:
+        _git("ls-files", "--error-unmatch", os.path.relpath(p, REPO))
+        return True
+    except subprocess.CalledProcessError:
+        return False
 
 
 def mtimes_untrustworthy() -> bool:
@@ -304,23 +355,29 @@ def main() -> None:
     in_window = {q for q in affected if pos.get(q, 10 ** 9) <= window}
     # CERT exemption: rank > brnd alone is NOT enough — an edit
     # committed AFTER the round-N driver drop still carries rank N
-    # (r9 advice). Require the artifact file that certifies rank N to
-    # be NEWER than the last commit touching every changed path
-    # behind the query, so the certifying run provably saw the edits.
+    # (r9 advice). Require the artifact that certifies rank N to be
+    # NEWER than the last commit touching every changed path behind
+    # the query, so the certifying run provably saw the edits — with
+    # the timestamp drawn from git history for committed artifacts
+    # (r11 advice: a single-file restore refreshes an mtime to NOW
+    # and would exempt everything carrying that rank; commit
+    # timestamps can't be refreshed by checkout/cp).
     certified = set()
     mtime_blind = mtimes_untrustworthy()
     if mtime_blind:
         warnings.append(
             "artifact mtimes look like a fresh checkout (all equal, "
-            "newer than HEAD) — CERT exemptions disabled this run")
+            "newer than HEAD) — mtime-based CERT (uncommitted "
+            "artifacts) disabled this run")
     for q in affected:
         if q in in_window or rank.get(q, 0.0) <= brnd:
             continue
-        if mtime_blind:
+        ts = artifact_certify_ts(rank[q])
+        if mtime_blind and ts != float("-inf") and not _artifact_committed(
+                rank[q]):
             continue
         paths = qpaths.get(q)
-        if paths and artifact_mtime(rank[q]) >= max(
-                last_commit_ts(p) for p in paths):
+        if paths and ts >= max(last_commit_ts(p) for p in paths):
             certified.add(q)
     exposed = {q for q in affected
                if q in pos and q not in in_window
