@@ -2968,3 +2968,56 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 5 == 0)
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     return S.knn_label(corpus, queries, k=5)
+
+
+@query(
+    "q_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk
+        FROM freq) WHERE rk <= 1000),
+    per AS (
+      SELECT t.doc_id, COUNT(*) AS n_tok,
+             COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+      FROM toks t LEFT JOIN vocab v USING (tok)
+      GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           n_oov * 1000000000 // n_tok AS oov_ppb
+    FROM per
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate per document against a corpus-derived
+    top-1000 token vocabulary — the tokenizer-coverage diagnostic a
+    curation stack runs before committing to a vocab (docs with high
+    OOV share are mis-languaged, encoding-mangled, or domain-shifted).
+    Two-pass shape: one token-frequency aggregate builds the vocab
+    (deterministic cut: count desc, token asc), which BROADCASTS back
+    over a second token pass — the corpus shuffles once (the freq
+    agg); the per-doc count join is map-side. The share is ONE
+    truncating integer division in ppb (Spark ``div`` ≡ DuckDB
+    ``//``) — no float. At 100 TB the vocab table is O(|vocab|) and
+    the broadcast join replaces what a naive NOT IN subquery would
+    make a shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    vocab = (freq.withColumn("rk", F.row_number().over(wv))
+             .filter(F.col("rk") <= 1000).select("tok"))
+    per = (toks.join(F.broadcast(vocab.withColumn("_in", F.lit(1))),
+                     "tok", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.count(F.when(F.col("_in").isNull(), 1))
+                .alias("n_oov")))
+    return per.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.expr("n_oov * 1000000000 div n_tokens").alias("oov_ppb"))

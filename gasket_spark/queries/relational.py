@@ -6697,3 +6697,78 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS mkt_share_ppb
         FROM g
     """)
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM supplier
+    """,
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip via Spark 4's NATIVE xml format (rowTag
+    records — the spark-xml package folded into core): the supplier
+    table serialized once (stamp-cached like the CSV/ORC/NDJSON
+    twins) and read back with a PINNED schema (inference = an extra
+    full read at 100 TB). Money crosses the text hop as integer
+    cents — the XML writer's double rendering is not part of this
+    query's contract (q_scan_csv pins shortest-round-trip doubles);
+    here the pinned claim is record/escaping fidelity, incl. the
+    markup-significant characters in s_name/comment fields."""
+    cols = ["s_suppkey", "s_name", "s_nationkey", "acctbal_cents"]
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint")
+        .alias("acctbal_cents"))
+    out = stamp_cached(
+        os.path.join(tempfile.gettempdir(), "gasket_spark_xml",
+                     os.path.basename(os.path.normpath(sf_dir))),
+        os.path.join(sf_dir, "supplier.parquet"),
+        lambda d: sup.write.mode("overwrite")
+                     .option("rowTag", "supplier").format("xml").save(d))
+    schema = ("s_suppkey bigint, s_name string, s_nationkey int, "
+              "acctbal_cents bigint")
+    return (spark.read.schema(schema).option("rowTag", "supplier")
+            .format("xml").load(out).select(*cols))
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.acctbal_cents
+    FROM nation n, LATERAL (
+      SELECT c_custkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY acctbal_cents DESC, c_custkey
+      LIMIT 3) t
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — top-3 customers by balance PER
+    NATION stated as SQL's per-row subtable (the join-form of
+    top-n-per-group; q_topk covers the window-function form). Both
+    engines run the IDENTICAL query text; Spark decorrelates the
+    LATERAL into a ranked join under the hood, so the declarative
+    form costs one shuffle like the window form — and stays exact:
+    integer-cents ordering with a c_custkey tie-break. NOTE (probe
+    lesson): the correlated column must be referenced through the
+    OUTER TABLE alias (n.n_nationkey) — aliasing the outer column to
+    the table alias's own name makes Spark parse ``n.n`` as a struct
+    field extraction."""
+    for t in ("nation", "customer"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(
+            f"_lat_{t}")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.acctbal_cents
+        FROM _lat_nation n, LATERAL (
+          SELECT c_custkey,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+          FROM _lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY acctbal_cents DESC, c_custkey
+          LIMIT 3) t
+    """)
