@@ -139,6 +139,21 @@ HEADLINE: dict[str, str] = {
     "q_sql_market_share": "collect",
     "q_tfidf": "count",
     "q_lm_score": "count",
+    # r11 additions: the registered banked operators (containment /
+    # exact spans / winnowing — the three inverted-index dedup
+    # shapes; k-NN labeling over the broadcast-queries cosine path;
+    # Misra-Gries counter-shuffle; HRW argmax) + LATERAL top-n and
+    # the vocab-broadcast OOV scorer. Streaming replays (leaderboard,
+    # full outer) stay out of the headline set by design; q_scan_xml
+    # is excluded for its first-run fixture write.
+    "q_dedup_containment": "count",
+    "q_dedup_spans": "count",
+    "q_fingerprint_winnow": "count",
+    "q_knn_label": "count",
+    "q_heavy_hitters_mg": "collect",
+    "q_shard_rendezvous": "count",
+    "q_lateral_topk": "collect",
+    "q_oov_rate": "count",
 }
 
 

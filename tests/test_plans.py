@@ -778,3 +778,89 @@ class TestRound7PlanContracts:
         # (formatted mode prints every scan twice — tree + detail)
         assert plan.count("Scan parquet") == 8
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestR11RegistrationPlanContracts:
+    """Plan-shape contracts for the round-11 registrations — the
+    scale posture each of these was designed around (df-capped
+    inverted indexes never broadcast their keep tables; sketch
+    shuffles move counters, not rows; broadcast sides stay bounded)."""
+
+    def test_containment_keep_join_never_broadcasts(self, spark):
+        """The df-cap `keep` table is shingle-VOCABULARY sized — a
+        blind broadcast estimate OOMed the driver at 10x (r10 probe).
+        The hint pins it to a shuffle-hash join co-partitioned with
+        the self-join's key; no sort-merge, no cartesian."""
+        plan = _plan(QUERIES["q_dedup_containment"](spark, SF_SMALL))
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # shingle hashing is the Arrow kernel, not a Python row loop
+        assert "ArrowEvalPython" in plan
+
+    def test_spans_keep_join_never_broadcasts(self, spark):
+        """Same posture for duplicate_spans' window-vocabulary keep
+        table; the maximal-span merge is ONE window pass per
+        diagonal partition."""
+        plan = _plan(QUERIES["q_dedup_spans"](spark, SF_SMALL))
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Window (") == 1
+
+    def test_winnow_reuses_persisted_fingerprints(self, spark):
+        """The fingerprint table must come from the persisted build
+        (InMemoryTableScan) on both sides of the candidate self-join
+        — recomputing the gram/min chain per side doubled the wall
+        time (r11 measurement); the sliding-min runs as the Arrow
+        kernel, never an interpreted HOF tower."""
+        plan = _plan(QUERIES["q_fingerprint_winnow"](spark, SF_SMALL))
+        assert "InMemoryTableScan" in plan
+        assert "ArrowEvalPython" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_knn_label_broadcasts_queries_and_neighbors(self, spark):
+        """Corpus never shuffles: the query set broadcasts into the
+        scoring pass (the BroadcastNestedLoopJoin IS the declared
+        query×corpus scoring product, queries-side bounded) and the
+        |queries|·k neighbor set broadcasts into the label lookup —
+        no sort-merge join anywhere."""
+        plan = _plan(QUERIES["q_knn_label"](spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_mg_sketch_shuffles_counters_not_rows(self, spark):
+        """Misra-Gries: per-partition counter build (MapInPandas on
+        the scan), then exactly ONE exchange whose payload is <=
+        partitions·k counter rows, merged per group — the raw rows
+        never shuffle."""
+        plan = _plan(QUERIES["q_heavy_hitters_mg"](spark, SF_SMALL))
+        assert "MapInPandas" in plan
+        assert "FlatMapGroupsInPandas" in plan
+        assert plan.count("Exchange (") == 1, plan
+
+    def test_rendezvous_is_pure_mapside(self, spark):
+        """HRW assignment is a zero-exchange map-side projection —
+        the whole point of content-addressed sharding at 100 TB."""
+        plan = _plan(QUERIES["q_shard_rendezvous"](spark, SF_SMALL))
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_lateral_decorrelates_to_ranked_join(self, spark):
+        """Spark must decorrelate the LATERAL subquery into a ranked
+        broadcast join + WindowGroupLimit — one shuffle, no per-row
+        subquery execution, no cartesian."""
+        plan = _plan(QUERIES["q_lateral_topk"](spark, SF_SMALL))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange (") <= 2, plan
+
+    def test_oov_vocab_broadcasts_back(self, spark):
+        """The top-1000 vocab joins the token stream as a broadcast
+        (map-side membership test) — a shuffle join here would move
+        the whole token stream a second time."""
+        plan = _plan(QUERIES["q_oov_rate"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
