@@ -230,3 +230,38 @@ class TestAnnOracleExactness:
         for j, col in enumerate(got):
             assert np.array_equal(got[col], want[order, j]), (
                 f"plane {j}: DuckDB dot diverges from kernel")
+
+
+class TestLevenshteinParity:
+    """Cross-engine contract for the edit-distance verify step:
+    Spark's levenshtein counts CODEPOINTS, DuckDB's counts UTF-8
+    BYTES. They agree exactly on ASCII (the fixture corpus) — pinned
+    over adversarial vectors — and the multi-byte divergence is
+    pinned too, so a future non-ASCII oracle knows to normalize."""
+
+    VECTORS = [
+        ("kitten", "sitting"), ("abc", ""), ("", ""),
+        ("aaaa", "aa"), ("ab", "ba"), ("x" * 50, "x" * 49 + "y"),
+        ("spark table scan", "spark table scen"),
+        ("the quick brown fox", "the quick brown dog"),
+    ]
+
+    def test_ascii_agrees(self, spark, duck):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(self.VECTORS, "a string, b string")
+        got = [r.d for r in
+               df.select(F.levenshtein("a", "b").alias("d")).collect()]
+        want = [duck.execute("SELECT levenshtein(?, ?)", list(p))
+                .fetchone()[0] for p in self.VECTORS]
+        assert got == want
+
+    def test_multibyte_diverges_as_documented(self, spark, duck):
+        from pyspark.sql import functions as F
+
+        pair = ("héllo", "hello")   # é = 2 UTF-8 bytes
+        df = spark.createDataFrame([pair], "a string, b string")
+        s = df.select(F.levenshtein("a", "b").alias("d")).first().d
+        k = duck.execute("SELECT levenshtein(?, ?)", list(pair)) \
+            .fetchone()[0]
+        assert s == 1 and k == 2

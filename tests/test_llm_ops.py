@@ -1158,3 +1158,73 @@ class TestAdviceR11Guards:
         got = knn_label(corpus, queries, k=2).collect()
         assert len(got) == 1
         assert got[0].pred_label == 3 and got[0].n_votes == 1
+
+
+class TestEditDistancePairs:
+    def test_matches_brute_force(self, spark):
+        """Blocking is provably lossless: output == all-pairs
+        levenshtein <= d on a corpus with typo clusters, repeated hot
+        grams, and unrelated docs."""
+        import itertools
+
+        from gasket_spark.operators.dedup import edit_distance_pairs
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog",
+            2: "the quick brown fox jumps over the lazy dot",   # d=1
+            3: "the quick brown fox jump over the lazy dog",    # d=1
+            4: "the quick brown fox jumps over a lazy dog",     # d=3
+            5: "a completely unrelated sentence about spark",
+            6: "a completely unrelated sentence about sparks",  # d=1 of 5
+            7: "zq",
+            8: "zr",                                            # d=1 of 7
+            9: "the the the the the the the the the the",       # hot grams
+        }
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        d = 3
+        got = {(r.id_a, r.id_b): r.edit_distance
+               for r in edit_distance_pairs(df, d=d).collect()}
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        want = {}
+        for x, y in itertools.combinations(sorted(texts), 2):
+            dist = lev(texts[x], texts[y])
+            if dist <= d:
+                want[(x, y)] = dist
+        assert got == want and want   # non-vacuous
+
+    def test_partition_invariant(self, spark):
+        from gasket_spark.operators.dedup import edit_distance_pairs
+
+        rows = [(i, "prefix shared text body variant " + str(i % 7))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        one = sorted((r.id_a, r.id_b, r.edit_distance) for r in
+                     edit_distance_pairs(df, d=2).collect())
+        two = sorted((r.id_a, r.id_b, r.edit_distance) for r in
+                     edit_distance_pairs(df.repartition(13), d=2)
+                     .collect())
+        assert one == two and one
+
+    def test_short_docs_and_exact_dups(self, spark):
+        """Docs shorter than the signature budget keep their whole
+        gram set as the signature; exact duplicates report distance
+        0."""
+        from gasket_spark.operators.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "ab"), (3, "ad"), (4, "xy")],
+            "doc_id long, text string")
+        got = {(r.id_a, r.id_b): r.edit_distance
+               for r in edit_distance_pairs(df, d=1).collect()}
+        assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
