@@ -265,3 +265,73 @@ class TestLevenshteinParity:
         k = duck.execute("SELECT levenshtein(?, ?)", list(pair)) \
             .fetchone()[0]
         assert s == 1 and k == 2
+
+
+class TestVariantJsonParity:
+    """Spark 4 VARIANT (parse_json / variant_get / try_variant_get /
+    is_variant_null) vs DuckDB's JSON functions over the SAME
+    documents — the r12 ``q_json_variant`` oracle shape, probed and
+    pinned early (the r10/r11 banked-operator discipline): typed path
+    extraction, missing-path NULL, JSON-null vs missing distinction,
+    and array indexing all agree."""
+
+    DOCS = [
+        (1, '{"k": 7, "tags": ["a", "b"], "meta": {"d": 2.5}}'),
+        (2, '{"k": -3, "tags": [], "meta": {"d": 0.125}}'),
+        (3, '{"k": 0, "extra": null}'),
+        (4, '{"nested": {"deep": {"val": 123456789012}}}'),
+    ]
+
+    def test_typed_extraction_agrees(self, spark, duck):
+        from pyspark.sql import functions as F
+
+        sdf = spark.createDataFrame(self.DOCS, "i long, j string")
+        v = F.parse_json("j")
+        got = {r.i: (r.k, r.t0, r.deep, r.cents) for r in sdf.select(
+            "i",
+            F.try_variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.tags[0]", "string").alias("t0"),
+            F.try_variant_get(v, "$.nested.deep.val", "long")
+            .alias("deep"),
+            # money rule holds through JSON too: extract double,
+            # convert to integer cents before any compare
+            F.round(F.try_variant_get(v, "$.meta.d", "double") * 100)
+            .cast("long").alias("cents")).collect()}
+        import pandas as pd
+        duck.register("vj", pd.DataFrame(self.DOCS, columns=["i", "j"]))
+        try:
+            want = {i: (k, t0, deep, cents) for i, k, t0, deep, cents
+                    in duck.execute("""
+                SELECT i,
+                       CAST(j->>'$.k' AS BIGINT),
+                       j->>'$.tags[0]',
+                       CAST(j->>'$.nested.deep.val' AS BIGINT),
+                       CAST(round(CAST(j->>'$.meta.d' AS DOUBLE) * 100)
+                            AS BIGINT)
+                FROM vj""").fetchall()}
+        finally:
+            duck.unregister("vj")
+        assert got == want
+
+    def test_json_null_vs_missing(self, spark):
+        """VARIANT distinguishes an explicit JSON null (is_variant_null
+        TRUE) from a missing path (try_variant_get -> SQL NULL) — the
+        semantics a props-evolution pipeline needs; DuckDB's ->> maps
+        both to SQL NULL, so an oracle must compare through the typed
+        extraction, not the null-kind — pinned here so the r12 query
+        states only oracle-expressible columns."""
+        from pyspark.sql import functions as F
+
+        sdf = spark.createDataFrame(self.DOCS, "i long, j string")
+        v = F.parse_json("j")
+        rows = {r.i: (r.null_kind, r.missing) for r in sdf.select(
+            "i",
+            F.is_variant_null(F.try_variant_get(v, "$.extra", "variant"))
+            .alias("null_kind"),
+            F.try_variant_get(v, "$.extra", "long").alias("missing"))
+            .collect()}
+        assert rows[3] == (True, None)       # explicit null
+        # path absent entirely: try_variant_get yields SQL NULL and
+        # is_variant_null(NULL variant) evaluates FALSE (not NULL) —
+        # the actual Spark 4.1 semantics, pinned as observed
+        assert rows[1] == (False, None)

@@ -1228,3 +1228,51 @@ class TestEditDistancePairs:
         got = {(r.id_a, r.id_b): r.edit_distance
                for r in edit_distance_pairs(df, d=1).collect()}
         assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+class TestTokenRunsUdtf:
+    def _register(self, spark):
+        from gasket_spark.functions.udtfs import register_udtfs
+        register_udtfs(spark)
+
+    def test_lateral_runs_match_python_rle(self, spark):
+        """UDTF via LATERAL join reproduces a Python groupby RLE,
+        losslessly (concatenating token*run_len restores the text)."""
+        import itertools
+
+        self._register(spark)
+        texts = {1: "a a a b b c", 2: "x", 3: "p q p p q q q",
+                 4: "same same same same"}
+        spark.createDataFrame(list(texts.items()),
+                              "doc_id long, text string") \
+            .createOrReplaceTempView("_udtf_docs")
+        rows = spark.sql("""
+            SELECT d.doc_id, r.run_idx, r.token, r.start_pos, r.run_len
+            FROM _udtf_docs d, LATERAL token_runs(d.text) r
+        """).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.doc_id, []).append(
+                (r.run_idx, r.token, r.start_pos, r.run_len))
+        for doc_id, text in texts.items():
+            runs = sorted(got[doc_id])
+            toks = text.split(" ")
+            want, pos = [], 1
+            for idx, (tok, grp) in enumerate(
+                    itertools.groupby(toks)):
+                n = len(list(grp))
+                want.append((idx, tok, pos, n))
+                pos += n
+            assert runs == want
+            # lossless reconstruction
+            rebuilt = " ".join(t for _, t, _, n in runs for _ in range(n))
+            assert rebuilt == text
+
+    def test_null_text_emits_nothing(self, spark):
+        self._register(spark)
+        spark.createDataFrame([(1, None)], "doc_id long, text string") \
+            .createOrReplaceTempView("_udtf_null")
+        n = spark.sql("""
+            SELECT * FROM _udtf_null d, LATERAL token_runs(d.text) r
+        """).count()
+        assert n == 0
