@@ -335,3 +335,74 @@ class TestVariantJsonParity:
         # is_variant_null(NULL variant) evaluates FALSE (not NULL) —
         # the actual Spark 4.1 semantics, pinned as observed
         assert rows[1] == (False, None)
+
+
+class TestEditDistanceOracleTwin:
+    def test_duckdb_twin_matches_operator(self, spark, duck):
+        """The full edit_distance_pairs pipeline restated in DuckDB
+        SQL (distinct char q-grams -> (df, gram)-ranked signatures ->
+        sig x full candidates + length-banded short bucket ->
+        levenshtein verify) produces the identical pair set — the r12
+        ``q_dedup_edit`` oracle shape, pinned before registration
+        (the r10 rendezvous pattern)."""
+        import pandas as pd
+
+        from gasket_spark.operators.dedup import edit_distance_pairs
+
+        d_max, q = 2, 2
+        docs = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dot"),
+            (3, "the quick brown fox jump over the lazy dog"),
+            (4, "a wholly different line of text for contrast"),
+            (5, "a wholly different line of text for contrasts"),
+            (6, "zq"), (7, "zr"), (8, "zqx"),
+            (9, "the the the the the the"),
+            (10, "the the the the the tha"),
+        ]
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted((r.id_a, r.id_b, r.edit_distance) for r in
+                     edit_distance_pairs(sdf, d=d_max, q=q).collect())
+
+        sig_k = d_max * q + 1
+        short_max = q * (d_max + 1) - 1
+        duck.register("ed_docs",
+                      pd.DataFrame(docs, columns=["doc_id", "text"]))
+        try:
+            want = sorted(map(tuple, duck.execute(f"""
+              WITH grams AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(length(text) - {q - 1}, 0) + 1),
+                  i -> substr(text, i, {q})))) AS g
+                FROM ed_docs),
+              dfq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+              ranked AS (
+                SELECT doc_id, g, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY df, g) AS rk
+                FROM grams JOIN dfq USING (g)),
+              sig AS (SELECT doc_id, g FROM ranked WHERE rk <= {sig_k}),
+              cand_sig AS (
+                SELECT DISTINCT least(s.doc_id, f.doc_id) AS id_a,
+                       greatest(s.doc_id, f.doc_id) AS id_b
+                FROM sig s JOIN ranked f USING (g)
+                WHERE s.doc_id <> f.doc_id),
+              lens AS (SELECT doc_id, text, length(text) AS len
+                       FROM ed_docs),
+              cand_short AS (
+                SELECT DISTINCT least(sh.doc_id, nr.doc_id) AS id_a,
+                       greatest(sh.doc_id, nr.doc_id) AS id_b
+                FROM (SELECT * FROM lens WHERE len <= {short_max}) sh
+                JOIN lens nr ON sh.doc_id <> nr.doc_id
+                 AND abs(sh.len - nr.len) <= {d_max}
+                 AND nr.len <= {short_max + d_max}),
+              cand AS (SELECT * FROM cand_sig
+                       UNION SELECT * FROM cand_short)
+              SELECT id_a, id_b, levenshtein(a.text, b.text) AS ed
+              FROM cand JOIN lens a ON a.doc_id = id_a
+                        JOIN lens b ON b.doc_id = id_b
+              WHERE abs(a.len - b.len) <= {d_max}
+                AND levenshtein(a.text, b.text) <= {d_max}
+              """).fetchall()))
+        finally:
+            duck.unregister("ed_docs")
+        assert got == want and got   # non-vacuous, identical
