@@ -660,8 +660,6 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     Reference parity: gasket pipes corpora through dedup stages
     (reference index.js:1-258); this is the typo/OCR-grain stage,
     one declarative plan."""
-    import pandas as _pd  # noqa: F401  (module-level pd used below)
-
     sig_k = d * q + 1
     toks = F.col(text_col)
     n = F.length(toks) - (q - 1)
@@ -669,9 +667,10 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
         .otherwise(F.array().cast("array<int>"))
     grams = F.array_distinct(
         F.transform(gidx, lambda i: F.substring(toks, i, q)))
+    # NARROW explode: only (id, gram) — carrying the document text
+    # through the gram fan-out would multiply the shuffled bytes by
+    # the document length (r11 self-review catch)
     base = df.select(F.col(id_col).alias("_id"),
-                     F.col(text_col).alias("_txt"),
-                     F.length(text_col).alias("_len"),
                      F.explode(grams).alias("g"))
     # canonical global order: (df, gram) — derived identically by any
     # engine from the same corpus, no hashing involved

@@ -3155,7 +3155,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     pri AS (
       SELECT lang, doc_id, weight,
-             ln_micro * 1000000 // weight AS priority_pico
+             ln_micro * 1000000 // nullif(weight, 0) AS priority_pico
       FROM lnm)
     SELECT lang, doc_id, weight, priority_pico, CAST(rk AS INT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY lang
@@ -3192,7 +3192,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_chars").alias("weight"),
                         lnm.alias("_ln_micro"))
             .withColumn("priority_pico",
-                        F.expr("_ln_micro * 1000000 div weight"))
+                        F.expr("_ln_micro * 1000000 div nullif(weight, 0)"))
             .drop("_ln_micro")
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5))
