@@ -1,0 +1,115 @@
+"""Distributed BPE tokenizer training — the merge-table build.
+
+Byte-pair encoding's training loop (count adjacent symbol pairs →
+take the most frequent → merge it everywhere → repeat) re-expressed
+as DataFrame rounds over the DISTINCT-WORD table, the shape that
+makes it 100 TB-viable:
+
+* the corpus is scanned ONCE into (word, freq) — everything after
+  runs at vocabulary grain, orders of magnitude smaller than the
+  corpus, with every pair count weighted by the word frequency
+  (identical statistics to scanning raw text);
+* each round's pair counting is one explode + two-phase aggregate;
+  the winning pair is a bounded 1-row driver scalar (the
+  q_graph_bfs root precedent);
+* the merge APPLIES as plain string ``replace`` on a space-padded
+  symbol encoding (" l o w " — symbols never contain spaces, so
+  " l o " can only match a real symbol boundary): entirely JVM-side,
+  no Python in the loop, and restatable verbatim in ANSI SQL — the
+  property that makes the whole training run oracle-checkable.
+
+Replace-vs-greedy subtlety (worth its paragraph): a single
+left-to-right non-overlapping ``replace`` pass can MISS occurrences
+whose leading space was consumed by the previous match (" x y x y "
+merges only the first pair), so each round applies ``passes``
+replace passes; a run of k identical pairs converges in ceil(log2 k)
+passes, after which the padded string is at the same fixpoint the
+classic list-greedy scan reaches. The round then ASSERTS the pattern
+is gone — if any residual occurrence survives (a word with a longer
+same-symbol run than 2^passes), the build raises loudly rather than
+silently diverging from the oracle (the lsh_bucket domain-guard
+posture). Determinism: the winning pair breaks count ties on the
+pair string ascending.
+
+Reference parity: gasket pipelines stage user transforms over a
+stream (reference index.js:1-258); tokenizer training is the
+canonical corpus-preprocessing stage, here one declarative loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _padded_symbols(word_col: str) -> F.Column:
+    """' c h a r s ' — initial character symbols, space-padded."""
+    return F.concat(F.lit(" "),
+                    F.concat_ws(" ", F.split(F.col(word_col), "")),
+                    F.lit(" "))
+
+
+def bpe_merge_table(df: DataFrame, text_col: str = "text",
+                    n_merges: int = 8, passes: int = 4) -> list[tuple]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    merge table as a list of (rank, left, right, pair_count) —
+    driver-side because it IS a driver artifact (the tokenizer file a
+    training run ships; n_merges rows, bounded by construction).
+
+    ``passes`` bounds the per-round replace fixpoint (exact for
+    same-pair runs up to 2^passes symbols; guarded loudly beyond)."""
+    words = (df.select(F.explode(F.split(F.col(text_col), " "))
+                       .alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select(F.col("freq"), _padded_symbols("w").alias("sym"))
+             .localCheckpoint())
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        pair_idx = F.when(F.size(syms) >= 2,
+                          F.sequence(F.lit(1), F.size(syms) - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        pairs = words.select(
+            "freq",
+            F.explode(F.transform(
+                pair_idx,
+                lambda i: F.concat(F.element_at(syms, i), F.lit(" "),
+                                   F.element_at(syms, i + 1))))
+            .alias("pair"))
+        best = (pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pair").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        pair, n = best[0].pair, int(best[0].n)
+        left, right = pair.split(" ")
+        merges.append((rank, left, right, n))
+        pat = F.lit(f" {left} {right} ")
+        rep = F.lit(f" {left}{right} ")
+        col = F.col("sym")
+        for _ in range(passes):
+            col = F.replace(col, pat, rep)
+        words = words.select("freq", col.alias("sym")).localCheckpoint()
+        residual = words.filter(
+            F.contains("sym", pat)).limit(1).count()
+        if residual:
+            raise ValueError(
+                f"bpe_merge_table: pattern {pair!r} survives {passes} "
+                "replace passes (a same-symbol run longer than "
+                f"2^{passes}) — raise `passes` so the padded-replace "
+                "fixpoint stays exact vs the greedy merge")
+    return merges
+
+
+def bpe_merges_df(df: DataFrame, text_col: str = "text",
+                  n_merges: int = 8, passes: int = 4) -> DataFrame:
+    """DataFrame form of :func:`bpe_merge_table` — (merge_rank, left,
+    right, pair_count), the shape a ``queries()`` registration and
+    its SQL oracle compare."""
+    rows = bpe_merge_table(df, text_col, n_merges, passes)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows or [], "merge_rank int, left string, right string, "
+                    "pair_count bigint")

@@ -1276,3 +1276,82 @@ class TestTokenRunsUdtf:
             SELECT * FROM _udtf_null d, LATERAL token_runs(d.text) r
         """).count()
         assert n == 0
+
+
+class TestBpeMergeTable:
+    @staticmethod
+    def _python_bpe(texts, n_merges):
+        """Classic reference: freq-weighted pair counts over distinct
+        words; greedy left-to-right list merge; ties on the smaller
+        'left right' pair string."""
+        from collections import Counter
+
+        words = Counter(w for t in texts for w in t.split(" ") if w)
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for rank in range(n_merges):
+            counts = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] += words[w]
+            if not counts:
+                break
+            pair = min(counts, key=lambda p: (-counts[p],
+                                              f"{p[0]} {p[1]}"))
+            merges.append((rank, pair[0], pair[1], counts[pair]))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms)
+                            and (syms[i], syms[i + 1]) == pair):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_matches_reference_bpe(self, spark):
+        from gasket_spark.operators.bpe import bpe_merge_table
+
+        texts = ["low lower lowest newest newer new",
+                 "low low low wider wide widest",
+                 "banana bandana banal",
+                 "aaaa aaaaa aa a"]          # same-char runs
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_merge_table(df, n_merges=10)
+        want = self._python_bpe(texts, 10)
+        assert got == want and len(got) == 10
+
+    def test_partition_invariant_and_corpus_grain(self, spark):
+        from gasket_spark.operators.bpe import bpe_merge_table
+
+        texts = [("spark scans tables fast " * 3).strip(),
+                 "spark sorts spills shuffles",
+                 "tables scan spark"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        one = bpe_merge_table(df, n_merges=5)
+        two = bpe_merge_table(df.repartition(7), n_merges=5)
+        assert one == two and len(one) == 5
+
+    def test_run_guard_raises_not_diverges(self, spark):
+        """A same-symbol run longer than 2^passes must raise loudly —
+        a silent partial merge would diverge from the greedy
+        reference (and any oracle) without a hash check noticing."""
+        import pytest as _pytest
+
+        from gasket_spark.operators.bpe import bpe_merge_table
+
+        # alternating runs are the single-pass blind spot: the match
+        # at " x y x y " consumes the next occurrence's leading space
+        df = spark.createDataFrame([("xyxy xyxyxy",)], "text string")
+        with _pytest.raises(ValueError, match="replace passes"):
+            bpe_merge_table(df, n_merges=1, passes=1)
+        # a sufficient pass budget reaches the exact greedy fixpoint
+        got = bpe_merge_table(df, n_merges=1, passes=3)
+        assert got == [(0, "x", "y", 5)]
+        # long same-char runs also converge (and match the reference)
+        runs = spark.createDataFrame([("a" * 40,)], "text string")
+        assert bpe_merge_table(runs, n_merges=1, passes=4) \
+            == [(0, "a", "a", 39)]
