@@ -113,3 +113,44 @@ def bpe_merges_df(df: DataFrame, text_col: str = "text",
     return spark.createDataFrame(
         rows or [], "merge_rank int, left string, right string, "
                     "pair_count bigint")
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple],
+               text_col: str = "text", id_col: str = "doc_id",
+               passes: int = 4) -> DataFrame:
+    """Apply a learned merge table — the ENCODE half of the
+    tokenizer: every word re-tokenizes by replaying the merges in
+    rank order (the exact BPE inference rule), entirely as chained
+    JVM ``replace`` expressions over the padded symbol encoding, so
+    a 100 TB corpus tokenizes in ONE narrow map-side pass (no
+    Python, no shuffle — the merge table is a driver-side literal
+    chain, exactly how a broadcast tokenizer behaves) and the result
+    is restatable in ANSI SQL. Returns (id_col, tokens array<string>,
+    n_tokens) at document grain; token count is the pack/packing
+    currency (q_pack_shards).
+
+    Same fixpoint guard as training: ``passes`` replace passes per
+    merge are exact for the runs the trainer itself certified; the
+    encode side trusts the caller to pass the trainer's budget."""
+    col = _padded_symbols_text(text_col)
+    for _rank, left, right, _n in merges:
+        pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        for _ in range(passes):
+            col = F.replace(col, pat, rep)
+    toks = F.split(F.trim(col), " +")
+    return df.select(
+        F.col(id_col).alias(id_col),
+        toks.alias("tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"))
+
+
+def _padded_symbols_text(text_col: str) -> F.Column:
+    """Whole-document padded symbol stream: every WORD becomes its
+    padded character symbols, words separated by a double space (a
+    zero-width symbol boundary no ``" l r "`` pattern can match
+    across, since patterns contain single interior spaces and
+    symbols are never empty)."""
+    word = F.transform(
+        F.split(F.col(text_col), " "),
+        lambda w: F.concat_ws(" ", F.split(w, "")))
+    return F.concat(F.lit(" "), F.concat_ws("  ", word), F.lit(" "))

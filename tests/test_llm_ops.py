@@ -1355,3 +1355,55 @@ class TestBpeMergeTable:
         runs = spark.createDataFrame([("a" * 40,)], "text string")
         assert bpe_merge_table(runs, n_merges=1, passes=4) \
             == [(0, "a", "a", 39)]
+
+
+class TestBpeEncode:
+    def test_matches_reference_encode(self, spark):
+        """Replaying the learned merges tokenizes every doc exactly as
+        the classic per-word, rank-ordered, list-greedy reference —
+        and word boundaries never merge across (the double-space
+        separator)."""
+        from gasket_spark.operators.bpe import bpe_encode, bpe_merge_table
+
+        texts = {1: "low lower lowest", 2: "new newer newest",
+                 3: "wl lw wlw", 4: "a"}
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        merges = bpe_merge_table(df, n_merges=6)
+        got = {r.doc_id: (r.tokens, r.n_tokens)
+               for r in bpe_encode(df, merges).collect()}
+
+        def encode_word(w):
+            syms = list(w)
+            for _rk, left, right, _n in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for doc_id, text in texts.items():
+            want = [s for w in text.split(" ") for s in encode_word(w)]
+            assert got[doc_id] == (want, len(want)), (doc_id, got[doc_id])
+
+    def test_encode_is_mapside_jvm(self, spark):
+        """The encode plan is a zero-exchange, Python-free projection
+        — the property that lets a 100 TB corpus tokenize in one
+        narrow pass."""
+        from gasket_spark.operators.bpe import bpe_encode
+
+        df = spark.createDataFrame([(1, "low lower")],
+                                   "doc_id long, text string")
+        plan = bpe_encode(df, [(0, "l", "o", 2)])._jdf.queryExecution() \
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
