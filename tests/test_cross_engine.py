@@ -406,3 +406,70 @@ class TestEditDistanceOracleTwin:
         finally:
             duck.unregister("ed_docs")
         assert got == want and got   # non-vacuous, identical
+
+
+def _bpe_oracle_sql(n_merges: int, passes: int = 4) -> str:
+    """Unrolled ANSI-SQL twin of bpe_merge_table (the planned r12
+    ``q_bpe_train`` oracle, the _bfs_oracle_sql pattern): one CTE
+    chain per round — pair counts from the previous word state, the
+    1-row argmax (count desc, pair asc), and the word state advanced
+    by ``passes`` nested replaces of ' l r ' with ' lr '."""
+    parts = ["""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM corpus)
+      WHERE w <> '' GROUP BY w),
+    w0 AS (
+      SELECT freq, ' ' || array_to_string(string_split_regex(w, ''), ' ')
+             || ' ' AS sym
+      FROM words)"""]
+    for r in range(1, n_merges + 1):
+        rep = "sym"
+        for _ in range(passes):
+            rep = (f"replace({rep}, ' ' || pair || ' ', "
+                   f"' ' || replace(pair, ' ', '') || ' ')")
+        parts.append(f""",
+    p{r} AS (
+      SELECT freq, unnest(list_transform(
+        range(1, greatest(len(sy) - 1, 0) + 1),
+        i -> sy[i] || ' ' || sy[i + 1])) AS pair
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS sy
+            FROM w{r - 1})),
+    b{r} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p{r}
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+    w{r} AS (
+      SELECT freq, {rep} AS sym FROM w{r - 1} CROSS JOIN b{r})""")
+    unions = " UNION ALL ".join(
+        f"""SELECT {r - 1} AS merge_rank,
+               split_part(pair, ' ', 1) AS left_sym,
+               split_part(pair, ' ', 2) AS right_sym, n AS pair_count
+            FROM b{r}""" for r in range(1, n_merges + 1))
+    parts.append(f" SELECT * FROM ({unions})")
+    return "".join(parts)
+
+
+class TestBpeOracleTwin:
+    def test_duckdb_twin_matches_trainer(self, spark, duck):
+        """The whole BPE training loop restated in unrolled SQL yields
+        the identical merge table — pinned ahead of the r12
+        registration (the rendezvous/edit-distance pattern). Includes
+        the alternating-run shape that needs >1 replace pass."""
+        import pandas as pd
+
+        from gasket_spark.operators.bpe import bpe_merge_table
+
+        texts = ["low lower lowest newest newer new",
+                 "banana bandana banal", "xyxy xyxyxy",
+                 "aaaa aaaaa aa a"]
+        sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_merge_table(sdf, n_merges=8, passes=4)
+
+        duck.register("corpus", pd.DataFrame({"text": texts}))
+        try:
+            want = [tuple(r) for r in
+                    duck.execute(_bpe_oracle_sql(8, passes=4) +
+                                 " ORDER BY merge_rank").fetchall()]
+        finally:
+            duck.unregister("corpus")
+        assert [tuple(m) for m in got] == want and len(want) == 8
