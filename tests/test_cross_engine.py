@@ -473,3 +473,56 @@ class TestBpeOracleTwin:
         finally:
             duck.unregister("corpus")
         assert [tuple(m) for m in got] == want and len(want) == 8
+
+
+class TestTokenRunsOracleTwin:
+    def test_gaps_and_islands_sql_matches_udtf(self, spark, duck):
+        """token_runs (LATERAL UDTF) == the classic gaps-and-islands
+        restatement in ANSI SQL — the planned r12 ``q_udtf_runs``
+        oracle, pinned ahead of registration."""
+        import pandas as pd
+
+        from gasket_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        texts = {1: "a a a b b c", 2: "x", 3: "p q p p q q q",
+                 4: "same same same same", 5: "t u t u t"}
+        spark.createDataFrame(list(texts.items()),
+                              "doc_id long, text string") \
+            .createOrReplaceTempView("_tr_docs")
+        got = sorted(tuple(r) for r in spark.sql("""
+            SELECT d.doc_id, r.run_idx, r.token, r.start_pos, r.run_len
+            FROM _tr_docs d, LATERAL token_runs(d.text) r
+        """).collect())
+
+        duck.register("trd", pd.DataFrame(list(texts.items()),
+                                          columns=["doc_id", "text"]))
+        try:
+            want = sorted(tuple(r) for r in duck.execute("""
+              WITH pos AS (
+                SELECT doc_id, pg.i AS i, pg.tok AS tok
+                FROM (SELECT doc_id,
+                        unnest(list_transform(
+                          range(1, len(string_split(text, ' ')) + 1),
+                          i -> struct_pack(i := i,
+                                 tok := string_split(text, ' ')[i])))
+                          AS pg
+                      FROM trd)),
+              isl AS (
+                SELECT doc_id, tok,
+                       i - row_number() OVER (
+                         PARTITION BY doc_id, tok ORDER BY i) AS grp,
+                       i
+                FROM pos),
+              runs AS (
+                SELECT doc_id, tok, CAST(min(i) AS INT) AS start_pos,
+                       CAST(COUNT(*) AS INT) AS run_len
+                FROM isl GROUP BY doc_id, tok, grp)
+              SELECT doc_id,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY start_pos) - 1 AS INT) AS run_idx,
+                     tok, start_pos, run_len
+              FROM runs""").fetchall())
+        finally:
+            duck.unregister("trd")
+        assert got == want and got
