@@ -760,3 +760,63 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
             .select("query_id", "neighbor_id",
                     F.col("score_i").alias("maxsim_femto"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+def knn_label_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  label_col: str = "label", n_planes: int = 8,
+                  dim: int = 64, seed: int = 42) -> DataFrame:
+    """k-NN majority-vote labeling over LSH candidates — the 100 TB
+    form of :func:`knn_label` (the r11 scale probe measured the
+    brute-force composition at O(|queries|·|corpus|): 11.8x wall on a
+    10x-corpus/10x-queries run — inherent to exact scoring, which is
+    why the scale path buckets first). The corpus is hashed once to
+    2^n_planes sign buckets; each query scores only its own bucket
+    plus Hamming-1 neighbors (multi-probe), then votes exactly as
+    knn_label does (ties: bigger count, then smaller label NULLS
+    LAST). Labels that brute-force kNN would take from OUTSIDE the
+    probed buckets can differ — the standard ANN recall trade,
+    measured in tests against the exact operator on clustered data
+    (agreement there is exact: same-cluster neighbors share buckets).
+
+    Deliberately does NOT reuse ann_lsh_topk: that operator excludes
+    query_id == neighbor_id (right when queries come FROM the
+    corpus), while label lookup crosses two independent id spaces
+    where a numeric collision must not hide a neighbor (the r10
+    knn_label self-review lesson). r12 can unify by threading
+    exclude_same_id through ann_lsh_topk when its downstream query
+    rotates through the window anyway.
+
+    Returns (query_id, pred_label, n_votes)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      F.col(label_col).alias("_lbl"),
+                      lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    probes = [F.lit(0)] + [F.lit(1 << j) for j in range(n_planes)]
+    q = (queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            lsh_bucket(F.col(vec_col), planes).alias("_b"))
+         .select("query_id", "q_vec", F.explode(F.array(*[
+             F.col("_b").bitwiseXOR(p) for p in probes]))
+             .alias("bucket")))
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .select("query_id", "neighbor_id", "_lbl",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos_sim").alias("cos_sim"),
+             F.first("_lbl").alias("_lbl")))   # probe-dedup
+    wn = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    nbrs = (scored.withColumn("_rk", F.row_number().over(wn))
+            .filter(F.col("_rk") <= k))
+    votes = (nbrs.groupBy("query_id", "_lbl")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("_lbl").asc_nulls_last())
+    return (votes.withColumn("_rk", F.row_number().over(wv))
+            .filter(F.col("_rk") == 1)
+            .select("query_id", F.col("_lbl").alias("pred_label"),
+                    "n_votes"))

@@ -1407,3 +1407,58 @@ class TestBpeEncode:
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestKnnLabelAnn:
+    def _clustered(self, spark, n_per=40, seed=3):
+        """Two well-separated clusters in 64-d with distinct labels;
+        queries drawn near the centers (cluster membership decides
+        the vote unambiguously)."""
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        c0 = rng.randn(64); c0 /= np.linalg.norm(c0)
+        c1 = -c0
+        rows, qrows = [], []
+        for i in range(n_per):
+            for lbl, c in ((0, c0), (1, c1)):
+                v = c + rng.randn(64) * 0.05
+                rows.append((lbl * 100000 + i,
+                             [float(x) for x in v], lbl))
+        for i in range(10):
+            lbl = i % 2
+            c = c0 if lbl == 0 else c1
+            v = c + rng.randn(64) * 0.05
+            qrows.append((i, [float(x) for x in v], lbl))
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        queries = spark.createDataFrame(
+            qrows, "vec_id long, embedding array<float>, expect int")
+        return corpus, queries
+
+    def test_agrees_with_exact_on_clustered_data(self, spark):
+        from gasket_spark.operators.similarity import (
+            knn_label, knn_label_ann)
+
+        corpus, queries = self._clustered(spark)
+        exact = {r.query_id: (r.pred_label, r.n_votes)
+                 for r in knn_label(corpus, queries, k=5).collect()}
+        ann = {r.query_id: (r.pred_label, r.n_votes)
+               for r in knn_label_ann(corpus, queries, k=5).collect()}
+        assert ann == exact and len(ann) == 10
+        want = {r.vec_id: r.expect for r in queries.collect()}
+        assert {q: p for q, (p, _) in ann.items()} == want
+
+    def test_candidates_stay_bucketed(self, spark):
+        """The ANN path must never score the full query x corpus
+        product: the join is an equi-join on the bucket key, no
+        nested-loop broadcast of the whole query set."""
+        from gasket_spark.operators.similarity import knn_label_ann
+
+        corpus, queries = self._clustered(spark)
+        plan = knn_label_ann(corpus, queries, k=5)._jdf \
+            .queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
