@@ -58,12 +58,19 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
 
     ``passes`` bounds the per-round replace fixpoint (exact for
     same-pair runs up to 2^passes symbols; guarded loudly beyond)."""
-    words = (df.select(F.explode(F.split(F.col(text_col), " "))
-                       .alias("w"))
-             .filter(F.col("w") != "")
-             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-             .select(F.col("freq"), _padded_symbols("w").alias("sym"))
-             .localCheckpoint())
+    from gasket_spark.io import checkpoint_tracked, free_checkpoint
+
+    spark = df.sparkSession
+    # each round checkpoints the advanced word state to truncate the
+    # replace-chain lineage; the PREVIOUS round's blocks are freed
+    # eagerly (DataFrame.unpersist can't release a localCheckpoint —
+    # the io.checkpoint_tracked/free_checkpoint discipline, same as
+    # the graph loops)
+    words, ck_ids = checkpoint_tracked(
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.col("freq"), _padded_symbols("w").alias("sym")))
     merges: list[tuple] = []
     for rank in range(n_merges):
         syms = F.split(F.trim(F.col("sym")), " ")
@@ -91,7 +98,10 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
         col = F.col("sym")
         for _ in range(passes):
             col = F.replace(col, pat, rep)
-        words = words.select("freq", col.alias("sym")).localCheckpoint()
+        nxt, nxt_ids = checkpoint_tracked(
+            words.select("freq", col.alias("sym")))
+        free_checkpoint(spark, ck_ids)
+        words, ck_ids = nxt, nxt_ids
         residual = words.filter(
             F.contains("sym", pat)).limit(1).count()
         if residual:
@@ -100,6 +110,7 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
                 "replace passes (a same-symbol run longer than "
                 f"2^{passes}) — raise `passes` so the padded-replace "
                 "fixpoint stays exact vs the greedy merge")
+    free_checkpoint(spark, ck_ids)
     return merges
 
 
