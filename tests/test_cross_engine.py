@@ -526,3 +526,64 @@ class TestTokenRunsOracleTwin:
         finally:
             duck.unregister("trd")
         assert got == want and got
+
+
+class TestBpeEncodeOracleTwin:
+    def test_duckdb_twin_matches_encoder(self, spark, duck):
+        """bpe_encode over corpus-learned merges == the SQL chain that
+        learns the same merges (the training twin above) and replays
+        them over the padded doc stream — the planned r12
+        ``q_bpe_tokens`` oracle shape (doc grain: tokens + n_tokens)."""
+        import pandas as pd
+
+        from gasket_spark.operators.bpe import bpe_encode, bpe_merge_table
+
+        docs = [(1, "low lower lowest"), (2, "new newer newest"),
+                (3, "xyxy xyxyxy wide wider"), (4, "a aa aaa")]
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        n_merges, passes = 6, 4
+        merges = bpe_merge_table(sdf, n_merges=n_merges, passes=passes)
+        got = sorted((r.doc_id, tuple(r.tokens), r.n_tokens)
+                     for r in bpe_encode(sdf, merges,
+                                         passes=passes).collect())
+
+        train = _bpe_oracle_sql(n_merges, passes=passes)
+        train_ctes = train[:train.index(" SELECT * FROM (")]
+        enc = [train_ctes, """,
+          d0 AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_transform(
+                     string_split(text, ' '),
+                     w -> array_to_string(string_split_regex(w, ''), ' ')),
+                     '  ') || ' ' AS sym
+            FROM corpus)"""]
+        for r in range(1, n_merges + 1):
+            rep = "sym"
+            for _ in range(passes):
+                rep = (f"replace({rep}, ' ' || pair || ' ', "
+                       f"' ' || replace(pair, ' ', '') || ' ')")
+            enc.append(f""",
+          d{r} AS (SELECT doc_id, {rep} AS sym
+                   FROM d{r - 1} CROSS JOIN b{r})""")
+        enc.append(f"""
+          SELECT doc_id,
+                 string_split_regex(trim(sym), ' +') AS tokens,
+                 CAST(len(string_split_regex(trim(sym), ' +'))
+                      AS BIGINT) AS n_tokens
+          FROM d{n_merges}""")
+        # the training CTEs read `corpus` (text grain); the encode
+        # d0 CTE reads the doc-grain view — same text content
+        sql = "".join(enc).replace(
+            "|| ' ' AS sym\n            FROM corpus)",
+            "|| ' ' AS sym\n            FROM corpus_docs)")
+        duck.register("corpus", pd.DataFrame(
+            [(t,) for _i, t in docs], columns=["text"]))
+        duck.register("corpus_docs", pd.DataFrame(
+            docs, columns=["doc_id", "text"]))
+        try:
+            want = sorted((i, tuple(t), n) for i, t, n in
+                          duck.execute(sql).fetchall())
+        finally:
+            duck.unregister("corpus")
+            duck.unregister("corpus_docs")
+        assert got == want and got
