@@ -322,3 +322,85 @@ def test_cents_half_up_half_cent_boundary():
     got = cents_half_up(np.array([0.125, -0.125, 0.135, -0.135],
                                  dtype=np.float64))
     assert got.tolist() == [13, -13, 14, -14]
+
+
+# ---------------------------------------------------------------------------
+# round-11 kernel invariants (pure python, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.lists(st.text(alphabet="abcx ", min_size=0, max_size=24),
+                min_size=2, max_size=12, unique=True),
+       st.integers(1, 3))
+@settings(max_examples=60, deadline=None)
+def test_edit_distance_blocking_is_lossless(texts, d):
+    """The edit_distance_pairs candidate rule (rare-gram signatures +
+    the length-banded short bucket), simulated exactly in Python:
+    EVERY pair within edit distance d must be a candidate. This is
+    the lemma the Spark operator's recall rests on, explored over
+    random corpora instead of the one hand-built fixture."""
+    q = 2
+    sig_k = d * q + 1
+    short_max = q * (d + 1) - 1
+    grams = {t: {t[i:i + q] for i in range(max(len(t) - q + 1, 0))}
+             for t in texts}
+    df = {}
+    for g_set in grams.values():
+        for g in g_set:
+            df[g] = df.get(g, 0) + 1
+    sig = {t: set(sorted(gs, key=lambda g: (df[g], g))[:sig_k])
+           for t, gs in grams.items()}
+    for i, a in enumerate(texts):
+        for b in texts[i + 1:]:
+            if _lev(a, b) > d:
+                continue
+            sig_hit = (sig[a] & grams[b]) or (sig[b] & grams[a])
+            short_hit = (
+                (len(a) <= short_max or len(b) <= short_max)
+                and abs(len(a) - len(b)) <= d
+                and max(len(a), len(b)) <= short_max + d)
+            assert sig_hit or short_hit, (a, b, d)
+
+
+@given(st.lists(st.sampled_from("xy"), min_size=2, max_size=24),
+       st.sampled_from([("x", "y"), ("x", "x"), ("y", "x")]))
+@settings(max_examples=80, deadline=None)
+def test_padded_replace_fixpoint_equals_list_greedy(syms, pair):
+    """The BPE merge-application contract: iterating the padded
+    single-space replace to a fixpoint lands on EXACTLY the classic
+    left-to-right list-greedy merge — for arbitrary runs, not just
+    the hand-picked cases (Python str.replace shares Java/DuckDB's
+    left-to-right non-overlapping semantics, so this simulates all
+    three engines)."""
+    left, right = pair
+    s = " " + " ".join(syms) + " "
+    pat, rep = f" {left} {right} ", f" {left}{right} "
+    for _ in range(32):
+        nxt = s.replace(pat, rep)
+        if nxt == s:
+            break
+        s = nxt
+    assert pat not in s
+    got = s.strip().split(" ")
+
+    out, i = [], 0
+    while i < len(syms):
+        if (i + 1 < len(syms) and syms[i] == left
+                and syms[i + 1] == right):
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    assert got == out, (syms, pair, got, out)
