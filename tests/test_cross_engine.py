@@ -587,3 +587,59 @@ class TestBpeEncodeOracleTwin:
             duck.unregister("corpus")
             duck.unregister("corpus_docs")
         assert got == want and got
+
+
+class TestKnnLabelAnnOracleTwin:
+    def test_duckdb_twin_matches_operator(self, spark, duck):
+        """knn_label_ann restated in SQL from the two already-proven
+        pieces — the integer-plane bucket expression (q_sim_ann's
+        oracle machinery) and the integer-scaled cosine — plus the
+        Hamming-1 probe set and the vote: the planned r12
+        ``q_knn_label_ann`` oracle, pinned on the REAL embeddings
+        fixture."""
+        import pandas as pd
+
+        from gasket_spark.operators import similarity as S
+        from gasket_spark.operators.similarity import knn_label_ann
+
+        emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        sdf = spark.createDataFrame(emb)
+        queries = sdf.filter("vec_id % 5 = 0")
+        corpus = sdf.filter("vec_id % 5 <> 0")
+        got = sorted((r.query_id, r.pred_label, r.n_votes) for r in
+                     knn_label_ann(corpus, queries, k=5).collect())
+
+        from gasket_spark.queries.llm import _ann_bucket_sql, _cos_expr
+        bucket = _ann_bucket_sql(S._hyperplanes(64, 8, 42))
+        probes = ", ".join(str(x) for x in [0] + [1 << j for j in range(8)])
+        duck.register("embeddings", emb)
+        try:
+            want = sorted(map(tuple, duck.execute(f"""
+              WITH b AS (
+                SELECT vec_id, embedding, label, {bucket} AS bucket
+                FROM embeddings),
+              qp AS (
+                SELECT vec_id AS query_id, embedding,
+                       xor(bucket, p.x) AS bucket
+                FROM b, (SELECT unnest([{probes}]) AS x) p
+                WHERE vec_id % 5 = 0),
+              scored AS (
+                SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+                       c.label AS lbl,
+                       {_cos_expr('q', 'c')} AS cos_sim
+                FROM qp q JOIN b c USING (bucket)
+                WHERE c.vec_id % 5 <> 0),
+              nbrs AS (
+                SELECT query_id, lbl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                  FROM scored) WHERE rnk <= 5),
+              votes AS (SELECT query_id, lbl, COUNT(*) AS n_votes
+                        FROM nbrs GROUP BY 1, 2)
+              SELECT query_id, lbl AS pred_label, n_votes FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY n_votes DESC, lbl) AS rk FROM votes)
+              WHERE rk = 1""").fetchall()))
+        finally:
+            duck.unregister("embeddings")
+        assert got == want and got
