@@ -22,14 +22,20 @@ Replace-vs-greedy subtlety (worth its paragraph): a single
 left-to-right non-overlapping ``replace`` pass can MISS occurrences
 whose leading space was consumed by the previous match (" x y x y "
 merges only the first pair), so each round applies ``passes``
-replace passes; a run of k identical pairs converges in ceil(log2 k)
-passes, after which the padded string is at the same fixpoint the
-classic list-greedy scan reaches. The round then ASSERTS the pattern
-is gone — if any residual occurrence survives (a word with a longer
-same-symbol run than 2^passes), the build raises loudly rather than
-silently diverging from the oracle (the lsh_bucket domain-guard
-posture). Determinism: the winning pair breaks count ties on the
-pair string ascending.
+replace passes and then ASSERTS the pattern is gone — if any
+residual occurrence survives, the build raises loudly rather than
+silently leaving a round half-applied (the lsh_bucket domain-guard
+posture). The fixpoint these passes reach is the operator's DEFINED
+merge semantics: it is maximal (no adjacent pair remains), lossless,
+and equals the classic list-greedy scan except within same-pair runs
+of >= 5 symbols, where the grouping differs (" x x x x x " ->
+[xx, x, xx] vs greedy [xx, xx, x] — a real divergence the
+hypothesis property in tests/test_properties.py discovered and now
+pins). All three engines (Spark, DuckDB, Python) share the replace
+semantics, so training, encoding, and the SQL oracles agree
+bit-for-bit BY CONSTRUCTION; only bit-parity with list-greedy
+tokenizers (e.g. HF BPE) is scoped out on long runs. Determinism:
+the winning pair breaks count ties on the pair string ascending.
 
 Reference parity: gasket pipelines stage user transforms over a
 stream (reference index.js:1-258); tokenizer training is the
@@ -107,9 +113,9 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
         if residual:
             raise ValueError(
                 f"bpe_merge_table: pattern {pair!r} survives {passes} "
-                "replace passes (a same-symbol run longer than "
-                f"2^{passes}) — raise `passes` so the padded-replace "
-                "fixpoint stays exact vs the greedy merge")
+                "replace passes — raise `passes` so the round reaches "
+                "its replace fixpoint (the operator's defined merge "
+                "semantics) instead of leaving the merge half-applied")
     free_checkpoint(spark, ck_ids)
     return merges
 

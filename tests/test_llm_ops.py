@@ -1280,10 +1280,27 @@ class TestTokenRunsUdtf:
 
 class TestBpeMergeTable:
     @staticmethod
-    def _python_bpe(texts, n_merges):
-        """Classic reference: freq-weighted pair counts over distinct
-        words; greedy left-to-right list merge; ties on the smaller
-        'left right' pair string."""
+    def _apply_merge(syms, left, right):
+        """The operator's EXACT merge-application semantics: padded
+        string replace iterated to a fixpoint (identical in Python,
+        the JVM, and DuckDB — all left-to-right non-overlapping).
+        Equals classic list-greedy except within same-pair runs of
+        >= 5 symbols, where the grouping (and sometimes the token
+        count) differs — found by the fixpoint/greedy hypothesis
+        property, pinned there."""
+        s = " " + " ".join(syms) + " "
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+        while True:
+            nxt = s.replace(pat, rep)
+            if nxt == s:
+                return s.strip().split(" ")
+            s = nxt
+
+    @classmethod
+    def _python_bpe(cls, texts, n_merges):
+        """Reference trainer: freq-weighted pair counts over distinct
+        words; merge application = the replace-fixpoint semantics
+        (see _apply_merge); ties on the smaller 'left right' pair."""
         from collections import Counter
 
         words = Counter(w for t in texts for w in t.split(" ") if w)
@@ -1300,16 +1317,7 @@ class TestBpeMergeTable:
                                               f"{p[0]} {p[1]}"))
             merges.append((rank, pair[0], pair[1], counts[pair]))
             for w, syms in vocab.items():
-                out, i = [], 0
-                while i < len(syms):
-                    if (i + 1 < len(syms)
-                            and (syms[i], syms[i + 1]) == pair):
-                        out.append(syms[i] + syms[i + 1])
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                vocab[w] = out
+                vocab[w] = cls._apply_merge(syms, *pair)
         return merges
 
     def test_matches_reference_bpe(self, spark):
@@ -1376,16 +1384,7 @@ class TestBpeEncode:
         def encode_word(w):
             syms = list(w)
             for _rk, left, right, _n in merges:
-                out, i = [], 0
-                while i < len(syms):
-                    if (i + 1 < len(syms) and syms[i] == left
-                            and syms[i + 1] == right):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
+                syms = TestBpeMergeTable._apply_merge(syms, left, right)
             return syms
 
         for doc_id, text in texts.items():
