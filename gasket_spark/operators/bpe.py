@@ -134,7 +134,7 @@ def bpe_merges_df(df: DataFrame, text_col: str = "text",
 
 def bpe_encode(df: DataFrame, merges: list[tuple],
                text_col: str = "text", id_col: str = "doc_id",
-               passes: int = 4) -> DataFrame:
+               passes: int = 4, check_residual: bool = True) -> DataFrame:
     """Apply a learned merge table — the ENCODE half of the
     tokenizer: every word re-tokenizes by replaying the merges in
     rank order (the exact BPE inference rule), entirely as chained
@@ -146,19 +146,130 @@ def bpe_encode(df: DataFrame, merges: list[tuple],
     n_tokens) at document grain; token count is the pack/packing
     currency (q_pack_shards).
 
-    Same fixpoint guard as training: ``passes`` replace passes per
-    merge are exact for the runs the trainer itself certified; the
-    encode side trusts the caller to pass the trainer's budget."""
+    Same fixpoint guard as training, and it must be INDEPENDENT of
+    it: the trainer certified ``passes`` only for the corpus it
+    trained on, while encode routinely runs a stored merge table
+    over UNSEEN documents whose same-pair runs may exceed 2^passes
+    (the r11 ADVICE catch — encode used to trust the caller and
+    silently leave such a merge half-applied). ``check_residual``
+    (default) therefore guards each merge IN-PLAN: a row whose
+    padded stream still contains the merge pattern after the replace
+    chain raises loudly at execution (per-row ``when``/
+    ``raise_error`` — no extra action, no shuffle, negligible JVM
+    cost). The check sits right after each merge's passes, mirroring
+    the trainer's per-round residual check, because a later merge
+    can legitimately RE-CREATE an earlier pair (" l x y r " with
+    merge (x,y) and xy == nothing — adjacency (l, r) never forms,
+    but a fused symbol equal to an earlier pattern's left/right can;
+    the operator's defined rank-order semantics leaves such re-formed
+    pairs unmerged, exactly as the trainer's own stream would)."""
     col = _padded_symbols_text(text_col)
     for _rank, left, right, _n in merges:
         pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
         for _ in range(passes):
             col = F.replace(col, pat, rep)
+        if check_residual:
+            col = F.when(
+                ~F.contains(col, pat), col
+            ).otherwise(F.raise_error(F.concat(F.lit(
+                f"bpe_encode: pattern {left!r}+{right!r} survives "
+                f"{passes} replace passes on "), F.col(id_col).cast(
+                    "string"), F.lit(
+                " — raise `passes` so every merge reaches its replace "
+                "fixpoint (the operator's defined semantics) instead "
+                "of silently half-applying a stored merge table to an "
+                "unseen corpus"))))
     toks = F.split(F.trim(col), " +")
     return df.select(
         F.col(id_col).alias(id_col),
         toks.alias("tokens"),
         F.size(toks).cast("bigint").alias("n_tokens"))
+
+
+def bpe_train_oracle_sql(n_merges: int, passes: int = 4,
+                         table: str = "corpus",
+                         text_col: str = "text") -> str:
+    """Unrolled ANSI-SQL twin of :func:`bpe_merge_table` (DuckDB
+    dialect) — one CTE chain per round: pair counts from the previous
+    word state, the 1-row argmax (count desc, pair asc), and the word
+    state advanced by ``passes`` nested replaces of ``' l r '`` with
+    ``' lr '``. The q_bpe_train oracle; also the pinned cross-engine
+    twin in tests/test_cross_engine.py (single shared builder so the
+    test and the registration can never drift)."""
+    parts = [f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table})
+      WHERE w <> '' GROUP BY w),
+    w0 AS (
+      SELECT freq, ' ' || array_to_string(string_split_regex(w, ''), ' ')
+             || ' ' AS sym
+      FROM words)"""]
+    for r in range(1, n_merges + 1):
+        rep = "sym"
+        for _ in range(passes):
+            rep = (f"replace({rep}, ' ' || pair || ' ', "
+                   f"' ' || replace(pair, ' ', '') || ' ')")
+        parts.append(f""",
+    p{r} AS (
+      SELECT freq, unnest(list_transform(
+        range(1, greatest(len(sy) - 1, 0) + 1),
+        i -> sy[i] || ' ' || sy[i + 1])) AS pair
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS sy
+            FROM w{r - 1})),
+    b{r} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p{r}
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+    w{r} AS (
+      SELECT freq, {rep} AS sym FROM w{r - 1} CROSS JOIN b{r})""")
+    unions = " UNION ALL ".join(
+        f"""SELECT {r - 1} AS merge_rank,
+               split_part(pair, ' ', 1) AS left_sym,
+               split_part(pair, ' ', 2) AS right_sym, n AS pair_count
+            FROM b{r}""" for r in range(1, n_merges + 1))
+    parts.append(f" SELECT * FROM ({unions})")
+    return "".join(parts)
+
+
+def bpe_encode_oracle_sql(n_merges: int, passes: int = 4,
+                          table: str = "corpus",
+                          doc_table: str | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """ANSI-SQL twin of learn-then-encode: the training CTE chain of
+    :func:`bpe_train_oracle_sql` (over ``table``) extended with a
+    document-grain replay of every learned merge (over ``doc_table``,
+    defaulting to the same table) — the q_bpe_tokens oracle shape:
+    (id, tokens_str, n_tokens). Tokens flatten to a space-joined
+    string per the repo's array-hashing rule (q_agg_collect
+    precedent)."""
+    doc_table = doc_table or table
+    train = bpe_train_oracle_sql(n_merges, passes, table, text_col)
+    ctes = train[:train.index(" SELECT * FROM (")]
+    parts = [ctes, f""",
+    d0 AS (
+      SELECT {id_col},
+             ' ' || array_to_string(list_transform(
+               string_split({text_col}, ' '),
+               w -> array_to_string(string_split_regex(w, ''), ' ')),
+               '  ') || ' ' AS sym
+      FROM {doc_table})"""]
+    for r in range(1, n_merges + 1):
+        rep = "sym"
+        for _ in range(passes):
+            rep = (f"replace({rep}, ' ' || pair || ' ', "
+                   f"' ' || replace(pair, ' ', '') || ' ')")
+        parts.append(f""",
+    d{r} AS (SELECT {id_col}, {rep} AS sym
+             FROM d{r - 1} CROSS JOIN b{r})""")
+    parts.append(f"""
+    SELECT {id_col},
+           array_to_string(string_split_regex(trim(sym), ' +'), ' ')
+             AS tokens_str,
+           CAST(len(string_split_regex(trim(sym), ' +'))
+                AS BIGINT) AS n_tokens
+    FROM d{n_merges}""")
+    return "".join(parts)
 
 
 def _padded_symbols_text(text_col: str) -> F.Column:

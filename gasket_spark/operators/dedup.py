@@ -270,7 +270,33 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 
     Reference parity: gasket pipes a corpus through filter stages
     (reference index.js:1-258); containment screening is such a
-    stage, here one declarative plan."""
+    stage, here one declarative plan.
+
+    Cache lifecycle: the two mid-plan persists (inv0, inv) live as
+    long as the returned lazy plan — callers that invoke repeatedly
+    in a long-lived session should use
+    :func:`containment_pairs_tracked` and unpersist on eviction (the
+    r11 ADVICE finding; q_dedup_containment holds them in a stamp
+    cache). This convenience form discards the handles, accepting
+    session-lifetime residency."""
+    out, _cached = containment_pairs_tracked(
+        df, text_col=text_col, id_col=id_col, n=n,
+        threshold_num=threshold_num, threshold_den=threshold_den,
+        max_doc_freq=max_doc_freq)
+    return out
+
+
+def containment_pairs_tracked(
+        df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+        n: int = 3, threshold_num: int = 9, threshold_den: int = 10,
+        max_doc_freq: int | None = 256,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """:func:`containment_pairs` plus the persisted intermediate
+    frames, so a caller that caches the (lazy) result can unpersist
+    them on eviction instead of accumulating cached blocks across
+    invocations (plain ``persist``, so ``DataFrame.unpersist`` works
+    — unlike the localCheckpoint caches that need
+    ``io.free_checkpoint``)."""
     # persisted: inv0 feeds THREE consumers (pre-cap sizes, the
     # df-cap keep table, and the capped index itself) — without the
     # persist the Arrow shingle kernel re-hashes the corpus per
@@ -323,7 +349,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
            .select(F.col("id_hi").alias("contained_id"),
                    F.col("id_lo").alias("container_id"),
                    "n_common", F.col("n_hi").alias("n_contained")))
-    return fwd.unionByName(rev)
+    cached = (inv0,) if inv is inv0 else (inv0, inv)
+    return fwd.unionByName(rev), cached
 
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",
@@ -616,6 +643,20 @@ def prefix_filter_pairs_tracked(
 def edit_distance_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", d: int = 3,
                         q: int = 2) -> DataFrame:
+    """Convenience form of :func:`edit_distance_pairs_tracked` that
+    discards the persisted-intermediate handle (accepting
+    session-lifetime residency of the gram table — the r11 ADVICE
+    finding; q_dedup_edit uses the tracked form + stamp cache).
+    Contract and docs: see the tracked twin below."""
+    out, _cached = edit_distance_pairs_tracked(
+        df, text_col=text_col, id_col=id_col, d=d, q=q)
+    return out
+
+
+def edit_distance_pairs_tracked(
+        df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+        d: int = 3, q: int = 2,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
     """EDIT-DISTANCE near-dup pairs — the character-grain sibling of
     the shingle family: all pairs with levenshtein(a, b) <= ``d``,
     found by PROVABLY LOSSLESS prefix-filter blocking (the ED-Join
@@ -706,8 +747,9 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     a = lens.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
     b = lens.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
-    return (cand.join(a, "id_a").join(b, "id_b")
-            .filter(F.abs(F.length("_ta") - F.length("_tb")) <= d)
-            .withColumn("edit_distance", dist)
-            .filter(F.col("edit_distance") >= 0)
-            .select("id_a", "id_b", "edit_distance"))
+    out = (cand.join(a, "id_a").join(b, "id_b")
+           .filter(F.abs(F.length("_ta") - F.length("_tb")) <= d)
+           .withColumn("edit_distance", dist)
+           .filter(F.col("edit_distance") >= 0)
+           .select("id_a", "id_b", "edit_distance"))
+    return out, (full,)

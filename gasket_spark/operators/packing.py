@@ -128,8 +128,13 @@ def rendezvous_assign(df: DataFrame, key_col: str, n_shards: int,
     # by Spark-specific NULL-in-struct ordering (engine-dependent,
     # and it would pile every NULL key onto one arbitrary shard
     # silently) — the repo's NULL-guard rule says decide explicitly.
-    # "\\x00null" cannot collide with a real key's string form.
-    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    # Real keys hash under a "k:" prefix the bare sentinel never
+    # carries, so the two domains are disjoint BY CONSTRUCTION even
+    # for a string key whose value is literally "\\x00null" (the r11
+    # ADVICE catch: a cast-only sentinel is collision-free for
+    # numeric key types but not for arbitrary strings).
+    key = F.coalesce(F.concat(F.lit("k:"), F.col(key_col).cast("string")),
+                     F.lit("\x00null"))
     pairs = F.array(*[
         F.struct(
             F.md5(F.concat(key, F.lit(f":{s}"))).alias("w"),

@@ -408,56 +408,19 @@ class TestEditDistanceOracleTwin:
         assert got == want and got   # non-vacuous, identical
 
 
-def _bpe_oracle_sql(n_merges: int, passes: int = 4) -> str:
-    """Unrolled ANSI-SQL twin of bpe_merge_table (the planned r12
-    ``q_bpe_train`` oracle, the _bfs_oracle_sql pattern): one CTE
-    chain per round — pair counts from the previous word state, the
-    1-row argmax (count desc, pair asc), and the word state advanced
-    by ``passes`` nested replaces of ' l r ' with ' lr '."""
-    parts = ["""
-    WITH words AS (
-      SELECT w, COUNT(*) AS freq FROM (
-        SELECT unnest(string_split(text, ' ')) AS w FROM corpus)
-      WHERE w <> '' GROUP BY w),
-    w0 AS (
-      SELECT freq, ' ' || array_to_string(string_split_regex(w, ''), ' ')
-             || ' ' AS sym
-      FROM words)"""]
-    for r in range(1, n_merges + 1):
-        rep = "sym"
-        for _ in range(passes):
-            rep = (f"replace({rep}, ' ' || pair || ' ', "
-                   f"' ' || replace(pair, ' ', '') || ' ')")
-        parts.append(f""",
-    p{r} AS (
-      SELECT freq, unnest(list_transform(
-        range(1, greatest(len(sy) - 1, 0) + 1),
-        i -> sy[i] || ' ' || sy[i + 1])) AS pair
-      FROM (SELECT freq, string_split(trim(sym), ' ') AS sy
-            FROM w{r - 1})),
-    b{r} AS (
-      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p{r}
-      GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
-    w{r} AS (
-      SELECT freq, {rep} AS sym FROM w{r - 1} CROSS JOIN b{r})""")
-    unions = " UNION ALL ".join(
-        f"""SELECT {r - 1} AS merge_rank,
-               split_part(pair, ' ', 1) AS left_sym,
-               split_part(pair, ' ', 2) AS right_sym, n AS pair_count
-            FROM b{r}""" for r in range(1, n_merges + 1))
-    parts.append(f" SELECT * FROM ({unions})")
-    return "".join(parts)
-
-
 class TestBpeOracleTwin:
     def test_duckdb_twin_matches_trainer(self, spark, duck):
         """The whole BPE training loop restated in unrolled SQL yields
         the identical merge table — pinned ahead of the r12
         registration (the rendezvous/edit-distance pattern). Includes
-        the alternating-run shape that needs >1 replace pass."""
+        the alternating-run shape that needs >1 replace pass. The SQL
+        comes from the SAME builder the q_bpe_train registration uses
+        (operators/bpe.py:bpe_train_oracle_sql), so test and oracle
+        cannot drift."""
         import pandas as pd
 
-        from gasket_spark.operators.bpe import bpe_merge_table
+        from gasket_spark.operators.bpe import (bpe_merge_table,
+                                                bpe_train_oracle_sql)
 
         texts = ["low lower lowest newest newer new",
                  "banana bandana banal", "xyxy xyxyxy",
@@ -468,7 +431,7 @@ class TestBpeOracleTwin:
         duck.register("corpus", pd.DataFrame({"text": texts}))
         try:
             want = [tuple(r) for r in
-                    duck.execute(_bpe_oracle_sql(8, passes=4) +
+                    duck.execute(bpe_train_oracle_sql(8, passes=4) +
                                  " ORDER BY merge_rank").fetchall()]
         finally:
             duck.unregister("corpus")
@@ -532,61 +495,68 @@ class TestBpeEncodeOracleTwin:
     def test_duckdb_twin_matches_encoder(self, spark, duck):
         """bpe_encode over corpus-learned merges == the SQL chain that
         learns the same merges (the training twin above) and replays
-        them over the padded doc stream — the planned r12
-        ``q_bpe_tokens`` oracle shape (doc grain: tokens + n_tokens)."""
+        them over the padded doc stream — the r12 ``q_bpe_tokens``
+        oracle shape (doc grain: tokens_str + n_tokens), built by the
+        SAME shared builder the registration uses
+        (operators/bpe.py:bpe_encode_oracle_sql)."""
         import pandas as pd
 
-        from gasket_spark.operators.bpe import bpe_encode, bpe_merge_table
+        from pyspark.sql import functions as F
+
+        from gasket_spark.operators.bpe import (bpe_encode,
+                                                bpe_encode_oracle_sql,
+                                                bpe_merge_table)
 
         docs = [(1, "low lower lowest"), (2, "new newer newest"),
                 (3, "xyxy xyxyxy wide wider"), (4, "a aa aaa")]
         sdf = spark.createDataFrame(docs, "doc_id long, text string")
         n_merges, passes = 6, 4
         merges = bpe_merge_table(sdf, n_merges=n_merges, passes=passes)
-        got = sorted((r.doc_id, tuple(r.tokens), r.n_tokens)
-                     for r in bpe_encode(sdf, merges,
-                                         passes=passes).collect())
+        got = sorted((r.doc_id, r.tokens_str, r.n_tokens) for r in
+                     bpe_encode(sdf, merges, passes=passes)
+                     .select("doc_id",
+                             F.array_join("tokens", " ")
+                             .alias("tokens_str"), "n_tokens")
+                     .collect())
 
-        train = _bpe_oracle_sql(n_merges, passes=passes)
-        train_ctes = train[:train.index(" SELECT * FROM (")]
-        enc = [train_ctes, """,
-          d0 AS (
-            SELECT doc_id,
-                   ' ' || array_to_string(list_transform(
-                     string_split(text, ' '),
-                     w -> array_to_string(string_split_regex(w, ''), ' ')),
-                     '  ') || ' ' AS sym
-            FROM corpus)"""]
-        for r in range(1, n_merges + 1):
-            rep = "sym"
-            for _ in range(passes):
-                rep = (f"replace({rep}, ' ' || pair || ' ', "
-                       f"' ' || replace(pair, ' ', '') || ' ')")
-            enc.append(f""",
-          d{r} AS (SELECT doc_id, {rep} AS sym
-                   FROM d{r - 1} CROSS JOIN b{r})""")
-        enc.append(f"""
-          SELECT doc_id,
-                 string_split_regex(trim(sym), ' +') AS tokens,
-                 CAST(len(string_split_regex(trim(sym), ' +'))
-                      AS BIGINT) AS n_tokens
-          FROM d{n_merges}""")
         # the training CTEs read `corpus` (text grain); the encode
         # d0 CTE reads the doc-grain view — same text content
-        sql = "".join(enc).replace(
-            "|| ' ' AS sym\n            FROM corpus)",
-            "|| ' ' AS sym\n            FROM corpus_docs)")
+        sql = bpe_encode_oracle_sql(n_merges, passes=passes,
+                                    table="corpus",
+                                    doc_table="corpus_docs")
         duck.register("corpus", pd.DataFrame(
             [(t,) for _i, t in docs], columns=["text"]))
         duck.register("corpus_docs", pd.DataFrame(
             docs, columns=["doc_id", "text"]))
         try:
-            want = sorted((i, tuple(t), n) for i, t, n in
-                          duck.execute(sql).fetchall())
+            want = sorted(map(tuple, duck.execute(sql).fetchall()))
         finally:
             duck.unregister("corpus")
             duck.unregister("corpus_docs")
         assert got == want and got
+
+    def test_encode_residual_guard_raises_on_unseen_runs(self, spark):
+        """A stored merge table replayed over an UNSEEN corpus whose
+        same-pair runs exceed 2^passes must raise loudly, not
+        silently half-apply (the r11 ADVICE finding); with the guard
+        off the caller explicitly accepts the partial application."""
+        import pytest
+
+        from gasket_spark.operators.bpe import bpe_encode
+
+        # trained elsewhere: merge (a, a) -> aa with passes=1. One
+        # replace pass on the run-4 stream " a a a a " yields
+        # " aa a a " (the second match's leading space was consumed)
+        # — a genuine residual " a a " survives.
+        merges = [(0, "a", "a", 99)]
+        unseen = spark.createDataFrame(
+            [(1, "aaaa")], "doc_id long, text string")
+        with pytest.raises(Exception, match="survives 1 replace"):
+            bpe_encode(unseen, merges, passes=1).collect()
+        # opt-out: partial application is visible, not silent-exact
+        toks = bpe_encode(unseen, merges, passes=1,
+                          check_residual=False).collect()[0].tokens
+        assert "a" in toks  # residual singles survive un-merged
 
 
 class TestKnnLabelAnnOracleTwin:

@@ -511,8 +511,8 @@ class TestRendezvous:
                for r in rendezvous_assign(df, "k", 6).collect()}
         con = duckdb.connect()
         weights = " UNION ALL ".join(
-            f"SELECT k, {s} AS shard, md5(CAST(k AS VARCHAR) || ':{s}')"
-            f" AS w FROM range(0, 300) t(k)" for s in range(6))
+            f"SELECT k, {s} AS shard, md5('k:' || CAST(k AS VARCHAR)"
+            f" || ':{s}') AS w FROM range(0, 300) t(k)" for s in range(6))
         want = dict(con.execute(
             f"""SELECT k, CAST(shard AS INT) FROM ({weights}) w0
                 QUALIFY row_number() OVER (
@@ -1064,6 +1064,53 @@ class TestPrefixFilter:
                     & set(dict(jsc.getPersistentRDDs())))
 
 
+class TestTrackedPersistLifecycle:
+    """r12 ADVICE closure: the mid-plan persist() frames of
+    containment_pairs / edit_distance_pairs are handed back by the
+    _tracked variants so a caching caller can unpersist on eviction,
+    and the query-level stamp cache reuses ONE plan per (session,
+    fixture) instead of stacking cached blocks per invocation."""
+
+    def test_containment_tracked_intermediates_unpersist(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon zeta {i}")
+             for i in range(6)] + [(100, "alpha beta gamma delta")],
+            "doc_id long, text string")
+        out, cached = D.containment_pairs_tracked(
+            df, n=3, threshold_num=9, threshold_den=10, max_doc_freq=32)
+        assert len(cached) == 2     # inv0 + the capped index
+        out.count()
+        assert all(f.storageLevel.useMemory for f in cached)
+        for f in cached:
+            f.unpersist(False)
+        assert not any(f.storageLevel.useMemory for f in cached)
+
+    def test_edit_tracked_intermediates_unpersist(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fix")],
+            "doc_id long, text string")
+        out, cached = D.edit_distance_pairs_tracked(df, d=2, q=2)
+        assert len(cached) == 1     # the ranked gram table
+        assert out.count() == 1
+        assert cached[0].storageLevel.useMemory
+        cached[0].unpersist(False)
+        assert not cached[0].storageLevel.useMemory
+
+    def test_query_stamp_cache_reuses_one_plan(self, spark):
+        """Repeated q_dedup_containment invocations in one session
+        must return the SAME lazy plan (no per-call persist pileup);
+        the winnow query likewise."""
+        from gasket_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        a = QUERIES["q_dedup_containment"](spark, sf)
+        b = QUERIES["q_dedup_containment"](spark, sf)
+        assert a is b
+        w1 = QUERIES["q_fingerprint_winnow"](spark, sf)
+        w2 = QUERIES["q_fingerprint_winnow"](spark, sf)
+        assert w1 is w2
+
+
 class TestLshDomainGuard:
     def test_oversized_embedding_raises_not_wraps(self, spark):
         """An embedding element beyond the |x| <= 16 int64-headroom
@@ -1141,6 +1188,27 @@ class TestAdviceR11Guards:
                    key=lambda s: hashlib.md5(
                        f"\x00null:{s}".encode()).hexdigest())
         assert null_shards == {want}
+
+    def test_string_key_equal_to_sentinel_stays_distinct(self, spark):
+        """A real STRING key whose value is literally '\\x00null' must
+        hash in its own right ('k:'-prefixed domain), never alias the
+        NULL sentinel — the r11 ADVICE catch on the cast-only
+        sentinel."""
+        import hashlib
+
+        from gasket_spark.operators.packing import rendezvous_assign
+
+        df = spark.createDataFrame([(None,), ("\x00null",)], "k string")
+        got = {(r.k is None): r.shard
+               for r in rendezvous_assign(df, "k", 8).collect()}
+        null_want = max(range(8),
+                        key=lambda s: hashlib.md5(
+                            f"\x00null:{s}".encode()).hexdigest())
+        str_want = max(range(8),
+                       key=lambda s: hashlib.md5(
+                           f"k:\x00null:{s}".encode()).hexdigest())
+        assert got[True] == null_want
+        assert got[False] == str_want
 
     def test_knn_label_null_label_loses_ties(self, spark):
         """A NULL corpus label must not defeat a real label on a vote
