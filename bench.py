@@ -154,6 +154,17 @@ HEADLINE: dict[str, str] = {
     "q_shard_rendezvous": "count",
     "q_lateral_topk": "collect",
     "q_oov_rate": "count",
+    # r12 additions: the registered banked operators — LSH-bucketed
+    # kNN labeling (the scale path for the corpus-proportional
+    # split), rare-gram edit-distance blocking, BPE train (8
+    # vocabulary-grain rounds) + the zero-exchange encode pass, the
+    # LATERAL UDTF fan-out, and VARIANT typed extraction
+    "q_knn_label_ann": "count",
+    "q_dedup_edit": "count",
+    "q_bpe_train": "collect",
+    "q_bpe_tokens": "count",
+    "q_udtf_runs": "count",
+    "q_json_variant": "count",
 }
 
 

@@ -246,13 +246,18 @@ def bpe_encode_oracle_sql(n_merges: int, passes: int = 4,
     doc_table = doc_table or table
     train = bpe_train_oracle_sql(n_merges, passes, table, text_col)
     ctes = train[:train.index(" SELECT * FROM (")]
+    # the word separator is a DOUBLE space; stated as ' ' || ' '
+    # because the @query registry normalizes oracle SQL with
+    # " ".join(sql.split()), which would silently collapse a literal
+    # '  ' to ' ' INSIDE the quotes (the r12 q_bpe_tokens catch) —
+    # never put runs of >1 space in an oracle string literal
     parts = [ctes, f""",
     d0 AS (
       SELECT {id_col},
              ' ' || array_to_string(list_transform(
                string_split({text_col}, ' '),
                w -> array_to_string(string_split_regex(w, ''), ' ')),
-               '  ') || ' ' AS sym
+               ' ' || ' ') || ' ' AS sym
       FROM {doc_table})"""]
     for r in range(1, n_merges + 1):
         rep = "sym"

@@ -284,13 +284,20 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, dim: int = 64,
-                 multiprobe: bool = True, seed: int = 42) -> DataFrame:
+                 multiprobe: bool = True, seed: int = 42,
+                 exclude_same_id: bool = True) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
     Corpus is hashed to 2^n_planes buckets (one narrow map pass);
     queries probe their own bucket plus all Hamming-1 neighbor buckets
     (multi-probe trades a little recall for far fewer empty results).
-    Exact cosine + window top-k within candidates. Returns
+    Exact cosine + window top-k within candidates.
+    ``exclude_same_id`` (default) drops the query_id == neighbor_id
+    diagonal — right when queries come FROM the corpus (self is never
+    its own neighbor); pass False for cross-split lookups where the
+    two tables have independent id spaces and a numeric collision
+    must not silently hide a real neighbor (the knn_label rule,
+    threaded through here per the r11 self-review). Returns
     (query_id, neighbor_id, cos_sim, rank)."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -306,9 +313,11 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "q_vec", F.explode(F.array(*[
             F.col("_b").bitwiseXOR(p) for p in probes])).alias("bucket"))
     )
+    diag = (F.col("query_id") != F.col("neighbor_id")) \
+        if exclude_same_id else F.lit(True)
     scored = (
         c.join(F.broadcast(q), ["bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(diag)
         .select("query_id", "neighbor_id",
                 cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
         .groupBy("query_id", "neighbor_id")
@@ -779,13 +788,18 @@ def knn_label_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     measured in tests against the exact operator on clustered data
     (agreement there is exact: same-cluster neighbors share buckets).
 
-    Deliberately does NOT reuse ann_lsh_topk: that operator excludes
-    query_id == neighbor_id (right when queries come FROM the
-    corpus), while label lookup crosses two independent id spaces
-    where a numeric collision must not hide a neighbor (the r10
-    knn_label self-review lesson). r12 can unify by threading
-    exclude_same_id through ann_lsh_topk when its downstream query
-    rotates through the window anyway.
+    Deliberately does NOT compose ann_lsh_topk (even now that it
+    threads ``exclude_same_id`` — the r12 unification): carrying the
+    label THROUGH the bucket join costs zero extra passes, while
+    composing would re-join the corpus-sized label table against the
+    neighbor set — a second corpus pass for no semantic gain. Same
+    cross-split rule though: query and corpus ids are independent
+    spaces, so no diagonal exclusion here ever.
+
+    Scale note: with FIXED n_planes the per-bucket candidate count
+    grows with the corpus (work ~ |Q|·|C|/2^n_planes·(n_planes+1));
+    at 100 TB size n_planes ~ log2(|C|/target_bucket) so buckets stay
+    bounded and the whole lookup remains a bucket equi-join.
 
     Returns (query_id, pred_label, n_votes)."""
     planes = _hyperplanes(dim, n_planes, seed)

@@ -31,6 +31,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
+            # The cosmetic normalization below collapses ALL
+            # whitespace runs — including inside SQL string literals,
+            # where a '  ' (double space) would silently become ' '
+            # and change the query's semantics (the r12 q_bpe_tokens
+            # catch: the BPE word separator corrupted to a symbol
+            # separator). Refuse loudly at import: state such
+            # literals as ' ' || ' ' instead. Split-on-quote parity:
+            # odd segments are in-literal content ('' escapes just
+            # add an empty even segment between two odd ones).
+            for lit in oracle.split("'")[1::2]:
+                if "  " in lit or "\n" in lit or "\t" in lit:
+                    raise ValueError(
+                        f"{name}: oracle string literal {lit!r} "
+                        "contains a whitespace run that registry "
+                        "normalization would collapse — state it as "
+                        "' ' || ' ' (or chr()-escapes) instead")
             ORACLES[name] = " ".join(oracle.split())
         return fn
 
@@ -217,6 +233,28 @@ _EDITED_R11: tuple[str, ...] = (
     "q_agg_stats",
 )
 
+# Queries whose implementation or oracle was EDITED in round 12.
+# Extended as r12 edits land.
+_EDITED_R12: tuple[str, ...] = (
+    # re-cut to a BOUNDED query batch (vec_id < 2000) so the exact
+    # brute-force form stops being corpus-quadratic (the r11
+    # verdict's one weak grade); oracle changed identically.
+    "q_knn_label",
+    # ann_lsh_topk grew an exclude_same_id param (default preserves
+    # the old behavior) — demote its one query caller for fresh
+    # certification per the r10 cosine_topk precedent.
+    "q_sim_ann",
+    # persist-lifecycle rework (r11 ADVICE): both now build through
+    # tracked operators + the _PLAN_PERSIST_CACHE stamp cache —
+    # value-identical plumbing, demoted per the edit discipline.
+    "q_dedup_containment",
+    "q_fingerprint_winnow",
+    # rendezvous keys now hash under the 'k:' prefix (disjoint from
+    # the NULL sentinel domain) — assignments CHANGED; oracle
+    # restates the same prefix.
+    "q_shard_rendezvous",
+)
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -345,6 +383,10 @@ def _signal_rank() -> dict[str, float]:
             # r11-edited: same rule, one round later again.
             if 0 < rank.get(n, 0.0) <= 10.0:
                 rank[n] = 1.01
+        for n in _EDITED_R12:
+            # r12-edited: same rule, one round later again.
+            if 0 < rank.get(n, 0.0) <= 11.0:
+                rank[n] = 1.005
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

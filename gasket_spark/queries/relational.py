@@ -6772,3 +6772,59 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY acctbal_cents DESC, c_custkey
           LIMIT 3) t
     """)
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"meta": ' || props || ', "et": "' || event_type ||
+             '", "ids": [' || event_id || ', ' || user_id ||
+             '], "deep": {"val": ' ||
+             (event_id * 1000000 + user_id) || '}}' AS doc
+      FROM events)
+    SELECT event_id,
+           CAST(doc->>'$.meta.k' AS BIGINT) AS meta_k,
+           doc->>'$.et' AS et,
+           CAST(doc->>'$.ids[1]' AS BIGINT) AS second_id,
+           CAST(doc->>'$.deep.val' AS BIGINT) AS deep_val,
+           CAST(doc->>'$.absent.path' AS BIGINT) AS absent
+    FROM j
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured event payloads:
+    each event's props JSON is wrapped into a nested document (pure
+    string concat, reproduced verbatim in the oracle so both engines
+    parse the IDENTICAL bytes), parsed ONCE with ``parse_json``, and
+    extracted through typed paths — nested object, string field,
+    array index, deep int64, and a missing path (SQL NULL via
+    ``try_variant_get``; DuckDB's ->> maps missing to NULL the same
+    way — the null-kind distinction VARIANT adds on top is pinned
+    engine-side in tests/test_cross_engine.py::TestVariantJsonParity
+    because ANSI SQL cannot state it). VARIANT's binary encoding
+    makes repeated path extraction O(paths), not O(re-parses) — the
+    props-evolution shape a 100 TB event pipeline needs (schema
+    drift lands in the variant column, not in a migration); all
+    extraction is JVM-side, zero Python. Only integer/string fields
+    are embedded — no double ever crosses as JSON text (the repo's
+    repr-rendering rule)."""
+    ev = read_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": '), F.col("props"),
+        F.lit(', "et": "'), F.col("event_type"),
+        F.lit('", "ids": ['), F.col("event_id").cast("string"),
+        F.lit(', '), F.col("user_id").cast("string"),
+        F.lit('], "deep": {"val": '),
+        (F.col("event_id") * F.lit(1000000) + F.col("user_id"))
+        .cast("string"),
+        F.lit('}}'))
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.meta.k", "long").alias("meta_k"),
+        F.try_variant_get(v, "$.et", "string").alias("et"),
+        F.try_variant_get(v, "$.ids[1]", "long").alias("second_id"),
+        F.try_variant_get(v, "$.deep.val", "long").alias("deep_val"),
+        F.try_variant_get(v, "$.absent.path", "long").alias("absent"))

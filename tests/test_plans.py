@@ -864,3 +864,64 @@ class TestR11RegistrationPlanContracts:
         plan = _plan(QUERIES["q_oov_rate"](spark, SF_SMALL))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestR12RegistrationPlanContracts:
+    """Plan-shape contracts for the round-12 registrations — the
+    scale posture each was designed around: ANN labeling is a bucket
+    equi-join (never the query x corpus product), BPE encode and
+    VARIANT extraction are zero-exchange map-side passes, the
+    edit-distance gram join is the pinned shuffle-hash shape."""
+
+    def test_knn_label_ann_is_bucket_equijoin(self, spark):
+        """The LSH candidate join must be a broadcast HASH join on
+        `bucket` — a BroadcastNestedLoopJoin here would BE the
+        quadratic scoring product the operator exists to avoid; the
+        bucket kernel is the Arrow pandas_udf, not a row loop."""
+        plan = _plan(QUERIES["q_knn_label_ann"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" in plan
+
+    def test_dedup_edit_gram_join_is_shuffle_hash(self, spark):
+        """The (df, gram) ranking join is pinned shuffle_hash (the
+        gram-frequency table is vocabulary-sized — never broadcast,
+        the r10 OOM lesson) and the persisted gram table serves both
+        signature and candidate sides from cache."""
+        plan = _plan(QUERIES["q_dedup_edit"](spark, SF_SMALL))
+        assert "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan
+
+    def test_bpe_train_result_is_bounded_local_artifact(self, spark):
+        """The merge table IS a driver artifact (n_merges rows) — its
+        plan is a LocalTableScan, all training work having run at
+        vocabulary grain inside the loop."""
+        plan = _plan(QUERIES["q_bpe_train"](spark, SF_SMALL))
+        # createDataFrame-from-driver-rows plans as ExistingRDD (or
+        # LocalTableScan via Arrow) — either way a bounded local scan
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan
+        assert "Exchange" not in plan
+
+    def test_bpe_tokens_is_zero_exchange_mapside(self, spark):
+        """Encoding replays the merge table as a literal JVM replace
+        chain: ONE narrow map-side pass — no shuffle, no Python."""
+        plan = _plan(QUERIES["q_bpe_tokens"](spark, SF_SMALL))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan   # Arrow or batch — neither
+
+    def test_udtf_runs_fans_out_without_exchange(self, spark):
+        """The LATERAL UDTF is row-local fan-out: Python eval on the
+        scan, zero exchanges until a downstream consumer aggregates."""
+        plan = _plan(QUERIES["q_udtf_runs"](spark, SF_SMALL))
+        assert "Exchange" not in plan
+        assert "PythonUDTF" in plan or "EvalPython" in plan
+
+    def test_json_variant_is_zero_exchange_jvm(self, spark):
+        """parse_json + typed variant_get paths are JVM expressions:
+        one map-side projection over the scan — no shuffle, no
+        Python worker."""
+        plan = _plan(QUERIES["q_json_variant"](spark, SF_SMALL))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
