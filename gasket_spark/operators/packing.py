@@ -97,6 +97,65 @@ def pack_shards(df: DataFrame, token_col: str, id_col: str,
     return out
 
 
+def pack_sequences(df: DataFrame, token_col: str, id_col: str,
+                   seq_len: int) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING — the canonical LLM
+    pretraining batch step (GPT-style): documents are concatenated in
+    a deterministic order (``id_col`` ascending) into one virtual
+    token stream, which is cut every ``seq_len`` tokens; a document
+    crossing a cut is SPLIT across consecutive sequences. Returns one
+    row per (document × overlapped sequence):
+
+    * ``seq_id``      — which fixed-length sequence the span lands in
+    * ``doc_offset``  — first token of the span within the document
+    * ``seq_offset``  — first token of the span within the sequence
+    * ``span_len``    — tokens in the span
+
+    Together the spans tile every sequence exactly (Σ span_len per
+    seq_id = seq_len, except the final partial sequence) and cover
+    every document losslessly (Σ span_len per doc = its token count)
+    — both invariants pytest-pinned.
+
+    Scale shape: the global token offset comes from
+    :func:`pack_shards`'s distributed two-phase prefix sum (never a
+    single-partition window over the corpus); the span fan-out is a
+    per-row integer ``sequence()`` explode (a doc overlaps
+    ceil(n/seq_len)+1 sequences at most). Entirely integer
+    arithmetic, so the SQL oracle states the identical spans.
+
+    Reference parity: gasket's `pipe` re-frames a stream into
+    stage-sized records (reference index.js:1-258); sequence packing
+    is that re-framing at token granularity.
+
+    Precondition: ``token_col`` > 0 for every row (zero-token docs
+    would be unplaceable — filter them first; the operator refuses
+    loudly in-plan rather than silently dropping)."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    packed = pack_shards(df, token_col, id_col,
+                         target_tokens=seq_len).drop("shard_id")
+    start, n = F.col("cum_before"), F.col(token_col).cast("bigint")
+    guard = F.when(
+        n > 0, start
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("pack_sequences: non-positive token count for "),
+        F.col(id_col).cast("string"),
+        F.lit(" — filter zero-token docs before packing"))))
+    first = F.floor(guard / F.lit(seq_len))
+    last = F.floor((start + n - F.lit(1)) / F.lit(seq_len))
+    seq = F.col("seq_id")
+    lo = F.greatest(seq * F.lit(seq_len), start)
+    hi = F.least((seq + F.lit(1)) * F.lit(seq_len), start + n)
+    return (packed
+            .withColumn("seq_id", F.explode(F.sequence(first, last)))
+            .select(id_col,
+                    "seq_id",
+                    (lo - start).cast("bigint").alias("doc_offset"),
+                    (lo - seq * F.lit(seq_len)).cast("bigint")
+                    .alias("seq_offset"),
+                    (hi - lo).cast("bigint").alias("span_len")))
+
+
 def rendezvous_assign(df: DataFrame, key_col: str, n_shards: int,
                       out_col: str = "shard") -> DataFrame:
     """Rendezvous (highest-random-weight) shard assignment: each key

@@ -509,6 +509,68 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
+                   n_centroids: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", sample_mult: int = 64,
+                   iters: int = 10) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023):
+    cluster the embedding space with the engine-exact sampled k-means
+    quantizer (the IVF trainer — every step bit-replicable in SQL,
+    see :func:`sampled_kmeans_centroids`), then compare pairs ONLY
+    within a cluster and mark every vector that has a LOWER-id
+    in-cluster neighbor with cosine >= ``threshold`` as a semantic
+    duplicate of its smallest such neighbor. Catches paraphrases and
+    re-encodings that share no n-grams — the dedup layer ABOVE
+    MinHash/SimHash in a curation stack.
+
+    Deterministic survivor rule (stated, not incidental): keep x
+    unless some y < x in x's cluster has cos(x, y) >= threshold;
+    dropped x reports dup_of = min such y and how many qualifying
+    neighbors it had. Pairwise and id-ordered — a dropped vector can
+    itself be another's dup_of (the paper's per-pair pruning, made
+    reproducible). Returns (vec_id, dup_of, n_dup_neighbors).
+
+    Scale shape: the quantizer is one hash-ordered sample collect +
+    driver-side Lloyd (K·mult rows); assignment is one vectorized
+    map pass; candidate pairing is a CLUSTER equi-join — never the
+    corpus cross product. Like the ANN operators, K must grow with
+    the corpus (K ~ |C|/target_cluster) to keep per-cluster pairing
+    bounded; cluster ids never appear in the output, so the 0-based
+    Spark labels vs 1-based SQL sids stay internal.
+
+    Reference parity: gasket pipes corpora through dedup stages
+    (reference index.js:1-258); this is the embedding-space stage,
+    one declarative plan."""
+    C = sampled_kmeans_centroids(corpus, n_centroids, id_col, vec_col,
+                                 sample_mult, iters)
+
+    @pandas_udf(LongType())
+    def _nearest(v: pd.Series) -> pd.Series:
+        # RAW vectors: argmax_j v·c_j is scale-invariant in v (the
+        # ivf_topk rule); stable argsort ties to the lowest cluster.
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        dint = _int_dots(V, C)
+        return pd.Series(
+            np.argsort(-dint, axis=1, kind="stable")[:, 0]
+            .astype(np.int64))
+
+    h = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"),
+                      _nearest(F.col(vec_col)).alias("_cl"))
+    a = h.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                 "_cl")
+    b = h.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                 "_cl")
+    pairs = (a.join(b, ["_cl"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold))
+    return (pairs.groupBy(F.col("id_b").alias("vec_id"))
+            .agg(F.min("id_a").alias("dup_of"),
+                 F.count(F.lit(1)).alias("n_dup_neighbors")))
+
+
 def pq_codebooks(corpus: DataFrame, n_sub: int = 8, n_centroids: int = 16,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  sample_mult: int = 64, iters: int = 10) -> np.ndarray:

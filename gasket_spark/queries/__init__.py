@@ -253,6 +253,13 @@ _EDITED_R12: tuple[str, ...] = (
     # the NULL sentinel domain) — assignments CHANGED; oracle
     # restates the same prefix.
     "q_shard_rendezvous",
+    # oracle-builder refactor only: the k-means trainer CTEs moved to
+    # the shared _kmeans_assign_cte_sql (semantic-dedup twin reuse);
+    # emitted SQL verified byte-identical (md5-pinned in
+    # tests/test_plans.py is not needed — recorded in NOTES), query
+    # fn untouched. Already in the r12 window (r7 drain), so this
+    # ledger entry reorders without evicting anything.
+    "q_sim_ivf",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

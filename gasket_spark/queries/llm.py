@@ -819,31 +819,42 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
-                    iters: int = 10, sample_mult: int = 64,
-                    dim: int = 64) -> str:
-    """ANSI-SQL re-derivation of the ENTIRE IVF path — including the
-    sampled k-means quantizer. Possible because every quantizer step is
-    engine-exact (see ``sampled_kmeans_centroids``): the md5-ordered
-    sample, unit normalization, nearest-centroid assignment, and
-    centroid means all accumulate in order-independent integer units
-    with HALF_UP rounding, so ten UNROLLED Lloyd iterations in chained
-    CTEs land on bit-identical centroids to the driver-side numpy run.
-    Cluster ids are 1-based sids here vs 0-based indices in Spark —
-    internal labels only; tie-break ORDER (hash-sample order) is
-    identical, which is what the (d DESC, cl ASC) windows pin."""
+def _kmeans_assign_cte_sql(n_centroids: int = 16, iters: int = 10,
+                           sample_mult: int = 64, dim: int = 64,
+                           table: str = "embeddings",
+                           head: str = "") -> str:
+    """The shared ANSI-SQL re-derivation of the engine-exact sampled
+    k-means quantizer PLUS full-corpus nearest-centroid assignment —
+    CTE text from ``WITH samp`` through ``cassign`` (and the ``ed``
+    dot table both probing and assignment read). Extracted r12 so the
+    IVF oracle and the semantic-dedup twin share ONE trainer
+    restatement (the bpe_train_oracle_sql precedent: builders the
+    tests and registrations can never let drift). Possible because
+    every quantizer step is engine-exact (see
+    ``sampled_kmeans_centroids``): the md5-ordered sample, unit
+    normalization, nearest-centroid assignment, and centroid means
+    all accumulate in order-independent integer units with HALF_UP
+    rounding, so the UNROLLED Lloyd iterations in chained CTEs land
+    on bit-identical centroids to the driver-side numpy run. Cluster
+    ids are 1-based sids here vs 0-based indices in Spark — internal
+    labels only; tie-break ORDER (hash-sample order) is identical,
+    which is what the (d DESC, cl ASC) windows pin. ``table`` points
+    the sample/assignment scans at another relation (e.g. an
+    injected-dup corpus); ``head`` prepends CTE definitions after
+    WITH so callers can define that corpus inline."""
 
     def idot(x: str, y: str) -> str:
         return (f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> "
                 f"CAST(round({x}[i] * {y}[i] * 1e15) AS BIGINT))) "
                 f"AS BIGINT)")
 
+    head = f" {head}," if head else ""
     parts = [f"""
-    WITH samp AS MATERIALIZED (
+    WITH{head} samp AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                 vec_id) AS sid,
              list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
-      FROM embeddings
+      FROM {table}
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       LIMIT {n_centroids * sample_mult}),
     sampn AS MATERIALIZED (
@@ -881,14 +892,25 @@ def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
     cvec AS MATERIALIZED (SELECT cl, list(c ORDER BY k) AS cv FROM c{iters} GROUP BY cl),
     corp AS (SELECT vec_id,
                     list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
-             FROM embeddings),
+             FROM {table}),
     ed AS MATERIALIZED (
       SELECT e.vec_id, w.cl, {idot('e.v', 'w.cv')} AS d
       FROM corp e, cvec w),
     cassign AS (
       SELECT vec_id, cl FROM (SELECT vec_id, cl,
           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl) AS rn
-        FROM ed) WHERE rn = 1),
+        FROM ed) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
+                    iters: int = 10, sample_mult: int = 64,
+                    dim: int = 64) -> str:
+    """ANSI-SQL re-derivation of the ENTIRE IVF path — the shared
+    quantizer/assignment CTEs (``_kmeans_assign_cte_sql``) plus the
+    probe/rerank tail."""
+    return _kmeans_assign_cte_sql(n_centroids, iters, sample_mult,
+                                  dim) + f""",
     qprobe AS (
       SELECT vec_id AS query_id, cl FROM (SELECT vec_id, cl,
           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl) AS rn
@@ -903,8 +925,7 @@ def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
     SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM cand)
-    WHERE rnk <= {k}""")
-    return "".join(parts)
+    WHERE rnk <= {k}"""
 
 
 @query("q_sim_ivf", oracle=_ivf_oracle_sql())

@@ -613,3 +613,127 @@ class TestKnnLabelAnnOracleTwin:
         finally:
             duck.unregister("embeddings")
         assert got == want and got
+
+
+class TestPackSequencesOracleTwin:
+    def test_duckdb_twin_matches_operator(self, spark, duck):
+        """pack_sequences (concat-and-chunk at seq_len) restated in
+        SQL — naive single-window cumsum + a LATERAL range over the
+        overlapped sequence ids — yields the identical span set: the
+        planned r13 ``q_pack_sequences`` oracle, pinned ahead of
+        registration (the r11/r12 banked-operator discipline). The
+        operator computes the same offsets with the DISTRIBUTED
+        two-phase prefix sum; the twin proves the arithmetic, the
+        plan contract will pin the shape."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from gasket_spark.operators.packing import pack_sequences
+
+        L = 7
+        docs = [(i, "w " * (i % 11 + 1)) for i in range(1, 40)]
+        sdf = (spark.createDataFrame(docs, "doc_id long, text string")
+               .select("doc_id",
+                       F.size(F.split(F.trim("text"), " +"))
+                       .cast("bigint").alias("n_tok")))
+        got = sorted(tuple(r) for r in
+                     pack_sequences(sdf, "n_tok", "doc_id", L).collect())
+
+        duck.register("ps_docs", pd.DataFrame(
+            [(i, (i % 11 + 1)) for i in range(1, 40)],
+            columns=["doc_id", "n_tok"]))
+        try:
+            want = sorted(map(tuple, duck.execute(f"""
+              WITH cum AS (
+                SELECT doc_id, CAST(n_tok AS BIGINT) AS n,
+                       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS strt
+                FROM ps_docs)
+              SELECT doc_id, CAST(s.seq_id AS BIGINT) AS seq_id,
+                     CAST(greatest(s.seq_id * {L}, strt) - strt
+                          AS BIGINT) AS doc_offset,
+                     CAST(greatest(s.seq_id * {L}, strt)
+                          - s.seq_id * {L} AS BIGINT) AS seq_offset,
+                     CAST(least((s.seq_id + 1) * {L}, strt + n)
+                          - greatest(s.seq_id * {L}, strt)
+                          AS BIGINT) AS span_len
+              FROM cum, LATERAL (SELECT unnest(range(strt // {L},
+                     (strt + n - 1) // {L} + 1)) AS seq_id) s
+              """).fetchall()))
+        finally:
+            duck.unregister("ps_docs")
+        assert got == want and len(got) > 40   # splits occurred
+
+
+class TestSemanticDedupOracleTwin:
+    def test_duckdb_twin_matches_operator(self, spark, duck):
+        """semantic_dedup (SemDeDup: engine-exact k-means clusters ->
+        within-cluster cosine >= t -> min-lower-id survivor rule)
+        restated in SQL from the SHARED trainer builder
+        (_kmeans_assign_cte_sql, the exact CTEs q_sim_ivf's oracle
+        runs) — the planned r13 ``q_dedup_semantic`` oracle, pinned on
+        the REAL embeddings fixture plus perturbed clones (first
+        coordinate +0.125 — the paraphrase analog: near-identical
+        direction, zero shared n-grams; all arithmetic in doubles on
+        both sides)."""
+        from pyspark.sql import functions as F
+
+        from gasket_spark.operators.similarity import semantic_dedup
+        from gasket_spark.queries.llm import (_cos_expr,
+                                              _kmeans_assign_cte_sql)
+
+        sf = "/root/testdata/sf0.001"
+        emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        pert = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1).cast("double")
+                        + F.lit(0.125)),
+                F.transform(F.slice("embedding", 2, 63),
+                            lambda x: x.cast("double")))
+            .alias("embedding"))
+        corpus = dbl.unionByName(pert)
+        got = sorted(tuple(r) for r in
+                     semantic_dedup(corpus, threshold=0.95,
+                                    n_centroids=16).collect())
+
+        head = """semcorp AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, e -> CAST(e AS DOUBLE))
+                   AS embedding
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 [CAST(embedding[1] AS DOUBLE) + 0.125] ||
+                 list_transform(embedding[2:64],
+                                e -> CAST(e AS DOUBLE))
+          FROM embeddings)"""
+        sql = _kmeans_assign_cte_sql(table="semcorp", head=head) + f""",
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cassign a JOIN cassign b
+            ON a.cl = b.cl AND a.vec_id < b.vec_id),
+        sims AS (
+          SELECT p.id_a, p.id_b, {_cos_expr('q', 'c')} AS cos_sim
+          FROM p JOIN semcorp q ON q.vec_id = p.id_a
+                 JOIN semcorp c ON c.vec_id = p.id_b)
+        SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors
+        FROM sims WHERE cos_sim >= 0.95
+        GROUP BY id_b"""
+        import pandas as pd
+        duck.register("embeddings",
+                      pd.read_parquet(f"{sf}/embeddings.parquet")
+                      [["vec_id", "embedding"]])
+        try:
+            want = sorted(map(tuple, duck.execute(sql).fetchall()))
+        finally:
+            duck.unregister("embeddings")
+        assert got == want and len(got) >= 400  # clones detected

@@ -1529,3 +1529,98 @@ class TestKnnLabelAnn:
                 .fromString("formatted"))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestPackSequences:
+    """Concat-and-chunk sequence packing (the r13 bank candidate):
+    spans must tile sequences exactly and cover documents losslessly,
+    independent of input partitioning."""
+
+    def _toks(self, spark, n_docs=60):
+        rows = [(i, (i * 7) % 13 + 1) for i in range(n_docs)]
+        return spark.createDataFrame(rows, "doc_id long, n_tok long"), rows
+
+    def test_tiles_and_covers(self, spark):
+        from gasket_spark.operators.packing import pack_sequences
+
+        df, rows = self._toks(spark)
+        L = 16
+        out = pack_sequences(df, "n_tok", "doc_id", L).collect()
+        total = sum(n for _, n in rows)
+        # lossless doc coverage
+        per_doc = {}
+        for r in out:
+            per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.span_len
+        assert per_doc == dict(rows)
+        # exact sequence tiling (last sequence may be partial)
+        per_seq = {}
+        for r in out:
+            per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.span_len
+        n_seqs = -(-total // L)
+        assert set(per_seq) == set(range(n_seqs))
+        for s, filled in per_seq.items():
+            assert filled == (L if s < n_seqs - 1 else total - L * (n_seqs - 1))
+        # offsets stay inside their frames
+        for r in out:
+            assert 0 <= r.seq_offset and r.seq_offset + r.span_len <= L
+            assert 0 <= r.doc_offset
+
+    def test_partition_invariant(self, spark):
+        from gasket_spark.operators.packing import pack_sequences
+
+        df, _ = self._toks(spark)
+        a = sorted(map(tuple,
+                       pack_sequences(df, "n_tok", "doc_id", 9).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            df.repartition(13), "n_tok", "doc_id", 9).collect()))
+        assert a == b
+
+    def test_zero_token_doc_raises(self, spark):
+        import pytest
+
+        from gasket_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame([(1, 5), (2, 0)],
+                                   "doc_id long, n_tok long")
+        with pytest.raises(Exception, match="non-positive token count"):
+            pack_sequences(df, "n_tok", "doc_id", 8).collect()
+
+
+class TestSemanticDedup:
+    """SemDeDup operator invariants (the r13 bank candidate) — the
+    cross-engine twin lives in test_cross_engine.py."""
+
+    def _corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(40, 64) / 8.0
+        rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+        # near-clones of the first 10 (tiny exact-binary nudge)
+        rows += [(100 + i, [float(base[i][0]) + 0.0078125]
+                  + [float(x) for x in base[i][1:]]) for i in range(10)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_detects_clones_with_survivor_rule(self, spark):
+        from gasket_spark.operators.similarity import semantic_dedup
+
+        out = {r.vec_id: (r.dup_of, r.n_dup_neighbors)
+               for r in semantic_dedup(self._corpus(spark),
+                                       threshold=0.98,
+                                       n_centroids=4).collect()}
+        # every clone is dropped in favor of its (lower-id) original
+        for i in range(10):
+            assert out.get(100 + i, (None,))[0] == i
+        # originals never report a lower duplicate at this threshold
+        assert all(v >= 100 for v in out)
+
+    def test_partition_invariant(self, spark):
+        from gasket_spark.operators.similarity import semantic_dedup
+
+        c = self._corpus(spark)
+        a = sorted(map(tuple, semantic_dedup(
+            c, threshold=0.98, n_centroids=4).collect()))
+        b = sorted(map(tuple, semantic_dedup(
+            c.repartition(7), threshold=0.98, n_centroids=4).collect()))
+        assert a == b and a
