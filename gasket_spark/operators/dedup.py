@@ -708,11 +708,14 @@ def edit_distance_pairs_tracked(
         .otherwise(F.array().cast("array<int>"))
     grams = F.array_distinct(
         F.transform(gidx, lambda i: F.substring(toks, i, q)))
-    # NARROW explode: only (id, gram) — carrying the document text
-    # through the gram fan-out would multiply the shuffled bytes by
-    # the document length (r11 self-review catch)
+    # NARROW explode: only (id, gram, len) — carrying the document
+    # text through the gram fan-out would multiply the shuffled bytes
+    # by the document length (r11 self-review catch); the int length
+    # rides along so the LENGTH BAND can prune INSIDE the candidate
+    # join (below), not just at verify
     base = df.select(F.col(id_col).alias("_id"),
-                     F.explode(grams).alias("g"))
+                     F.explode(grams).alias("g"),
+                     F.length(text_col).alias("_len"))
     # canonical global order: (df, gram) — derived identically by any
     # engine from the same corpus, no hashing involved
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
@@ -720,11 +723,19 @@ def edit_distance_pairs_tracked(
               .withColumn("_rk", F.row_number().over(
                   Window.partitionBy("_id")
                   .orderBy(F.col("_df").asc(), F.col("g").asc()))))
-    full = ranked.select("_id", "g").persist()
-    sig = ranked.filter(F.col("_rk") <= sig_k).select("_id", "g")
+    full = ranked.select("_id", "g", "_len").persist()
+    sig = ranked.filter(F.col("_rk") <= sig_k).select("_id", "g", "_len")
     s, f = sig.alias("s"), full.alias("f")
+    # the |len(a) − len(b)| <= d band applies INSIDE the candidate
+    # join (lossless: levenshtein <= d forces it) — on a repetitive
+    # corpus "globally rarest" grams can still be corpus-hot (the r12
+    # sf0.1 catch: 19.8k distinct 8-grams over 10k docs made 8.6M
+    # unbanded candidates and pushed the verify join to the heap
+    # margin; the in-join band cuts candidates ~20x for free)
     cand_sig = (s.join(f, "g")
-                .filter(F.col("s._id") != F.col("f._id"))
+                .filter((F.col("s._id") != F.col("f._id"))
+                        & (F.abs(F.col("s._len") - F.col("f._len"))
+                           <= d))
                 .select(F.least("s._id", "f._id").alias("id_a"),
                         F.greatest("s._id", "f._id").alias("id_b")))
     # short-string path: docs with <= d·q grams get no signature

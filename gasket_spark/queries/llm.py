@@ -3189,21 +3189,23 @@ def _typo_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({_TYPO_SQL}),
     grams AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
+      SELECT doc_id, length(text) AS dlen,
+             unnest(list_distinct(list_transform(
         range(1, greatest(length(text) - 7, 0) + 1),
         i -> substr(text, i, 8)))) AS g
       FROM corpus),
     dfq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
     ranked AS (
-      SELECT doc_id, g, row_number() OVER (
+      SELECT doc_id, dlen, g, row_number() OVER (
         PARTITION BY doc_id ORDER BY df, g) AS rk
       FROM grams JOIN dfq USING (g)),
-    sig AS (SELECT doc_id, g FROM ranked WHERE rk <= 25),
+    sig AS (SELECT doc_id, dlen, g FROM ranked WHERE rk <= 25),
     cand_sig AS (
       SELECT DISTINCT least(s.doc_id, f.doc_id) AS id_a,
              greatest(s.doc_id, f.doc_id) AS id_b
       FROM sig s JOIN ranked f USING (g)
-      WHERE s.doc_id <> f.doc_id),
+      WHERE s.doc_id <> f.doc_id
+        AND abs(s.dlen - f.dlen) <= 3),
     lens AS (SELECT doc_id, text, length(text) AS len FROM corpus),
     cand_short AS (
       SELECT DISTINCT least(sh.doc_id, nr.doc_id) AS id_a,

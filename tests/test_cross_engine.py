@@ -371,21 +371,24 @@ class TestEditDistanceOracleTwin:
         try:
             want = sorted(map(tuple, duck.execute(f"""
               WITH grams AS (
-                SELECT doc_id, unnest(list_distinct(list_transform(
+                SELECT doc_id, length(text) AS dlen,
+                       unnest(list_distinct(list_transform(
                   range(1, greatest(length(text) - {q - 1}, 0) + 1),
                   i -> substr(text, i, {q})))) AS g
                 FROM ed_docs),
               dfq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
               ranked AS (
-                SELECT doc_id, g, row_number() OVER (
+                SELECT doc_id, dlen, g, row_number() OVER (
                   PARTITION BY doc_id ORDER BY df, g) AS rk
                 FROM grams JOIN dfq USING (g)),
-              sig AS (SELECT doc_id, g FROM ranked WHERE rk <= {sig_k}),
+              sig AS (SELECT doc_id, dlen, g FROM ranked
+                      WHERE rk <= {sig_k}),
               cand_sig AS (
                 SELECT DISTINCT least(s.doc_id, f.doc_id) AS id_a,
                        greatest(s.doc_id, f.doc_id) AS id_b
                 FROM sig s JOIN ranked f USING (g)
-                WHERE s.doc_id <> f.doc_id),
+                WHERE s.doc_id <> f.doc_id
+                  AND abs(s.dlen - f.dlen) <= {d_max}),
               lens AS (SELECT doc_id, text, length(text) AS len
                        FROM ed_docs),
               cand_short AS (
