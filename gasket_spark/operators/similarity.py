@@ -536,7 +536,13 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
     corpus cross product. Like the ANN operators, K must grow with
     the corpus (K ~ |C|/target_cluster) to keep per-cluster pairing
     bounded; cluster ids never appear in the output, so the 0-based
-    Spark labels vs 1-based SQL sids stay internal.
+    Spark labels vs 1-based SQL sids stay internal. The driver-side
+    trainer is O(K²·mult·dim·iters) (sample scales with K), fine to
+    K in the hundreds; past that the declared scale path is
+    two-level clustering (coarse k-means, then this operator per
+    coarse cell) — same semantics per cell, trainer cost back to
+    bounded (the r12 10x probe measured trainer cost, not pairing,
+    as the fixed-corpus K=160 floor).
 
     Reference parity: gasket pipes corpora through dedup stages
     (reference index.js:1-258); this is the embedding-space stage,

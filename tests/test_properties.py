@@ -430,3 +430,89 @@ def test_padded_replace_run5_divergence_pinned():
     s = " x x x x x ".replace(" x x ", " xx ")
     assert s == " xx x xx "
     assert s.replace(" x x ", " xx ") == s   # already at fixpoint
+
+
+# ---------------------------------------------------------------------------
+# round-12 bank invariants (pure python, no Spark) — the BPE lesson:
+# hypothesis the correctness story BEFORE the registration round
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(min_value=1, max_value=50),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=40))
+def test_pack_sequences_span_formulas_tile_and_cover(ns, L):
+    """pack_sequences' integer span formulas (first/last seq id, lo/hi
+    clamps) against the definitional reference — walking the
+    concatenated token stream one token at a time: identical spans,
+    exact sequence tiling, lossless contiguous doc coverage."""
+    # reference: token t of the global stream lands in seq t // L
+    spans_ref = {}
+    pos = 0
+    for doc, n in enumerate(ns):
+        for t in range(n):
+            g = pos + t
+            key = (doc, g // L)
+            if key not in spans_ref:
+                spans_ref[key] = [t, g % L, 0]   # doc_off, seq_off, len
+            spans_ref[key][2] += 1
+        pos += n
+    # operator formulas (operators/packing.py:pack_sequences)
+    spans_op = {}
+    start = 0
+    for doc, n in enumerate(ns):
+        for s in range(start // L, (start + n - 1) // L + 1):
+            lo = max(s * L, start)
+            hi = min((s + 1) * L, start + n)
+            spans_op[(doc, s)] = [lo - start, lo - s * L, hi - lo]
+        start += n
+    assert spans_op == spans_ref
+    # tiling: every sequence except the last is exactly full
+    total = sum(ns)
+    per_seq = {}
+    for (_doc, s), (_do, _so, ln) in spans_op.items():
+        per_seq[s] = per_seq.get(s, 0) + ln
+    n_seqs = -(-total // L)
+    assert set(per_seq) == set(range(n_seqs))
+    for s, filled in per_seq.items():
+        assert filled == (L if s < n_seqs - 1
+                          else total - L * (n_seqs - 1))
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.text(alphabet="abcd", min_size=1, max_size=30),
+       st.lists(st.tuples(st.integers(0, 29), st.sampled_from("abcdx"),
+                          st.sampled_from("ins del sub".split())),
+                min_size=0, max_size=3),
+       st.integers(min_value=2, max_value=5))
+def test_edit_blocking_lemma_and_length_band(s, edits, q):
+    """The two pruning facts edit_distance_pairs stakes its recall on,
+    pinned over random edit scripts: levenshtein <= d forces
+    (1) |len(a) − len(b)| <= d — the r12 IN-JOIN band — and
+    (2) |grams(a) \\ grams(b)| <= d·q (each edit disturbs <= q
+    q-grams), the signature pigeonhole. Small alphabet ON PURPOSE:
+    repetitive strings are where rarity-based intuition fails."""
+    t = s
+    for pos, ch, kind in edits:
+        p = min(pos, max(len(t) - 1, 0))
+        if kind == "ins":
+            t = t[:p] + ch + t[p:]
+        elif kind == "del" and t:
+            t = t[:p] + t[p + 1:]
+        elif kind == "sub" and t:
+            t = t[:p] + ch + t[p + 1:]
+    d = _lev(s, t)
+    assert d <= len(edits)
+    assert abs(len(s) - len(t)) <= d            # the length band
+    gs = {s[i:i + q] for i in range(max(len(s) - q + 1, 0))}
+    gt = {t[i:i + q] for i in range(max(len(t) - q + 1, 0))}
+    assert len(gs - gt) <= d * q                 # the gram lemma
