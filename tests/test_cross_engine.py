@@ -740,3 +740,73 @@ class TestSemanticDedupOracleTwin:
         finally:
             duck.unregister("embeddings")
         assert got == want and len(got) >= 400  # clones detected
+
+
+class TestVocabCoverageOracleTwin:
+    def test_duckdb_twin_matches_dataframe_build(self, spark, duck):
+        """Vocabulary coverage curve (pieces needed for p% corpus
+        coverage — the tokenizer-sizing diagnostic): top-1024 pieces
+        by (freq desc, piece asc), cumulative share as ONE truncating
+        integer division in ppb. Pieces are char 8-grams because the
+        fixture's WHITESPACE vocabulary is 31 tokens at every SF (the
+        r12 discovery that also drove the edit-distance band) — the
+        gram grain gives a real ~20k-piece vocabulary. The r14 bank
+        candidate ``q_vocab_coverage``, pinned ahead of registration.
+        The cumulative window runs over the BOUNDED top-1024 table
+        (a 1024-row single partition is fine at any corpus scale —
+        the corpus-grain work is one piece-frequency aggregate)."""
+        import pandas as pd
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.01"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        n = F.length("text") - 7
+        gidx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+            .otherwise(F.array().cast("array<int>"))
+        toks = docs.select(F.explode(F.transform(
+            gidx, lambda i: F.substring("text", i, 8))).alias("tok"))
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+        wr = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+        top = (freq.withColumn("rank", F.row_number().over(wr))
+               .filter(F.col("rank") <= 1024))
+        total = toks.count()
+        wc = (Window.orderBy("rank")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        got = sorted(tuple(r) for r in top
+                     .withColumn("cum_freq", F.sum("freq").over(wc))
+                     .select(F.col("rank").cast("int"), "tok",
+                             F.col("freq").cast("long"),
+                             F.col("cum_freq").cast("long"),
+                             F.expr(f"cum_freq * 1000000000 div {total}")
+                             .alias("coverage_ppb")).collect())
+
+        duck.register("vdocs", pd.read_parquet(
+            f"{sf}/documents.parquet")[["doc_id", "text"]])
+        try:
+            want = sorted(map(tuple, duck.execute("""
+              WITH toks AS (
+                SELECT unnest(list_transform(
+                  range(1, greatest(length(text) - 7, 0) + 1),
+                  i -> substr(text, i, 8))) AS tok
+                FROM vdocs),
+              freq AS (SELECT tok, COUNT(*) AS freq FROM toks
+                       GROUP BY tok),
+              total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+              top AS (
+                SELECT tok, freq, row_number() OVER (
+                  ORDER BY freq DESC, tok) AS rank
+                FROM freq QUALIFY rank <= 1024)
+              SELECT CAST(rank AS INT) AS rank, tok,
+                     CAST(freq AS BIGINT) AS freq,
+                     CAST(SUM(freq) OVER (ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_freq,
+                     CAST(SUM(freq) OVER (ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) * 1000000000 // total.n AS coverage_ppb
+              FROM top, total""").fetchall()))
+        finally:
+            duck.unregister("vdocs")
+        assert got == want and len(got) == 1024
