@@ -165,6 +165,10 @@ HEADLINE: dict[str, str] = {
     "q_bpe_tokens": "count",
     "q_udtf_runs": "count",
     "q_json_variant": "count",
+    # late-r12 registrations (the former r13 bank, pulled forward):
+    # distributed two-phase sequence packing and SemDeDup clustering
+    "q_pack_sequences": "count",
+    "q_dedup_semantic": "count",
 }
 
 

@@ -3400,3 +3400,125 @@ def q_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, r.run_idx, r.token, r.start_pos, r.run_len
         FROM _udtf_docs d, LATERAL token_runs(d.text) r
     """)
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS strt
+      FROM toks)
+    SELECT doc_id, CAST(s.seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(s.seq_id * 2048, strt) - strt AS BIGINT)
+             AS doc_offset,
+           CAST(greatest(s.seq_id * 2048, strt) - s.seq_id * 2048
+                AS BIGINT) AS seq_offset,
+           CAST(least((s.seq_id + 1) * 2048, strt + n)
+                - greatest(s.seq_id * 2048, strt) AS BIGINT)
+             AS span_len
+    FROM cum, LATERAL (SELECT unnest(range(strt // 2048,
+           (strt + n - 1) // 2048 + 1)) AS seq_id) s
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING at seq_len=2048 — the
+    canonical LLM pretraining batch step: documents concatenate in
+    deterministic doc_id order into one virtual token stream
+    (whitespace token counts), cut every 2048 tokens, docs SPLIT
+    across cuts; one row per (document x overlapped sequence) with
+    (doc_offset, seq_offset, span_len). Spans tile every sequence
+    exactly and cover every document losslessly (hypothesis-pinned
+    against the walk-the-stream reference). The global token offset
+    is the DISTRIBUTED two-phase prefix sum (pack_shards machinery —
+    never a single-partition window over the corpus; the oracle's
+    naive cumsum window is the semantics statement, not the plan);
+    the span fan-out is a per-row integer sequence() explode. All
+    integer arithmetic end to end
+    (operators/packing.py:pack_sequences)."""
+    from gasket_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("bigint")
+        .alias("n_tok"))
+    return pack_sequences(docs, "n_tok", "doc_id", 2048)
+
+
+# embeddings ∪ perturbed clones (ids +100000; first coordinate
+# +0.125 — exactly representable, all arithmetic in doubles on both
+# engines): the paraphrase analog — near-identical direction, zero
+# shared n-grams. SQL twin of _semantic_corpus below.
+_SEM_CORPUS_SQL = """semcorp AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, e -> CAST(e AS DOUBLE))
+               AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             [CAST(embedding[1] AS DOUBLE) + 0.125] ||
+             list_transform(embedding[2:64], e -> CAST(e AS DOUBLE))
+      FROM embeddings)"""
+
+
+def _semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double")
+                    + F.lit(0.125)),
+            F.transform(F.slice("embedding", 2, 63),
+                        lambda x: x.cast("double")))
+        .alias("embedding"))
+    return dbl.unionByName(pert)
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=_kmeans_assign_cte_sql(table="semcorp",
+                                  head=_SEM_CORPUS_SQL) + f""",
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cassign a JOIN cassign b
+        ON a.cl = b.cl AND a.vec_id < b.vec_id),
+    sims AS (
+      SELECT p.id_a, p.id_b, {_cos_expr('q', 'c')} AS cos_sim
+      FROM p JOIN semcorp q ON q.vec_id = p.id_a
+             JOIN semcorp c ON c.vec_id = p.id_b)
+    SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors
+    FROM sims WHERE cos_sim >= 0.95
+    GROUP BY id_b
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC deduplication (SemDeDup, Abbas et al. 2023) on
+    embeddings with injected perturbed clones: cluster the embedding
+    space with the ENGINE-EXACT sampled k-means quantizer (the same
+    trainer q_sim_ivf certifies — the oracle re-derives ALL ten Lloyd
+    iterations from the shared _kmeans_assign_cte_sql builder), pair
+    ONLY within clusters, and mark every vector with a lower-id
+    in-cluster neighbor at cosine >= 0.95 as a duplicate of its
+    smallest such neighbor — the dedup layer that catches
+    paraphrases/re-encodings sharing zero n-grams, ABOVE
+    MinHash/SimHash in a curation stack. Deterministic pairwise
+    min-lower-id survivor rule; candidate pairing is a CLUSTER
+    equi-join, never the corpus cross product; K scales
+    ~|corpus|/cluster_target at 100 TB (two-level clustering past
+    K in the hundreds — see the operator docstring)
+    (operators/similarity.py:semantic_dedup)."""
+    return S.semantic_dedup(_semantic_corpus(spark, sf_dir),
+                            threshold=0.95, n_centroids=16)

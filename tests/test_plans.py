@@ -925,3 +925,29 @@ class TestR12RegistrationPlanContracts:
         plan = _plan(QUERIES["q_json_variant"](spark, SF_SMALL))
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestLateR12RegistrationPlanContracts:
+    """Plan contracts for the two late-r12 registrations (the banked
+    r13 candidates, pulled forward into the free window headroom)."""
+
+    def test_pack_sequences_prefix_sum_is_two_phase(self, spark):
+        """Offsets come from the distributed two-phase prefix sum:
+        range partitioning by the order key, per-partition windows,
+        and the per-partition totals cascade BROADCAST back — the
+        only single-partition work is the <= #partitions-row totals
+        window, never corpus rows."""
+        plan = _plan(QUERIES["q_pack_sequences"](spark, SF_SMALL))
+        assert "rangepartitioning" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_dedup_semantic_pairs_only_within_clusters(self, spark):
+        """Candidate pairing is a cluster equi-join — never the
+        corpus cross product; assignment and cosine run as Arrow
+        kernels, not row loops."""
+        plan = _plan(QUERIES["q_dedup_semantic"](spark, SF_SMALL))
+        assert "ArrowEvalPython" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
