@@ -810,3 +810,54 @@ class TestVocabCoverageOracleTwin:
         finally:
             duck.unregister("vdocs")
         assert got == want and len(got) == 1024
+
+
+class TestGroupSplitOracleTwin:
+    def test_duckdb_twin_matches_and_split_is_leakage_safe(
+            self, spark, duck):
+        """GROUP-aware train/val/test split — the leakage-safe form of
+        q_split_assign: the bucket hashes the SOURCE, not the doc, so
+        every document of a source lands in the same split (near-dups
+        cluster within sources; a doc-grain split can put a page and
+        its re-crawl on opposite sides of the train/test line). Same
+        salted-md5 content addressing: stable across runs, engines,
+        partitionings, and corpus growth. The r13 bank candidate
+        ``q_split_group``, pinned ahead of registration."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.01"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        bucket = F.conv(F.substring(
+            F.md5(F.concat(F.lit("gsplit42:"), F.col("source"))),
+            1, 8), 16, 10).cast("bigint") % 100
+        out = docs.select(
+            "doc_id", "source",
+            F.when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").alias("split"))
+        got = sorted(tuple(r) for r in out.collect())
+
+        duck.register("gdocs", pd.read_parquet(
+            f"{sf}/documents.parquet")[["doc_id", "source"]])
+        try:
+            want = sorted(map(tuple, duck.execute("""
+              WITH h AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5('gsplit42:' || source),
+                         1, 8)) AS BIGINT) % 100 AS bucket
+                FROM gdocs)
+              SELECT doc_id, source,
+                     CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM h""").fetchall()))
+        finally:
+            duck.unregister("gdocs")
+        assert got == want and got
+        # the leakage invariant: one split per source, several sources
+        by_src = {}
+        for _id, src, split in got:
+            by_src.setdefault(src, set()).add(split)
+        assert all(len(v) == 1 for v in by_src.values())
+        assert len(by_src) > 1
