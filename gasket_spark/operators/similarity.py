@@ -577,6 +577,164 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                  F.count(F.lit(1)).alias("n_dup_neighbors")))
 
 
+def two_level_shape(n: int, target_cluster: int) -> tuple[int, int]:
+    """Corpus-proportional two-level k-means geometry: total clusters
+    K = ceil(n / target_cluster), split as n_coarse = ceil(sqrt(K))
+    coarse cells × n_fine = ceil(K / n_coarse) fine clusters per cell.
+    All three steps are engine-exact (integer ceil-division both ways;
+    ceil(sqrt(K)) is exact for K < 2^52 because IEEE sqrt is correctly
+    rounded — a non-square integer's root can never round to an exact
+    integer double at that magnitude), so a SQL re-derivation lands on
+    the identical (n_coarse, n_fine)."""
+    import math
+
+    k = (n + target_cluster - 1) // target_cluster
+    n_coarse = int(math.ceil(math.sqrt(k)))
+    return n_coarse, (k + n_coarse - 1) // n_coarse
+
+
+def two_level_assignments(corpus: DataFrame, n_coarse: int, n_fine: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          sample_mult: int = 64,
+                          iters: int = 10) -> DataFrame:
+    """TWO-LEVEL engine-exact k-means: train + assign K = n_coarse ×
+    n_fine clusters without ever running a driver-side Lloyd loop
+    bigger than n_coarse centroids — the scale path past the flat
+    trainer's O(K²·mult·dim·iters) driver ceiling (the r12 probe
+    measured the FLAT trainer, not pairing, as the K=160 floor).
+
+    Level 1 (coarse, driver): :func:`sampled_kmeans_centroids` over
+    n_coarse centroids — one hash-ordered sample collect, tiny Lloyd.
+    Coarse assignment is one vectorized Arrow map pass (argmax of
+    integer-scaled dots, ties to the lowest cell — the ivf_topk rule).
+
+    Level 2 (fine, DISTRIBUTED): each coarse cell gets its own
+    hash-ordered sample — ``row_number() over (partition by cell
+    order by md5(id), id) <= n_fine·mult``, the per-cell analog of
+    the corpus-wide sample, one shuffle — and its own Lloyd run via
+    ``applyInPandas`` grouped by cell. Every Lloyd step is the SAME
+    engine-exact arithmetic (:func:`_lloyd_engine_exact`: integer-unit
+    normalization and means, ``_int_dots`` assignment, lowest-index
+    ties, keep-on-empty), so where the iterations execute is
+    irrelevant to the result and a grouped ANSI-SQL restatement
+    (iteration CTEs keyed by (cell, centroid) instead of centroid —
+    see queries/llm.py:_kmeans2_cte_sql) is bit-identical. Fine
+    assignment is a COGROUPED ``applyInPandas`` — (cell members ×
+    cell centroids) per task, zero driver collect, no row blowup.
+
+    Cost shape at 100 TB: with n_coarse = n_fine = ceil(sqrt(K)) the
+    driver Lloyd is O(K·mult·dim·iters) (linear in K, not quadratic)
+    and each fine cell trains on ≤ n_fine·mult rows in parallel — K
+    reaches ~10⁵ with both levels in the hundreds; past that the same
+    construction recurses (three levels). Per-cell populations are
+    |corpus|/n_coarse rows through one window/cogroup partition —
+    the operative skew bound; salting the sample rank is the declared
+    mitigation if a single cell outgrows an executor.
+
+    Returns (id, v, ccl, fcl): the vector and its (coarse, fine)
+    cluster key, engine-exact and partition-layout independent.
+
+    Reference parity: gasket pipes corpora through staged transforms
+    (reference index.js:1-258); this is the clustering stage of the
+    embedding-space dedup/ANN family, fully declarative."""
+    C = sampled_kmeans_centroids(corpus, n_coarse, id_col, vec_col,
+                                 sample_mult, iters)
+
+    @pandas_udf(LongType())
+    def _nearest(v: pd.Series) -> pd.Series:
+        # RAW vectors: argmax_j v·c_j is scale-invariant in v (the
+        # ivf_topk rule); stable argsort ties to the lowest cell.
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        dint = _int_dots(V, C)
+        return pd.Series(
+            np.argsort(-dint, axis=1, kind="stable")[:, 0]
+            .astype(np.int64))
+
+    h = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"),
+                      _nearest(F.col(vec_col)).alias("ccl"))
+
+    wnd = Window.partitionBy("ccl").orderBy(
+        F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
+    samp = (h.withColumn("fsid", F.row_number().over(wnd))
+            .filter(F.col("fsid") <= n_fine * sample_mult)
+            .select("ccl", "fsid", "v"))
+
+    def _train(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by the hash-sample rank: applyInPandas hands rows in
+        # arbitrary order, but Lloyd init = the first n_fine sample
+        # rows — the per-cell analog of _hash_ordered_sample.
+        pdf = pdf.sort_values("fsid")
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norm = np.maximum(np.sqrt(_scaled_int_sum(X * X) / SCALE), 1e-30)
+        Cf = _lloyd_engine_exact(X / norm[:, None], n_fine, iters)
+        return pd.DataFrame({
+            "ccl": np.full(len(Cf), pdf["ccl"].iloc[0], dtype=np.int64),
+            "fcl": np.arange(len(Cf), dtype=np.int64),
+            "centroid": list(Cf)})
+
+    fine = samp.groupBy("ccl").applyInPandas(
+        _train, "ccl long, fcl long, centroid array<double>")
+
+    def _assign(members: pd.DataFrame, cents: pd.DataFrame) -> pd.DataFrame:
+        if members.empty:  # centroids exist only for non-empty cells
+            return pd.DataFrame(
+                {"id": pd.Series(dtype="int64"),
+                 "v": pd.Series(dtype=object),
+                 "ccl": pd.Series(dtype="int64"),
+                 "fcl": pd.Series(dtype="int64")})
+        if cents.empty:  # impossible: samples cover every member cell
+            raise ValueError("coarse cell has members but no centroids")
+        cents = cents.sort_values("fcl")
+        Cf = np.stack(cents["centroid"].to_numpy()).astype(np.float64)
+        V = np.stack(members["v"].to_numpy()).astype(np.float64)
+        dint = _int_dots(V, Cf)
+        f = np.argsort(-dint, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame({
+            "id": members["id"].to_numpy(),
+            "v": members["v"],
+            "ccl": members["ccl"].to_numpy(),
+            "fcl": cents["fcl"].to_numpy()[f]})
+
+    return h.groupBy("ccl").cogroup(fine.groupBy("ccl")).applyInPandas(
+        _assign, "id long, v array<double>, ccl long, fcl long")
+
+
+def semantic_dedup_two_level(corpus: DataFrame, threshold: float = 0.9,
+                             target_cluster: int = 1024,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             sample_mult: int = 64,
+                             iters: int = 10) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) on the two-level quantizer — the
+    CORPUS-PROPORTIONAL form of :func:`semantic_dedup`: K =
+    ceil(|corpus| / target_cluster) total clusters (the operator's own
+    scaling rule, now enacted rather than documented), trained without
+    any driver-side loop bigger than ceil(sqrt(K)) centroids (see
+    :func:`two_level_assignments`). Pairing compares only within a
+    (coarse, fine) cluster — expected pairing work ~ |corpus| ·
+    target_cluster / 2, LINEAR in the corpus at fixed target — and
+    applies the same deterministic min-lower-id survivor rule.
+    Returns (vec_id, dup_of, n_dup_neighbors), engine-exact."""
+    n = corpus.count()  # driver-side scalar: one cheap count job
+    n_coarse, n_fine = two_level_shape(n, target_cluster)
+    assigned = two_level_assignments(corpus, n_coarse, n_fine, id_col,
+                                     vec_col, sample_mult, iters)
+    a = assigned.select(F.col("id").alias("id_a"),
+                        F.col("v").alias("v_a"), "ccl", "fcl")
+    b = assigned.select(F.col("id").alias("id_b"),
+                        F.col("v").alias("v_b"), "ccl", "fcl")
+    pairs = (a.join(b, ["ccl", "fcl"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold))
+    return (pairs.groupBy(F.col("id_b").alias("vec_id"))
+            .agg(F.min("id_a").alias("dup_of"),
+                 F.count(F.lit(1)).alias("n_dup_neighbors")))
+
+
 def pq_codebooks(corpus: DataFrame, n_sub: int = 8, n_centroids: int = 16,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  sample_mult: int = 64, iters: int = 10) -> np.ndarray:

@@ -262,6 +262,17 @@ _EDITED_R12: tuple[str, ...] = (
     "q_sim_ivf",
 )
 
+# Queries whose implementation or oracle was EDITED in round 13.
+_EDITED_R13: tuple[str, ...] = (
+    # re-registered on the TWO-LEVEL corpus-proportional trainer
+    # (semantic_dedup_two_level: coarse driver Lloyd + distributed
+    # per-cell fine Lloyds via applyInPandas — the r12 verdict's
+    # weak-grade fix); oracle rebuilt from _kmeans2_cte_sql with the
+    # kdef geometry derivation. Assignments (and therefore outputs)
+    # CHANGED — fresh certification required.
+    "q_dedup_semantic",
+)
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -394,6 +405,10 @@ def _signal_rank() -> dict[str, float]:
             # r12-edited: same rule, one round later again.
             if 0 < rank.get(n, 0.0) <= 11.0:
                 rank[n] = 1.005
+        for n in _EDITED_R13:
+            # r13-edited: same rule, one round later again.
+            if 0 < rank.get(n, 0.0) <= 12.0:
+                rank[n] = 1.002
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

@@ -742,6 +742,83 @@ class TestSemanticDedupOracleTwin:
         assert got == want and len(got) >= 400  # clones detected
 
 
+class TestTwoLevelSemanticDedupOracleTwin:
+    def test_duckdb_twin_matches_operator(self, spark, duck):
+        """semantic_dedup_two_level — the CORPUS-PROPORTIONAL SemDeDup
+        (K = ceil(n/target); coarse driver Lloyd + DISTRIBUTED
+        per-cell fine Lloyds via applyInPandas) — restated in SQL by
+        _kmeans2_cte_sql: kdef re-derives the geometry (ceil-division
+        + ceil-sqrt, engine-exact), the coarse level is the familiar
+        single-level restatement with kdef-subquery bounds, and the
+        fine level is the SAME ten unrolled Lloyd iterations keyed by
+        (cell, centroid) — proving the distributed execution lands on
+        bit-identical centroids and assignments. Pinned RAW (no
+        registry normalization) on the real embeddings fixture plus
+        perturbed clones, the r13 ``q_dedup_semantic`` oracle."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from gasket_spark.operators.similarity import (
+            semantic_dedup_two_level)
+        from gasket_spark.queries.llm import _cos_expr, _kmeans2_cte_sql
+
+        sf = "/root/testdata/sf0.001"
+        emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        pert = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1).cast("double")
+                        + F.lit(0.125)),
+                F.transform(F.slice("embedding", 2, 63),
+                            lambda x: x.cast("double")))
+            .alias("embedding"))
+        corpus = dbl.unionByName(pert)
+        got = sorted(tuple(r) for r in
+                     semantic_dedup_two_level(corpus, threshold=0.95,
+                                              target_cluster=64)
+                     .collect())
+
+        head = """semcorp AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, e -> CAST(e AS DOUBLE))
+                   AS embedding
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 [CAST(embedding[1] AS DOUBLE) + 0.125] ||
+                 list_transform(embedding[2:64],
+                                e -> CAST(e AS DOUBLE))
+          FROM embeddings)"""
+        sql = _kmeans2_cte_sql(table="semcorp", head=head,
+                               target=64) + f""",
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM fassign a JOIN fassign b
+            ON a.ccl = b.ccl AND a.fcl = b.fcl AND a.vec_id < b.vec_id),
+        sims AS (
+          SELECT p.id_a, p.id_b, {_cos_expr('q', 'c')} AS cos_sim
+          FROM p JOIN semcorp q ON q.vec_id = p.id_a
+                 JOIN semcorp c ON c.vec_id = p.id_b)
+        SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors
+        FROM sims WHERE cos_sim >= 0.95
+        GROUP BY id_b"""
+        duck.register("embeddings",
+                      pd.read_parquet(f"{sf}/embeddings.parquet")
+                      [["vec_id", "embedding"]])
+        try:
+            want = sorted(map(tuple, duck.execute(sql).fetchall()))
+        finally:
+            duck.unregister("embeddings")
+        assert got == want and len(got) >= 400  # clones detected
+
+
 class TestVocabCoverageOracleTwin:
     def test_duckdb_twin_matches_dataframe_build(self, spark, duck):
         """Vocabulary coverage curve (pieces needed for p% corpus

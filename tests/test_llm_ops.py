@@ -1624,3 +1624,70 @@ class TestSemanticDedup:
         b = sorted(map(tuple, semantic_dedup(
             c.repartition(7), threshold=0.98, n_centroids=4).collect()))
         assert a == b and a
+
+
+class TestTwoLevelSemanticDedup:
+    """Two-level (corpus-proportional-K) SemDeDup invariants — the
+    r13 weak-grade fix; the cross-engine twin lives in
+    test_cross_engine.py (TestTwoLevelSemanticDedupOracleTwin)."""
+
+    _corpus = TestSemanticDedup._corpus
+
+    def test_shape_rule_is_exact(self):
+        """K = ceil(n/target); n_coarse = ceil(sqrt(K)); n_fine =
+        ceil(K/n_coarse) — and n_coarse·n_fine always covers K
+        without n_coarse ever exceeding the sqrt bound + 1."""
+        import math
+
+        from gasket_spark.operators.similarity import two_level_shape
+
+        for n in (1, 63, 64, 65, 1000, 4000, 40000, 10**10):
+            for target in (16, 64, 1024):
+                k = (n + target - 1) // target
+                nc, nf = two_level_shape(n, target)
+                assert nc * nf >= k
+                assert nc == math.ceil(math.sqrt(k))
+                assert (nf - 1) * nc < k  # no over-provisioned level
+
+    def test_detects_clones_with_survivor_rule(self, spark):
+        from gasket_spark.operators.similarity import (
+            semantic_dedup_two_level)
+
+        out = {r.vec_id: (r.dup_of, r.n_dup_neighbors)
+               for r in semantic_dedup_two_level(
+                   self._corpus(spark), threshold=0.98,
+                   target_cluster=16).collect()}
+        for i in range(10):
+            assert out.get(100 + i, (None,))[0] == i
+        assert all(v >= 100 for v in out)
+
+    def test_partition_invariant(self, spark):
+        """The distributed fine Lloyd (applyInPandas per coarse cell)
+        and the cogrouped fine assignment are partition-layout
+        independent — the property that makes the distributed trainer
+        oracle-replicable at all."""
+        from gasket_spark.operators.similarity import (
+            semantic_dedup_two_level)
+
+        c = self._corpus(spark)
+        a = sorted(map(tuple, semantic_dedup_two_level(
+            c, threshold=0.98, target_cluster=16).collect()))
+        b = sorted(map(tuple, semantic_dedup_two_level(
+            c.repartition(7), threshold=0.98, target_cluster=16)
+            .collect()))
+        assert a == b and a
+
+    def test_assignments_total_and_within_geometry(self, spark):
+        """Every input vector gets exactly ONE (ccl, fcl) assignment,
+        with labels inside the derived (n_coarse, n_fine) geometry —
+        the cogroup emits no drops and no fan-out."""
+        from gasket_spark.operators.similarity import (
+            two_level_assignments, two_level_shape)
+
+        c = self._corpus(spark)
+        nc, nf = two_level_shape(c.count(), 16)
+        rows = two_level_assignments(c, nc, nf).collect()
+        assert len(rows) == 50
+        assert sorted(r.id for r in rows) == sorted(
+            r.vec_id for r in c.select("vec_id").collect())
+        assert all(0 <= r.ccl < nc and 0 <= r.fcl < nf for r in rows)

@@ -945,9 +945,14 @@ class TestLateR12RegistrationPlanContracts:
 
     def test_dedup_semantic_pairs_only_within_clusters(self, spark):
         """Candidate pairing is a cluster equi-join — never the
-        corpus cross product; assignment and cosine run as Arrow
-        kernels, not row loops."""
+        corpus cross product; coarse assignment and cosine run as
+        Arrow kernels, and the fine trainer + assignment run as
+        DISTRIBUTED grouped-pandas stages (the two-level weak-grade
+        fix: no driver-side O(K²) Lloyd)."""
         plan = _plan(QUERIES["q_dedup_semantic"](spark, SF_SMALL))
         assert "ArrowEvalPython" in plan
+        # per-cell fine Lloyd + cogrouped fine assignment
+        assert "FlatMapGroupsInPandas" in plan
+        assert "FlatMapCoGroupsInPandas" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
