@@ -2559,6 +2559,108 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_split_group",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('gsplit42:' || source), 1, 8))
+               AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_split_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware leakage-safe train/val/test split (80/10/10): the
+    bucket hashes the SOURCE, not the doc, so every document of a
+    source lands in the same split — near-dups cluster within
+    sources, and a doc-grain split (q_split_assign) can put a page
+    and its re-crawl on opposite sides of the train/test line; this
+    is the form a curation stack actually ships. Same salted-md5
+    content addressing: stable across runs, engines, partitionings,
+    and corpus growth (new docs from a known source inherit its
+    split; new sources hash independently). Map-side only — zero
+    shuffles at any corpus size. The one-split-per-source invariant
+    is pinned in tests/test_cross_engine.py
+    (TestGroupSplitOracleTwin)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("gsplit42:"), F.col("source"))),
+        1, 8), 16, 10).cast("bigint") % 100
+    return docs.select(
+        "doc_id", "source",
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").alias("split"))
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_transform(
+        range(1, greatest(length(text) - 7, 0) + 1),
+        i -> substr(text, i, 8))) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    top AS (
+      SELECT tok, freq, row_number() OVER (
+        ORDER BY freq DESC, tok) AS rank
+      FROM freq QUALIFY rank <= 1024)
+    SELECT CAST(rank AS INT) AS rank, tok,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(SUM(freq) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_freq,
+           CAST(SUM(freq) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) * 1000000000 // total.n AS coverage_ppb
+    FROM top, total
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — pieces needed for p% corpus
+    coverage, the tokenizer-sizing diagnostic: top-1024 pieces by
+    (freq desc, piece asc) with cumulative corpus share as ONE
+    truncating integer division in ppb (DuckDB // and Spark div both
+    truncate — the established cross-engine ratio recipe). Pieces are
+    char 8-grams because the fixture's WHITESPACE vocabulary is 31
+    tokens at every SF (the r12 discovery that also drove the
+    edit-distance band) — the gram grain gives a real ~20k-piece
+    vocabulary. Scale shape: the corpus-grain work is the one
+    piece-frequency aggregate; top-1024 selection is
+    ``orderBy().limit()`` = TakeOrderedAndProject (per-partition
+    heaps — NO global sort, unlike a bare row_number window over the
+    full vocabulary); the rank/cumsum windows then run over the
+    BOUNDED 1024-row table, fine at any corpus size (the pack_shards
+    totals-window precedent). Total token count is a driver-side
+    1-row scalar."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.length("text") - 7
+    gidx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    toks = docs.select(F.explode(F.transform(
+        gidx, lambda i: F.substring("text", i, 8))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), F.col("tok").asc()) \
+        .limit(1024)
+    total = toks.count()  # driver-side scalar: one cheap count job
+    wr = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    wc = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (top.withColumn("rank", F.row_number().over(wr))
+            .withColumn("cum_freq", F.sum("freq").over(wc))
+            .select(F.col("rank").cast("int").alias("rank"), "tok",
+                    F.col("freq").cast("long").alias("freq"),
+                    F.col("cum_freq").cast("long").alias("cum_freq"),
+                    F.expr(f"cum_freq * 1000000000 div {total}")
+                    .alias("coverage_ppb")))
+
+
+@query(
     "q_quality_classifier",
     oracle="""
     WITH weights AS (
