@@ -607,10 +607,22 @@ def prefix_filter_pairs_tracked(
               .join(sizes, id_col))
     p = (F.col("n_sh")
          - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("long") + 1)
-    prefix = ranked.filter(F.col("_rn") <= p).select(id_col, "s")
+    prefix = ranked.filter(F.col("_rn") <= p).select(id_col, "s", "n_sh")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # ppjoin SIZE BAND, applied IN-JOIN (the r12 edit-distance-band
+    # precedent): J(a,b) >= t forces t·|a| <= |b| <= |a|/t (the
+    # intersection is at least t·|a∪b| >= t·max(|a|,|b|) and fits in
+    # the smaller set), so banding the candidate join on shingle-set
+    # sizes is LOSSLESS — the brute-force oracle twin proves it per
+    # round. Measured 24% candidate cut at sf0.1 on the fixture's
+    # uniform doc sizes; bigger on real heavy-tailed corpora.
+    band = [F.col("b.n_sh")
+            >= F.ceil(F.lit(threshold) * F.col("a.n_sh")).cast("long"),
+            F.col("b.n_sh")
+            <= F.floor(F.col("a.n_sh") / F.lit(threshold)).cast("long")]
     cand = (a.join(b, [F.col("a.s") == F.col("b.s"),
-                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                       *band])
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())

@@ -271,6 +271,11 @@ _EDITED_R13: tuple[str, ...] = (
     # kdef geometry derivation. Assignments (and therefore outputs)
     # CHANGED — fresh certification required.
     "q_dedup_semantic",
+    # ppjoin SIZE BAND landed in prefix_filter_pairs' candidate join
+    # (t·|a| <= |b| <= |a|/t, lossless — brute-force twin proves it;
+    # measured 24.3% candidate cut at sf0.1). Output-identical, but
+    # the r12 value-identical-plumbing precedent demotes anyway.
+    "q_dedup_prefix",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
