@@ -134,19 +134,24 @@ def pack_sequences(df: DataFrame, token_col: str, id_col: str,
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     packed = pack_shards(df, token_col, id_col,
                          target_tokens=seq_len).drop("shard_id")
-    start, n = F.col("cum_before"), F.col(token_col).cast("bigint")
+    n = F.col(token_col).cast("bigint")
     guard = F.when(
-        n > 0, start
+        n > 0, F.col("cum_before").cast("bigint")
     ).otherwise(F.raise_error(F.concat(
         F.lit("pack_sequences: non-positive token count for "),
         F.col(id_col).cast("string"),
         F.lit(" — filter zero-token docs before packing"))))
-    first = F.floor(guard / F.lit(seq_len))
-    last = F.floor((start + n - F.lit(1)) / F.lit(seq_len))
-    seq = F.col("seq_id")
+    # span formulas use SQL `div` (true integer division), not
+    # floor(double /): double division is exact only while cumulative
+    # token counts stay below 2^53 — `div` matches the oracle's `//`
+    # at ANY scale (r13 ADVICE fix)
+    staged = packed.withColumn("_start", guard).withColumn("_n", n)
+    first = F.expr(f"_start div {seq_len}")
+    last = F.expr(f"(_start + _n - 1) div {seq_len}")
+    seq, start = F.col("seq_id"), F.col("_start")
     lo = F.greatest(seq * F.lit(seq_len), start)
-    hi = F.least((seq + F.lit(1)) * F.lit(seq_len), start + n)
-    return (packed
+    hi = F.least((seq + F.lit(1)) * F.lit(seq_len), start + F.col("_n"))
+    return (staged
             .withColumn("seq_id", F.explode(F.sequence(first, last)))
             .select(id_col,
                     "seq_id",

@@ -25,6 +25,37 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _sql_literals(sql: str) -> list[str]:
+    """Extract the content of every single-quoted SQL string literal,
+    honoring ``''`` escapes and skipping ``--`` line comments (the r13
+    ADVICE fix: the old split-on-quote parity scan miscounted when an
+    apostrophe appeared OUTSIDE a literal — e.g. "doesn't" in a future
+    SQL comment — flipping parity for the rest of the string)."""
+    lits: list[str] = []
+    cur: list[str] | None = None  # None = outside a literal
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if cur is not None:
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":  # '' escape
+                    cur.append("'")
+                    i += 2
+                    continue
+                lits.append("".join(cur))
+                cur = None
+            else:
+                cur.append(c)
+        elif c == "'":
+            cur = []
+        elif c == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        i += 1
+    return lits
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query implementation and (optionally) its SQL oracle."""
 
@@ -37,10 +68,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # and change the query's semantics (the r12 q_bpe_tokens
             # catch: the BPE word separator corrupted to a symbol
             # separator). Refuse loudly at import: state such
-            # literals as ' ' || ' ' instead. Split-on-quote parity:
-            # odd segments are in-literal content ('' escapes just
-            # add an empty even segment between two odd ones).
-            for lit in oracle.split("'")[1::2]:
+            # literals as ' ' || ' ' instead.
+            for lit in _sql_literals(oracle):
                 if "  " in lit or "\n" in lit or "\t" in lit:
                     raise ValueError(
                         f"{name}: oracle string literal {lit!r} "
@@ -276,6 +305,11 @@ _EDITED_R13: tuple[str, ...] = (
     # measured 24.3% candidate cut at sf0.1). Output-identical, but
     # the r12 value-identical-plumbing precedent demotes anyway.
     "q_dedup_prefix",
+    # span formulas re-cut from floor(double /) to SQL `div` (exact
+    # at any cumulative-token scale — r13 ADVICE fix); oracle already
+    # used `//`. Output-identical on every fixture; demoted per the
+    # same precedent.
+    "q_pack_sequences",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

@@ -218,9 +218,14 @@ def _plan_persist_cached(spark: SparkSession, sf_dir: str, tag: str,
     hit = _PLAN_PERSIST_CACHE.get(key)
     if hit is not None:
         return hit[0]
+    # dead-session entries purge regardless of tag (their DataFrame
+    # handles are dead anyway — the r13 ADVICE fix: the old k[0] ==
+    # tag filter let entries for never-re-invoked tags linger across
+    # sessions); same-session stale-stamp entries purge per tag+dir
+    # and get their intermediates unpersisted.
     for k in [k for k in _PLAN_PERSIST_CACHE
-              if k[0] == tag and (k[1] != app
-                                  or (k[2] == key[2] and k[3] != key[3]))]:
+              if k[1] != app
+              or (k[0] == tag and k[2] == key[2] and k[3] != key[3])]:
         if k[1] == app:
             for frame in _PLAN_PERSIST_CACHE[k][1]:
                 frame.unpersist(False)

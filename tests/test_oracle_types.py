@@ -82,3 +82,23 @@ def test_guard_is_sensitive_to_hugeint(con):
         "DESCRIBE (SELECT SUM(user_id) AS s FROM events)").fetchall()
     assert rows[0][1].upper() == "HUGEINT"
     assert rows[0][1].split("(")[0].upper() not in PANDAS_EXACT
+
+
+def test_sql_literal_scanner_handles_comments_and_escapes():
+    """The import-time whitespace-run guard scans literals with a
+    real walker (r13 ADVICE fix), not quote-parity splitting: an
+    apostrophe inside a -- comment must not flip literal detection,
+    '' escapes stay in-literal, and the guard still catches the r12
+    q_bpe_tokens class (a whitespace run inside a literal)."""
+    from gasket_spark.queries import _sql_literals
+
+    # apostrophe in a comment doesn't corrupt the scan
+    sql = ("SELECT 'a b' AS x -- doesn't trip the scanner\n"
+           "FROM t WHERE y = 'c  d'")
+    assert _sql_literals(sql) == ["a b", "c  d"]
+    # '' escape is literal content, not a boundary
+    assert _sql_literals("SELECT 'it''s  ok'") == ["it's  ok"]
+    # -- inside a literal is content, not a comment
+    assert _sql_literals("SELECT 'a -- b', 'c'") == ["a -- b", "c"]
+    # unterminated trailing comment
+    assert _sql_literals("SELECT 'x' -- tail 'not a literal'") == ["x"]
