@@ -179,10 +179,13 @@ HEADLINE: dict[str, str] = {
     # (re-registered r13 on the two-level corpus-proportional trainer)
     "q_pack_sequences": "count",
     "q_dedup_semantic": "count",
-    # r13 additions: group-grain leakage-safe split (map-side) and the
-    # tokenizer-sizing coverage curve (corpus-grain gram aggregate)
+    # r13 additions: group-grain leakage-safe split (map-side), the
+    # tokenizer-sizing coverage curve (corpus-grain gram aggregate),
+    # integer-exact BM25 retrieval, and first-occurrence novelty
     "q_split_group": "count",
     "q_vocab_coverage": "collect",
+    "q_bm25_topk": "collect",
+    "q_ngram_novelty": "count",
 }
 
 

@@ -469,6 +469,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ``n_probe`` nearest centroids and exact-reranks only those lists:
     the scan fraction is ~n_probe/n_centroids of the corpus.
 
+    High-K note: the flat trainer here is driver-side
+    O(K²·mult·dim·iters) — fine to K in the hundreds (the registered
+    fixture scale); past that, train with
+    :func:`two_level_assignments` (coarse cells × distributed
+    per-cell fine Lloyds — the r13 scale path semantic dedup uses)
+    and treat (ccl, fcl) as the list id.
+
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
     C = sampled_kmeans_centroids(corpus, n_centroids, id_col, vec_col)
@@ -748,7 +755,11 @@ def pq_codebooks(corpus: DataFrame, n_sub: int = 8, n_centroids: int = 16,
     lowest-index tie-breaks, keep-on-empty — is bit-replicable in
     ANSI SQL). Sample vectors are unit-normalized as FULL vectors
     first (so subvector magnitudes reflect their share of the
-    original), then sliced. Returns (n_sub, K, dim/n_sub) float64."""
+    original), then sliced. Returns (n_sub, K, dim/n_sub) float64.
+    PQ codebooks stay 16-256 entries BY DESIGN (codes are bytes), so
+    the flat trainer's K² driver cost is not binding here; a larger-
+    codebook deployment applies the :func:`two_level_assignments`
+    per-cell recipe subspace-wise."""
     S = _hash_ordered_sample(corpus, n_centroids * sample_mult,
                              id_col, vec_col)
     dim = S.shape[1]

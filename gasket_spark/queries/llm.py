@@ -2075,6 +2075,158 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bm25_topk",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('vector', 'stream', 'merge')
+      GROUP BY doc_id, term),
+    idf AS (
+      SELECT term,
+             CAST(round(ln(1 + (s.n - df + 0.5) / (df + 0.5)) * 1e6)
+               AS BIGINT) AS idf_micro
+      FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY term), stats s),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(CAST(idf.idf_micro AS HUGEINT) * 22 * tf.tf * s.t
+                  // (10 * tf.tf * s.t + 3 * s.t + 9 * dl.dl * s.n)
+               AS BIGINT) AS c
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, score_micro, row_number() OVER (
+        ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scored)
+    SELECT doc_id, score_micro, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed query ('vector stream merge')
+    — the classic sparse-retrieval scorer a training-data curation
+    stack uses for decontamination lookups and quality probes, made
+    ENGINE-EXACT: with k1 = 6/5 and b = 3/4, the per-term contribution
+    idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) multiplies out to the
+    INTEGER ratio idf_micro·22·tf·T // (10·tf·T + 3·T + 9·dl·N) where
+    T = total corpus tokens and N = doc count (avgdl = T/N substituted
+    symbolically — no float ratio anywhere). The numerator is widened
+    to decimal(38,0)/HUGEINT before multiplying (it clears 2^63 at
+    10 TB token counts); idf is the one round-0 ln() mask (the
+    q_tfidf/q_lm_score precedent). Scale shape: the tf table is
+    FILTERED to query terms before any shuffle (map-side explode +
+    filter), idf is a |terms|-row broadcast, and the top-20 is
+    orderBy().limit() = TakeOrderedAndProject per-partition heaps —
+    one doc-grain shuffle total; N and T are driver-side 1-row
+    scalars."""
+    docs = read_table(spark, sf_dir, "documents")
+    terms = ["vector", "stream", "merge"]
+    dl = docs.select("doc_id", F.size(F.split("text", " "))
+                     .cast("bigint").alias("dl"))
+    n_docs = docs.count()  # driver-side scalar: one cheap count job
+    tot = dl.agg(F.sum("dl")).collect()[0][0]  # 1-row aggregate
+    tf = (docs.select("doc_id", F.explode(F.split("text", " "))
+                      .alias("term"))
+          .filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    idf = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .select("term",
+                   F.round(F.log(F.lit(1.0)
+                                 + (F.lit(float(n_docs)) - F.col("df")
+                                    + F.lit(0.5))
+                                 / (F.col("df") + F.lit(0.5)))
+                           * F.lit(1e6)).cast("bigint")
+                   .alias("idf_micro")))
+    contrib = (tf.join(F.broadcast(idf), "term").join(dl, "doc_id")
+               .select("doc_id", F.expr(
+                   f"CAST(CAST(idf_micro AS DECIMAL(38,0)) * 22 * tf"
+                   f" * {tot} div (10 * tf * {tot} + 3 * {tot}"
+                   f" + 9 * dl * {n_docs}) AS BIGINT)").alias("c")))
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("score_micro"))
+    top = scored.orderBy(F.col("score_micro").desc(),
+                         F.col("doc_id").asc()).limit(20)
+    wr = Window.orderBy(F.col("score_micro").desc(),
+                        F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(wr))
+            .select("doc_id", "score_micro",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(length(text) - 7, 0) + 1),
+          i -> substr(text, i, 8))) AS tok
+        FROM documents)),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams
+      GROUP BY doc_id),
+    firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM grams GROUP BY tok),
+    novel AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM firsts GROUP BY first_doc)
+    SELECT p.doc_id, p.n_grams,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) * 1000000000
+             // p.n_grams AS novelty_ppb
+    FROM per_doc p LEFT JOIN novel n USING (doc_id)
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY scoring — per document, the share of its
+    distinct char 8-grams whose FIRST corpus occurrence (min doc_id —
+    ingestion order) is this document: the incremental-crawl
+    diagnostic that separates genuinely new content from remixes
+    before any pairwise dedup runs (a doc that is 95% previously-seen
+    grams is boilerplate/near-dup; oracle-exact unlike MinHash
+    estimates). novelty_ppb is one truncating integer division, both
+    engines. Scale shape deliberately avoids the gram-grain join
+    back to documents: n_novel comes from grouping the
+    min-doc-per-gram table by ITS OWN first_doc column, so the plan
+    is two gram-grain aggregates + one DOC-grain left join — shuffle
+    volume = distinct-gram grain, never gram×doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.length("text") - 7
+    gidx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            gidx, lambda i: F.substring("text", i, 8)))).alias("tok"))
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    firsts = grams.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel"))
+    return (per_doc.join(novel, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_grams").cast("bigint").alias("n_grams"),
+                    F.coalesce("n_novel", F.lit(0)).cast("bigint")
+                    .alias("n_novel"),
+                    F.expr("CAST(coalesce(n_novel, 0) AS BIGINT)"
+                           " * 1000000000 div n_grams")
+                    .alias("novelty_ppb")))
+
+
+@query(
     "q_lm_score",
     oracle="""
     WITH toks AS (

@@ -938,3 +938,113 @@ class TestGroupSplitOracleTwin:
             by_src.setdefault(src, set()).add(split)
         assert all(len(v) == 1 for v in by_src.values())
         assert len(by_src) > 1
+
+
+class TestBm25OracleTwin:
+    def test_duckdb_twin_matches_dataframe_build(self, spark, duck):
+        """BM25 top-20 for the fixed query ('vector stream merge'),
+        engine-exact: with k1 = 6/5, b = 3/4 the per-term contribution
+        multiplies out to idf_micro·22·tf·T // (10·tf·T + 3·T +
+        9·dl·N) — avgdl substituted symbolically as T/N, numerator
+        widened to decimal(38,0)/HUGEINT, idf the one round-0 ln()
+        mask. The r13 ``q_bm25_topk`` registration, pinned RAW."""
+        import pandas as pd
+
+        from gasket_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        got = sorted(tuple(r) for r in
+                     QUERIES["q_bm25_topk"](spark, sf).collect())
+
+        duck.register("bdocs", pd.read_parquet(
+            f"{sf}/documents.parquet")[["doc_id", "text"]])
+        try:
+            want = sorted(map(tuple, duck.execute("""
+              WITH dl AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                FROM bdocs),
+              stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+              toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+                         AS term FROM bdocs),
+              tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                     FROM toks
+                     WHERE term IN ('vector', 'stream', 'merge')
+                     GROUP BY doc_id, term),
+              idf AS (SELECT term,
+                       CAST(round(ln(1 + (s.n - df + 0.5) / (df + 0.5))
+                            * 1e6) AS BIGINT) AS idf_micro
+                      FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                            FROM tf GROUP BY term), stats s),
+              contrib AS (
+                SELECT tf.doc_id,
+                       CAST(CAST(idf.idf_micro AS HUGEINT) * 22 * tf.tf
+                            * s.t // (10 * tf.tf * s.t + 3 * s.t
+                                      + 9 * dl.dl * s.n)
+                         AS BIGINT) AS c
+                FROM tf JOIN idf USING (term) JOIN dl USING (doc_id),
+                     stats s),
+              scored AS (SELECT doc_id, CAST(SUM(c) AS BIGINT)
+                           AS score_micro FROM contrib GROUP BY doc_id),
+              ranked AS (SELECT doc_id, score_micro, row_number() OVER (
+                           ORDER BY score_micro DESC, doc_id) AS rnk
+                         FROM scored)
+              SELECT doc_id, score_micro, CAST(rnk AS INT) AS rank
+              FROM ranked WHERE rnk <= 20""").fetchall()))
+        finally:
+            duck.unregister("bdocs")
+        assert got == want and len(got) == 20
+        # scores are meaningful: strictly positive, rank-consistent
+        by_rank = sorted(got, key=lambda r: r[2])
+        scores = [r[1] for r in by_rank]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestNgramNoveltyOracleTwin:
+    def test_duckdb_twin_matches_dataframe_build(self, spark, duck):
+        """Per-doc first-occurrence novelty over distinct char
+        8-grams (n_novel from grouping the min-doc-per-gram table by
+        its own first_doc — never a gram-grain join back), ppb as one
+        truncating integer division. The r13 ``q_ngram_novelty``
+        registration, pinned RAW."""
+        import pandas as pd
+
+        from gasket_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        got = sorted(tuple(r) for r in
+                     QUERIES["q_ngram_novelty"](spark, sf).collect())
+
+        duck.register("ndocs", pd.read_parquet(
+            f"{sf}/documents.parquet")[["doc_id", "text"]])
+        try:
+            want = sorted(map(tuple, duck.execute("""
+              WITH grams AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                  SELECT doc_id, unnest(list_transform(
+                    range(1, greatest(length(text) - 7, 0) + 1),
+                    i -> substr(text, i, 8))) AS tok
+                  FROM ndocs)),
+              per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+                            AS n_grams FROM grams GROUP BY doc_id),
+              firsts AS (SELECT tok, MIN(doc_id) AS first_doc
+                         FROM grams GROUP BY tok),
+              novel AS (SELECT first_doc AS doc_id,
+                               CAST(COUNT(*) AS BIGINT) AS n_novel
+                        FROM firsts GROUP BY first_doc)
+              SELECT p.doc_id, p.n_grams,
+                     CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+                     CAST(COALESCE(n.n_novel, 0) AS BIGINT)
+                       * 1000000000 // p.n_grams AS novelty_ppb
+              FROM per_doc p LEFT JOIN novel n USING (doc_id)"""
+              ).fetchall()))
+        finally:
+            duck.unregister("ndocs")
+        assert got == want and len(got) >= 400
+        # structural invariants: doc 0's grams are all novel; every
+        # gram is novel somewhere (sum(n_novel) = |distinct grams|)
+        d0 = next(r for r in got if r[0] == 0)
+        assert d0[1] == d0[2] and d0[3] == 1000000000
+        assert all(0 <= r[2] <= r[1] for r in got)
