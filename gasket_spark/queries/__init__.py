@@ -60,6 +60,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query implementation and (optionally) its SQL oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # refuse silent overwrites at import: module load order
+        # (llm -> streamingq -> pipelineq -> relational) would let a
+        # later module's same-named registration win and the earlier
+        # oracle pair still self-agree in selfcheck — an r13 near-miss
+        # (a duplicate q_sample_weighted shadowed relational's)
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             # The cosmetic normalization below collapses ALL

@@ -1048,3 +1048,4 @@ class TestNgramNoveltyOracleTwin:
         d0 = next(r for r in got if r[0] == 0)
         assert d0[1] == d0[2] and d0[3] == 1000000000
         assert all(0 <= r[2] <= r[1] for r in got)
+
