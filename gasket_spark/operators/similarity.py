@@ -632,12 +632,17 @@ def two_level_assignments(corpus: DataFrame, n_coarse: int, n_fine: int,
 
     Cost shape at 100 TB: with n_coarse = n_fine = ceil(sqrt(K)) the
     driver Lloyd is O(K·mult·dim·iters) (linear in K, not quadratic)
-    and each fine cell trains on ≤ n_fine·mult rows in parallel — K
-    reaches ~10⁵ with both levels in the hundreds; past that the same
-    construction recurses (three levels). Per-cell populations are
-    |corpus|/n_coarse rows through one window/cogroup partition —
-    the operative skew bound; salting the sample rank is the declared
-    mitigation if a single cell outgrows an executor.
+    and each fine cell trains on ≤ n_fine·mult rows in parallel.
+    Concretely: at the 10¹⁰-doc north star with the SemDeDup paper's
+    ~10⁴-vector cluster grain, K ≈ 10⁶ → n_coarse ≈ 1000, a
+    one-time ~4×10¹⁰-int-op driver Lloyd (minutes) and 1000
+    parallel fine cells — TWO levels cover the target outright;
+    a finer grain (K beyond ~10⁷) recurses the same construction
+    (group by (ccl, fcl), sample, applyInPandas — no new machinery).
+    Per-cell populations are |corpus|/n_coarse rows through one
+    window/cogroup partition — the operative skew bound; salting the
+    sample rank is the declared mitigation if a single cell outgrows
+    an executor.
 
     Returns (id, v, ccl, fcl): the vector and its (coarse, fine)
     cluster key, engine-exact and partition-layout independent.
