@@ -260,12 +260,21 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     load_start = os.getloadavg()
+    # Queries whose RESULT is eagerly checkpointed under a stamp cache
+    # (_PAIR_CACHE / _PREFIX_PAIR_CACHE): run 2+ times a ~50 ms cache
+    # lookup, not the query (r13 self-review catch — q_dedup_prefix's
+    # "median" read 0.056 s vs its real 6 s build). Record run 1 for
+    # these — the same cold semantics every earlier artifact carried.
+    # (Queries that memoize only INTERMEDIATES — edit's gram table,
+    # containment's indexes, the graph edge cache — still do real
+    # work each run; their medians are honest warm numbers.)
+    cold_only = {"q_dedup_ngram", "q_dedup_prefix"}
     timings: dict[str, float] = {}
     for name, action in HEADLINE.items():
         if name not in QUERIES:
             continue
         ts = []
-        for _ in range(runs):
+        for _ in range(1 if name in cold_only else runs):
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             if action == "collect":
@@ -291,6 +300,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": runs,
         "agg": "median",
+        "cold_only": sorted(cold_only & set(timings)),
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }

@@ -605,8 +605,22 @@ def prefix_filter_pairs_tracked(
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy(id_col).orderBy("_df", "s")))
               .join(sizes, id_col))
-    p = (F.col("n_sh")
-         - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("long") + 1)
+    # EXACT threshold arithmetic (r13 self-review catch): the float
+    # form ceil(lit(t) * n_sh) is lossy for thresholds whose product
+    # rounds up across an integer (t=0.55, n=100: double product
+    # 55.000000000000004 -> ceil 56 where the J=55/100 pair survives
+    # the verify compare) — the double t IS the rational
+    # p_num/p_den, so ceil(t·n) = (p_num·n + p_den − 1) div p_den in
+    # exact integer space (decimal-widened: p_num can be ~2^52).
+    # The final +1 beyond the lemma's ⌈t·n⌉−based length absorbs the
+    # half-ulp class where J_real sits just below t but the verify's
+    # DOUBLE compare keeps the pair (both engines verify that way) —
+    # one extra indexed gram per doc buys rigor for every float t.
+    p_num, p_den = float(threshold).as_integer_ratio()
+    ceil_tn = F.expr(
+        f"CAST((CAST(n_sh AS DECIMAL(38,0)) * {p_num} + {p_den - 1})"
+        f" div {p_den} AS BIGINT)")
+    p = F.col("n_sh") - ceil_tn + 2
     prefix = ranked.filter(F.col("_rn") <= p).select(id_col, "s", "n_sh")
     a, b = prefix.alias("a"), prefix.alias("b")
     # ppjoin SIZE BAND, applied IN-JOIN (the r12 edit-distance-band
@@ -614,12 +628,14 @@ def prefix_filter_pairs_tracked(
     # intersection is at least t·|a∪b| >= t·max(|a|,|b|) and fits in
     # the smaller set), so banding the candidate join on shingle-set
     # sizes is LOSSLESS — the brute-force oracle twin proves it per
-    # round. Measured 24% candidate cut at sf0.1 on the fixture's
-    # uniform doc sizes; bigger on real heavy-tailed corpora.
-    band = [F.col("b.n_sh")
-            >= F.ceil(F.lit(threshold) * F.col("a.n_sh")).cast("long"),
-            F.col("b.n_sh")
-            <= F.floor(F.col("a.n_sh") / F.lit(threshold)).cast("long")]
+    # round. Stated in exact integers with one unit of slack per side
+    # (same rationale as the prefix length): keep (a,b) iff
+    # t·|a| <= |b|+1 and t·(|b|−1) <= |a|. Measured 24% candidate
+    # cut at sf0.1 on uniform doc sizes; bigger on real corpora.
+    band = [F.expr(f"CAST(a.n_sh AS DECIMAL(38,0)) * {p_num}"
+                   f" <= CAST(b.n_sh + 1 AS DECIMAL(38,0)) * {p_den}"),
+            F.expr(f"CAST(b.n_sh - 1 AS DECIMAL(38,0)) * {p_num}"
+                   f" <= CAST(a.n_sh AS DECIMAL(38,0)) * {p_den}")]
     cand = (a.join(b, [F.col("a.s") == F.col("b.s"),
                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
                        *band])

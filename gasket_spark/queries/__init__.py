@@ -27,12 +27,19 @@ ORACLES: dict[str, str] = {}
 
 def _sql_literals(sql: str) -> list[str]:
     """Extract the content of every single-quoted SQL string literal,
-    honoring ``''`` escapes and skipping ``--`` line comments (the r13
-    ADVICE fix: the old split-on-quote parity scan miscounted when an
-    apostrophe appeared OUTSIDE a literal — e.g. "doesn't" in a future
-    SQL comment — flipping parity for the rest of the string)."""
+    honoring ``''`` escapes and ``"``-quoted identifiers (an
+    apostrophe inside one must not open a literal — the r13 ADVICE
+    fix generalized: the old split-on-quote parity scan miscounted
+    whenever an apostrophe appeared OUTSIDE a literal).
+
+    REFUSES ``--`` and ``/*`` comments outside literals/identifiers
+    (ValueError): registry normalization collapses newlines, so a
+    line comment would silently swallow the rest of the oracle — a
+    far worse corruption than the whitespace-run class the literal
+    guard exists for. Registered oracles must be comment-free."""
     lits: list[str] = []
     cur: list[str] | None = None  # None = outside a literal
+    in_ident = False
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
@@ -46,12 +53,22 @@ def _sql_literals(sql: str) -> list[str]:
                 cur = None
             else:
                 cur.append(c)
+        elif in_ident:
+            if c == '"':
+                if i + 1 < n and sql[i + 1] == '"':  # "" escape
+                    i += 2
+                    continue
+                in_ident = False
         elif c == "'":
             cur = []
-        elif c == "-" and sql[i:i + 2] == "--":
-            j = sql.find("\n", i)
-            i = n if j < 0 else j
-            continue
+        elif c == '"':
+            in_ident = True
+        elif sql[i:i + 2] in ("--", "/*"):
+            raise ValueError(
+                f"SQL comment marker {sql[i:i + 2]!r} outside a "
+                "literal: registry whitespace normalization collapses "
+                "newlines, which would swallow the rest of the oracle "
+                "— registered oracles must be comment-free")
         i += 1
     return lits
 
@@ -76,7 +93,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # catch: the BPE word separator corrupted to a symbol
             # separator). Refuse loudly at import: state such
             # literals as ' ' || ' ' instead.
-            for lit in _sql_literals(oracle):
+            try:
+                lits = _sql_literals(oracle)
+            except ValueError as e:
+                raise ValueError(f"{name}: {e}") from None
+            for lit in lits:
                 if "  " in lit or "\n" in lit or "\t" in lit:
                     raise ValueError(
                         f"{name}: oracle string literal {lit!r} "

@@ -2772,9 +2772,10 @@ def q_split_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(freq) OVER (ORDER BY rank
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS cum_freq,
-           CAST(SUM(freq) OVER (ORDER BY rank
+           CAST(CAST(SUM(freq) OVER (ORDER BY rank
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS BIGINT) * 1000000000 // total.n AS coverage_ppb
+             AS HUGEINT) * 1000000000 // total.n AS BIGINT)
+             AS coverage_ppb
     FROM top, total
     """,
 )
@@ -2793,8 +2794,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps — NO global sort, unlike a bare row_number window over the
     full vocabulary); the rank/cumsum windows then run over the
     BOUNDED 1024-row table, fine at any corpus size (the pack_shards
-    totals-window precedent). Total token count is a driver-side
-    1-row scalar."""
+    totals-window precedent). Total gram count is a driver-side 1-row
+    scalar from a DOC-GRAIN closed form (each doc emits
+    max(len−7, 0) grams — no second corpus explode), and the ppb
+    numerator is decimal/HUGEINT-widened: cum_freq·1e9 clears 2^63
+    at ~1e10 total grams (r13 self-review catch — the same widening
+    rule q_bm25_topk applies)."""
     docs = read_table(spark, sf_dir, "documents")
     n = F.length("text") - 7
     gidx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
@@ -2804,7 +2809,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     top = freq.orderBy(F.col("freq").desc(), F.col("tok").asc()) \
         .limit(1024)
-    total = toks.count()  # driver-side scalar: one cheap count job
+    total = docs.select(F.sum(F.greatest(
+        F.length("text") - 7, F.lit(0)).cast("bigint"))).collect()[0][0]
     wr = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
     wc = Window.orderBy("rank").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
@@ -2813,7 +2819,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("rank").cast("int").alias("rank"), "tok",
                     F.col("freq").cast("long").alias("freq"),
                     F.col("cum_freq").cast("long").alias("cum_freq"),
-                    F.expr(f"cum_freq * 1000000000 div {total}")
+                    F.expr(f"CAST(CAST(cum_freq AS DECIMAL(38,0))"
+                           f" * 1000000000 div {total} AS BIGINT)")
                     .alias("coverage_ppb")))
 
 

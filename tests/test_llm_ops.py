@@ -1001,6 +1001,33 @@ class TestPrefixFilter:
                D.prefix_filter_pairs(docs, threshold=0.5).collect()}
         assert got == want
 
+    def test_prefix_lossless_for_inexact_thresholds(self, spark):
+        """The r13 self-review counterexample, pinned: at t=0.55 a
+        100-shingle doc with a 55-shingle subset doc has J = 55/100 =
+        0.55 — the float form ceil(lit(0.55)·100) evaluated to 56 and
+        the size band dropped the pair the verify compare keeps. The
+        exact-ratio arithmetic (p_num/p_den = the double, decimal-
+        widened, one unit of slack) must keep it, for EVERY common
+        threshold — checked against the uncapped inverted-index join,
+        pair for pair."""
+        toks = [f"w{i:03d}" for i in range(102)]
+        rows = [(1, " ".join(toks)),          # 100 distinct 3-shingles
+                (2, " ".join(toks[:57])),     # 55 shingles, all shared
+                (3, " ".join(toks[40:102])),  # 60 shingles, partial
+                (4, " ".join(reversed(toks[:30])))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (0.5, 0.55, 0.65, 0.8, 0.85):
+            want = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                    D.ngram_jaccard_pairs(df, threshold=t,
+                                          max_doc_freq=None).collect()}
+            got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                   D.prefix_filter_pairs(df, threshold=t).collect()}
+            assert got == want, f"threshold {t}: {got ^ want}"
+        # the headline case really is in the t=0.55 output
+        pairs55 = {(r.id_a, r.id_b) for r in
+                   D.prefix_filter_pairs(df, threshold=0.55).collect()}
+        assert (1, 2) in pairs55
+
     def test_prefix_skips_boilerplate_shingles(self, spark):
         """High-df shingles sort to the back of every doc's canonical
         order, so a corpus of identical boilerplate still joins ONLY

@@ -84,21 +84,32 @@ def test_guard_is_sensitive_to_hugeint(con):
     assert rows[0][1].split("(")[0].upper() not in PANDAS_EXACT
 
 
-def test_sql_literal_scanner_handles_comments_and_escapes():
+def test_sql_literal_scanner_handles_escapes_and_identifiers():
     """The import-time whitespace-run guard scans literals with a
-    real walker (r13 ADVICE fix), not quote-parity splitting: an
-    apostrophe inside a -- comment must not flip literal detection,
-    '' escapes stay in-literal, and the guard still catches the r12
-    q_bpe_tokens class (a whitespace run inside a literal)."""
+    real walker (r13 ADVICE fix), not quote-parity splitting:
+    '' escapes stay in-literal, an apostrophe inside a double-quoted
+    IDENTIFIER must not open a literal, and the guard still catches
+    the r12 q_bpe_tokens class (a whitespace run inside a literal).
+    Comments are REFUSED outright — registry normalization collapses
+    newlines, so a line comment would swallow the rest of the oracle
+    (a corruption class the guard must block, not legitimize)."""
+    import pytest
+
     from gasket_spark.queries import _sql_literals
 
-    # apostrophe in a comment doesn't corrupt the scan
-    sql = ("SELECT 'a b' AS x -- doesn't trip the scanner\n"
-           "FROM t WHERE y = 'c  d'")
-    assert _sql_literals(sql) == ["a b", "c  d"]
     # '' escape is literal content, not a boundary
     assert _sql_literals("SELECT 'it''s  ok'") == ["it's  ok"]
     # -- inside a literal is content, not a comment
     assert _sql_literals("SELECT 'a -- b', 'c'") == ["a -- b", "c"]
-    # unterminated trailing comment
-    assert _sql_literals("SELECT 'x' -- tail 'not a literal'") == ["x"]
+    # apostrophe inside a quoted identifier doesn't open a literal:
+    # the real literal after it is still scanned (and would still be
+    # guarded for whitespace runs)
+    assert _sql_literals('SELECT "it\'s" AS x, \'a b\'') == ["a b"]
+    # double quotes INSIDE a literal are content (the q_json_variant
+    # shape: JSON text in a single-quoted string)
+    assert _sql_literals("SELECT '{\"k\": 1}' AS j") == ['{"k": 1}']
+    # comment markers outside literals are refused, both kinds
+    with pytest.raises(ValueError, match="comment"):
+        _sql_literals("SELECT 'x' -- doesn't matter")
+    with pytest.raises(ValueError, match="comment"):
+        _sql_literals("SELECT /* block */ 'x'")
