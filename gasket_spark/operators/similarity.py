@@ -604,7 +604,8 @@ def two_level_assignments(corpus: DataFrame, n_coarse: int, n_fine: int,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           sample_mult: int = 64,
-                          iters: int = 10) -> DataFrame:
+                          iters: int = 10,
+                          assign_via: str = "broadcast") -> DataFrame:
     """TWO-LEVEL engine-exact k-means: train + assign K = n_coarse ×
     n_fine clusters without ever running a driver-side Lloyd loop
     bigger than n_coarse centroids — the scale path past the flat
@@ -626,9 +627,25 @@ def two_level_assignments(corpus: DataFrame, n_coarse: int, n_fine: int,
     ties, keep-on-empty), so where the iterations execute is
     irrelevant to the result and a grouped ANSI-SQL restatement
     (iteration CTEs keyed by (cell, centroid) instead of centroid —
-    see queries/llm.py:_kmeans2_cte_sql) is bit-identical. Fine
-    assignment is a COGROUPED ``applyInPandas`` — (cell members ×
-    cell centroids) per task, zero driver collect, no row blowup.
+    see queries/llm.py:_kmeans2_cte_sql) is bit-identical.
+
+    Fine assignment has two engine-exact regimes (``assign_via``):
+
+    * ``"broadcast"`` (default): the trained quantizer — K rows of
+      (ccl, fcl, centroid), the bounded artifact IVF systems hold in
+      RAM — is collected once and shipped into ONE vectorized Arrow
+      map pass (per-batch group-by-cell argmax). No extra shuffle,
+      and NO per-cell materialization: the memory bound is the
+      quantizer itself, K·dim·8 bytes (~0.5 GB at K = 10⁶, dim 64).
+    * ``"cogroup"``: a cogrouped ``applyInPandas`` — (cell members ×
+      cell centroids) per task, zero driver collect. The bound flips
+      to the largest COARSE CELL materialized as one pandas frame
+      (|corpus|/n_coarse rows — ~1.6 GB at the 10¹⁰-doc north star),
+      the right trade only when K·dim outgrows executor memory.
+
+    Both regimes compute the identical argmax on identical matrices
+    (row-local, integer-scaled dots, lowest-index ties) — pytest pins
+    them equal — so the choice is an execution knob, not semantics.
 
     Cost shape at 100 TB: with n_coarse = n_fine = ceil(sqrt(K)) the
     driver Lloyd is O(K·mult·dim·iters) (linear in K, not quadratic)
@@ -640,9 +657,9 @@ def two_level_assignments(corpus: DataFrame, n_coarse: int, n_fine: int,
     a finer grain (K beyond ~10⁷) recurses the same construction
     (group by (ccl, fcl), sample, applyInPandas — no new machinery).
     Per-cell populations are |corpus|/n_coarse rows through one
-    window/cogroup partition — the operative skew bound; salting the
-    sample rank is the declared mitigation if a single cell outgrows
-    an executor.
+    window partition during sampling — the operative skew bound;
+    salting the sample rank is the declared mitigation if a single
+    cell outgrows an executor.
 
     Returns (id, v, ccl, fcl): the vector and its (coarse, fine)
     cluster key, engine-exact and partition-layout independent.
@@ -688,6 +705,40 @@ def two_level_assignments(corpus: DataFrame, n_coarse: int, n_fine: int,
 
     fine = samp.groupBy("ccl").applyInPandas(
         _train, "ccl long, fcl long, centroid array<double>")
+
+    if assign_via == "broadcast":
+        # the trained quantizer is a BOUNDED artifact (K rows): pull
+        # it once and assign in one vectorized map pass — no extra
+        # shuffle, no per-cell materialization
+        raw: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for r in fine.collect():
+            raw.setdefault(int(r["ccl"]), []).append(
+                (int(r["fcl"]),
+                 np.asarray(r["centroid"], dtype=np.float64)))
+        books = {}
+        for c, rows in raw.items():
+            rows.sort(key=lambda t: t[0])
+            books[c] = (np.asarray([f for f, _ in rows], dtype=np.int64),
+                        np.stack([m for _, m in rows]))
+
+        @pandas_udf(LongType())
+        def _fine_nearest(v: pd.Series, ccl: pd.Series) -> pd.Series:
+            V = np.stack(v.to_numpy()).astype(np.float64)
+            cells = ccl.to_numpy()
+            out = np.empty(len(cells), dtype=np.int64)
+            for c in np.unique(cells):
+                fids, M = books[int(c)]
+                mask = cells == c
+                dint = _int_dots(V[mask], M)
+                out[mask] = fids[
+                    np.argsort(-dint, axis=1, kind="stable")[:, 0]]
+            return pd.Series(out)
+
+        return h.withColumn("fcl",
+                            _fine_nearest(F.col("v"), F.col("ccl")))
+    if assign_via != "cogroup":
+        raise ValueError(f"assign_via must be 'broadcast' or "
+                         f"'cogroup', got {assign_via!r}")
 
     def _assign(members: pd.DataFrame, cents: pd.DataFrame) -> pd.DataFrame:
         if members.empty:  # centroids exist only for non-empty cells

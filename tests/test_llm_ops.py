@@ -1707,7 +1707,7 @@ class TestTwoLevelSemanticDedup:
     def test_assignments_total_and_within_geometry(self, spark):
         """Every input vector gets exactly ONE (ccl, fcl) assignment,
         with labels inside the derived (n_coarse, n_fine) geometry —
-        the cogroup emits no drops and no fan-out."""
+        no drops and no fan-out."""
         from gasket_spark.operators.similarity import (
             two_level_assignments, two_level_shape)
 
@@ -1718,3 +1718,21 @@ class TestTwoLevelSemanticDedup:
         assert sorted(r.id for r in rows) == sorted(
             r.vec_id for r in c.select("vec_id").collect())
         assert all(0 <= r.ccl < nc and 0 <= r.fcl < nf for r in rows)
+
+    def test_assignment_regimes_agree(self, spark):
+        """The broadcast-quantizer map pass (default: bounded K-row
+        artifact, no extra shuffle) and the cogrouped per-cell path
+        (zero driver collect, for K·dim past executor memory) compute
+        the IDENTICAL argmax on identical matrices — same assignments
+        row for row, so the regime is an execution knob, not
+        semantics."""
+        from gasket_spark.operators.similarity import (
+            two_level_assignments, two_level_shape)
+
+        c = self._corpus(spark)
+        nc, nf = two_level_shape(c.count(), 16)
+        a = sorted((r.id, r.ccl, r.fcl) for r in two_level_assignments(
+            c, nc, nf, assign_via="broadcast").collect())
+        b = sorted((r.id, r.ccl, r.fcl) for r in two_level_assignments(
+            c, nc, nf, assign_via="cogroup").collect())
+        assert a == b and len(a) == 50

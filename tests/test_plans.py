@@ -945,14 +945,30 @@ class TestLateR12RegistrationPlanContracts:
 
     def test_dedup_semantic_pairs_only_within_clusters(self, spark):
         """Candidate pairing is a cluster equi-join — never the
-        corpus cross product; coarse assignment and cosine run as
-        Arrow kernels, and the fine trainer + assignment run as
-        DISTRIBUTED grouped-pandas stages (the two-level weak-grade
-        fix: no driver-side O(K²) Lloyd)."""
+        corpus cross product; coarse + fine assignment run as Arrow
+        kernels (the fine quantizer is a bounded broadcast artifact —
+        no cogroup cell materialization in the default regime), and
+        the fine trainer runs as a DISTRIBUTED grouped-pandas stage
+        (the two-level weak-grade fix: no driver-side O(K²) Lloyd)."""
         plan = _plan(QUERIES["q_dedup_semantic"](spark, SF_SMALL))
         assert "ArrowEvalPython" in plan
-        # per-cell fine Lloyd + cogrouped fine assignment
-        assert "FlatMapGroupsInPandas" in plan
-        assert "FlatMapCoGroupsInPandas" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        # the per-cell fine Lloyd runs as a DISTRIBUTED grouped-pandas
+        # stage: in the default broadcast regime it executes eagerly
+        # at build time (the bounded quantizer collect), so pin it on
+        # the lazy cogroup regime's plan, where the same trainer
+        # lineage is visible alongside the cogrouped assignment
+        from pyspark.sql import functions as SF
+
+        from gasket_spark.operators.similarity import (
+            two_level_assignments)
+
+        emb = (spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+               .select("vec_id", SF.transform(
+                   "embedding", lambda x: x.cast("double"))
+                   .alias("embedding")))
+        lazy = _plan(two_level_assignments(emb, 2, 2,
+                                           assign_via="cogroup"))
+        assert "FlatMapGroupsInPandas" in lazy
+        assert "FlatMapCoGroupsInPandas" in lazy
