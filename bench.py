@@ -186,6 +186,9 @@ HEADLINE: dict[str, str] = {
     "q_vocab_coverage": "collect",
     "q_bm25_topk": "collect",
     "q_ngram_novelty": "count",
+    # late-r13: incremental semantic dedup (new batch vs corpus-
+    # trained quantizer — the embedding-space ingest path)
+    "q_dedup_semantic_incr": "count",
 }
 
 

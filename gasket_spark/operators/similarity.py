@@ -600,6 +600,137 @@ def two_level_shape(n: int, target_cluster: int) -> tuple[int, int]:
     return n_coarse, (k + n_coarse - 1) // n_coarse
 
 
+def _coarse_nearest_udf(C: np.ndarray):
+    """Vectorized nearest-coarse-cell pass over RAW vectors (argmax is
+    scale-invariant in v — the ivf_topk rule); stable argsort ties to
+    the lowest cell, bit-identical to the SQL (d DESC, cl ASC)."""
+
+    @pandas_udf(LongType())
+    def _nearest(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        dint = _int_dots(V, C)
+        return pd.Series(
+            np.argsort(-dint, axis=1, kind="stable")[:, 0]
+            .astype(np.int64))
+
+    return _nearest
+
+
+def _fine_centroids_df(corpus: DataFrame, C: np.ndarray, n_fine: int,
+                       id_col: str, vec_col: str, sample_mult: int,
+                       iters: int) -> tuple[DataFrame, DataFrame]:
+    """Coarse-assign the corpus and train the per-cell fine Lloyds
+    DISTRIBUTED (applyInPandas over each cell's hash-ordered sample).
+    Returns (assigned corpus (id, v, ccl), fine centroids
+    (ccl, fcl, centroid)) — the shared level-2 trainer for
+    :func:`two_level_assignments` and :func:`two_level_quantizer`."""
+    h = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"),
+                      _coarse_nearest_udf(C)(F.col(vec_col))
+                      .alias("ccl"))
+    wnd = Window.partitionBy("ccl").orderBy(
+        F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
+    samp = (h.withColumn("fsid", F.row_number().over(wnd))
+            .filter(F.col("fsid") <= n_fine * sample_mult)
+            .select("ccl", "fsid", "v"))
+
+    def _train(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by the hash-sample rank: applyInPandas hands rows in
+        # arbitrary order, but Lloyd init = the first n_fine sample
+        # rows — the per-cell analog of _hash_ordered_sample.
+        pdf = pdf.sort_values("fsid")
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norm = np.maximum(np.sqrt(_scaled_int_sum(X * X) / SCALE), 1e-30)
+        Cf = _lloyd_engine_exact(X / norm[:, None], n_fine, iters)
+        return pd.DataFrame({
+            "ccl": np.full(len(Cf), pdf["ccl"].iloc[0], dtype=np.int64),
+            "fcl": np.arange(len(Cf), dtype=np.int64),
+            "centroid": list(Cf)})
+
+    fine = samp.groupBy("ccl").applyInPandas(
+        _train, "ccl long, fcl long, centroid array<double>")
+    return h, fine
+
+
+def _fine_books(fine: DataFrame) -> dict:
+    """Collect the trained fine centroids into the bounded quantizer
+    artifact: {ccl: (fcl ids asc, (n_fine, dim) matrix)} — K rows
+    total, the in-RAM shape IVF systems ship to every worker."""
+    raw: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in fine.collect():
+        raw.setdefault(int(r["ccl"]), []).append(
+            (int(r["fcl"]),
+             np.asarray(r["centroid"], dtype=np.float64)))
+    books = {}
+    for c, rows in raw.items():
+        rows.sort(key=lambda t: t[0])
+        books[c] = (np.asarray([f for f, _ in rows], dtype=np.int64),
+                    np.stack([m for _, m in rows]))
+    return books
+
+
+def _fine_nearest_udf(books: dict):
+    """Vectorized per-batch nearest-fine-centroid pass: group batch
+    rows by coarse cell, argmax integer-scaled dots within the cell's
+    book, lowest-fcl ties — identical arithmetic to the cogrouped
+    path and the SQL restatement."""
+
+    @pandas_udf(LongType())
+    def _fine_nearest(v: pd.Series, ccl: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        cells = ccl.to_numpy()
+        out = np.empty(len(cells), dtype=np.int64)
+        for c in np.unique(cells):
+            mask = cells == c
+            book = books.get(int(c))
+            if book is None:
+                # only reachable for a FOREIGN frame (assign_two_level
+                # on a new batch): a coarse cell with zero corpus
+                # members has no fine book — and also nothing to pair
+                # with, so the sentinel simply joins to nothing
+                out[mask] = -1
+                continue
+            fids, M = book
+            dint = _int_dots(V[mask], M)
+            out[mask] = fids[
+                np.argsort(-dint, axis=1, kind="stable")[:, 0]]
+        return pd.Series(out)
+
+    return _fine_nearest
+
+
+def two_level_quantizer(corpus: DataFrame, n_coarse: int, n_fine: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        sample_mult: int = 64,
+                        iters: int = 10) -> tuple[np.ndarray, dict]:
+    """Train the two-level quantizer on ``corpus`` and return the
+    bounded artifact (coarse matrix, fine books) WITHOUT assigning —
+    the piece :func:`semantic_dedup_incremental` reuses so a NEW
+    batch can be assigned against an existing corpus' cells (train
+    once on the corpus, never retrain per batch — the production
+    incremental shape)."""
+    C = sampled_kmeans_centroids(corpus, n_coarse, id_col, vec_col,
+                                 sample_mult, iters)
+    _h, fine = _fine_centroids_df(corpus, C, n_fine, id_col, vec_col,
+                                  sample_mult, iters)
+    return C, _fine_books(fine)
+
+
+def assign_two_level(df: DataFrame, C: np.ndarray, books: dict,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Assign ANY frame's vectors to an existing two-level quantizer
+    (coarse argmax, then fine argmax within the cell's book) — two
+    vectorized Arrow map passes, zero shuffles. Returns
+    (id, v, ccl, fcl)."""
+    h = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("v"),
+                  _coarse_nearest_udf(C)(F.col(vec_col)).alias("ccl"))
+    return h.withColumn(
+        "fcl", _fine_nearest_udf(books)(F.col("v"), F.col("ccl")))
+
+
 def two_level_assignments(corpus: DataFrame, n_coarse: int, n_fine: int,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
@@ -669,73 +800,16 @@ def two_level_assignments(corpus: DataFrame, n_coarse: int, n_fine: int,
     embedding-space dedup/ANN family, fully declarative."""
     C = sampled_kmeans_centroids(corpus, n_coarse, id_col, vec_col,
                                  sample_mult, iters)
-
-    @pandas_udf(LongType())
-    def _nearest(v: pd.Series) -> pd.Series:
-        # RAW vectors: argmax_j v·c_j is scale-invariant in v (the
-        # ivf_topk rule); stable argsort ties to the lowest cell.
-        V = np.stack(v.to_numpy()).astype(np.float64)
-        dint = _int_dots(V, C)
-        return pd.Series(
-            np.argsort(-dint, axis=1, kind="stable")[:, 0]
-            .astype(np.int64))
-
-    h = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).alias("v"),
-                      _nearest(F.col(vec_col)).alias("ccl"))
-
-    wnd = Window.partitionBy("ccl").orderBy(
-        F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
-    samp = (h.withColumn("fsid", F.row_number().over(wnd))
-            .filter(F.col("fsid") <= n_fine * sample_mult)
-            .select("ccl", "fsid", "v"))
-
-    def _train(pdf: pd.DataFrame) -> pd.DataFrame:
-        # sort by the hash-sample rank: applyInPandas hands rows in
-        # arbitrary order, but Lloyd init = the first n_fine sample
-        # rows — the per-cell analog of _hash_ordered_sample.
-        pdf = pdf.sort_values("fsid")
-        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        norm = np.maximum(np.sqrt(_scaled_int_sum(X * X) / SCALE), 1e-30)
-        Cf = _lloyd_engine_exact(X / norm[:, None], n_fine, iters)
-        return pd.DataFrame({
-            "ccl": np.full(len(Cf), pdf["ccl"].iloc[0], dtype=np.int64),
-            "fcl": np.arange(len(Cf), dtype=np.int64),
-            "centroid": list(Cf)})
-
-    fine = samp.groupBy("ccl").applyInPandas(
-        _train, "ccl long, fcl long, centroid array<double>")
+    h, fine = _fine_centroids_df(corpus, C, n_fine, id_col, vec_col,
+                                 sample_mult, iters)
 
     if assign_via == "broadcast":
         # the trained quantizer is a BOUNDED artifact (K rows): pull
         # it once and assign in one vectorized map pass — no extra
         # shuffle, no per-cell materialization
-        raw: dict[int, list[tuple[int, np.ndarray]]] = {}
-        for r in fine.collect():
-            raw.setdefault(int(r["ccl"]), []).append(
-                (int(r["fcl"]),
-                 np.asarray(r["centroid"], dtype=np.float64)))
-        books = {}
-        for c, rows in raw.items():
-            rows.sort(key=lambda t: t[0])
-            books[c] = (np.asarray([f for f, _ in rows], dtype=np.int64),
-                        np.stack([m for _, m in rows]))
-
-        @pandas_udf(LongType())
-        def _fine_nearest(v: pd.Series, ccl: pd.Series) -> pd.Series:
-            V = np.stack(v.to_numpy()).astype(np.float64)
-            cells = ccl.to_numpy()
-            out = np.empty(len(cells), dtype=np.int64)
-            for c in np.unique(cells):
-                fids, M = books[int(c)]
-                mask = cells == c
-                dint = _int_dots(V[mask], M)
-                out[mask] = fids[
-                    np.argsort(-dint, axis=1, kind="stable")[:, 0]]
-            return pd.Series(out)
-
-        return h.withColumn("fcl",
-                            _fine_nearest(F.col("v"), F.col("ccl")))
+        books = _fine_books(fine)
+        return h.withColumn(
+            "fcl", _fine_nearest_udf(books)(F.col("v"), F.col("ccl")))
     if assign_via != "cogroup":
         raise ValueError(f"assign_via must be 'broadcast' or "
                          f"'cogroup', got {assign_via!r}")
@@ -795,6 +869,55 @@ def semantic_dedup_two_level(corpus: DataFrame, threshold: float = 0.9,
              .filter(F.col("cos_sim") >= threshold))
     return (pairs.groupBy(F.col("id_b").alias("vec_id"))
             .agg(F.min("id_a").alias("dup_of"),
+                 F.count(F.lit(1)).alias("n_dup_neighbors")))
+
+
+def semantic_dedup_incremental(corpus: DataFrame, new: DataFrame,
+                               threshold: float = 0.9,
+                               target_cluster: int = 1024,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               sample_mult: int = 64,
+                               iters: int = 10) -> DataFrame:
+    """INCREMENTAL semantic dedup — NEW batch vs EXISTING corpus in
+    embedding space (the SemDeDup analog of
+    dedup.incremental_minhash_pairs, the production ingest shape):
+    the two-level quantizer is trained on the CORPUS ONLY (K =
+    ceil(|corpus|/target), never retrained per batch — at steady
+    state it is a persisted artifact), both sides are assigned to its
+    (coarse, fine) cells, and candidate pairing is strictly
+    new-side × corpus-side within a cell — corpus×corpus is never
+    re-paired, so a daily ingest costs |new| + matching-cell corpus
+    rows, not |corpus|². A new vector landing in a coarse cell with
+    no corpus members gets the -1 fine sentinel and simply pairs with
+    nothing (nothing lives there to duplicate).
+
+    Returns (vec_id, dup_of, n_dup_neighbors): each NEW vector with
+    some corpus neighbor at cosine >= ``threshold``, its smallest
+    such corpus id, and the qualifying-neighbor count — engine-exact
+    end to end (the quantizer, assignments, and integer-scaled cosine
+    are all SQL-replicable; the oracle re-derives both levels plus
+    the new-batch assignment from the same CTE builder).
+
+    Self-duplicates WITHIN the new batch are a separate call
+    (:func:`semantic_dedup_two_level` on ``new``), mirroring the
+    MinHash incremental contract."""
+    n = corpus.count()  # driver-side scalar: one cheap count job
+    n_coarse, n_fine = two_level_shape(n, target_cluster)
+    C, books = two_level_quantizer(corpus, n_coarse, n_fine, id_col,
+                                   vec_col, sample_mult, iters)
+    old = assign_two_level(corpus, C, books, id_col, vec_col)
+    newa = assign_two_level(new, C, books, id_col, vec_col)
+    a = newa.select(F.col("id").alias("new_id"),
+                    F.col("v").alias("v_n"), "ccl", "fcl")
+    b = old.select(F.col("id").alias("old_id"),
+                   F.col("v").alias("v_o"), "ccl", "fcl")
+    pairs = (a.join(b, ["ccl", "fcl"])
+             .select("new_id", "old_id",
+                     cosine(F.col("v_n"), F.col("v_o")).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold))
+    return (pairs.groupBy(F.col("new_id").alias("vec_id"))
+            .agg(F.min("old_id").alias("dup_of"),
                  F.count(F.lit(1)).alias("n_dup_neighbors")))
 
 

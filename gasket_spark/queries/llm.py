@@ -933,6 +933,16 @@ def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
     WHERE rnk <= {k}"""
 
 
+def _idot_sql(x: str, y: str, dim: int = 64) -> str:
+    """The engine-exact integer-scaled dot product in DuckDB SQL —
+    the one arithmetic primitive every k-means CTE leans on, exposed
+    module-level so oracle TAILS (e.g. the incremental new-batch
+    assignment) can restate it identically to the builder."""
+    return (f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST(round({x}[i] * {y}[i] * 1e15) AS BIGINT))) "
+            f"AS BIGINT)")
+
+
 def _kmeans2_cte_sql(table: str, head: str, target: int,
                      iters: int = 10, sample_mult: int = 64,
                      dim: int = 64) -> str:
@@ -958,9 +968,7 @@ def _kmeans2_cte_sql(table: str, head: str, target: int,
     internal, order-isomorphic (the established coarse convention)."""
 
     def idot(x: str, y: str) -> str:
-        return (f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> "
-                f"CAST(round({x}[i] * {y}[i] * 1e15) AS BIGINT))) "
-                f"AS BIGINT)")
+        return _idot_sql(x, y, dim)
 
     parts = [f"""
     WITH {head},
@@ -3886,14 +3894,11 @@ _SEM_CORPUS_SQL = """semcorp AS MATERIALIZED (
       FROM embeddings)"""
 
 
-def _semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding")
-    dbl = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double"))
-        .alias("embedding"))
-    pert = emb.select(
+def _clone_batch(emb: DataFrame) -> DataFrame:
+    """The perturbed-clone batch (ids +100000, first coordinate
+    +0.125 — exactly representable): the paraphrase analog shared by
+    the semantic-dedup corpus and the incremental NEW batch."""
+    return emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1).cast("double")
@@ -3901,7 +3906,88 @@ def _semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice("embedding", 2, 63),
                         lambda x: x.cast("double")))
         .alias("embedding"))
-    return dbl.unionByName(pert)
+
+
+def _semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return dbl.unionByName(_clone_batch(emb))
+
+
+_NEW_BATCH_SQL = """newbatch AS MATERIALIZED (
+      SELECT vec_id + 100000 AS vec_id,
+             [CAST(embedding[1] AS DOUBLE) + 0.125] ||
+             list_transform(embedding[2:64], e -> CAST(e AS DOUBLE))
+               AS embedding
+      FROM embeddings)"""
+
+
+@query(
+    "q_dedup_semantic_incr",
+    oracle=_kmeans2_cte_sql(table="embeddings", head=_NEW_BATCH_SQL,
+                            target=64) + f""",
+    ncorp AS (SELECT vec_id,
+                     list_transform(embedding, e -> CAST(e AS DOUBLE))
+                       AS v
+              FROM newbatch),
+    ned AS MATERIALIZED (
+      SELECT e.vec_id, w.cl, {_idot_sql('e.v', 'w.cv')} AS d
+      FROM ncorp e, cvec w),
+    ncassign AS (
+      SELECT vec_id, cl FROM (SELECT vec_id, cl,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl)
+            AS rn
+        FROM ned) WHERE rn = 1),
+    nfed AS MATERIALIZED (
+      SELECT c.vec_id, ca.cl AS ccl, w.cl AS fcl,
+             {_idot_sql('c.v', 'w.cv')} AS d
+      FROM ncorp c JOIN ncassign ca USING (vec_id)
+      JOIN fvec w ON w.ccl = ca.cl),
+    nfassign AS (
+      SELECT vec_id, ccl, fcl FROM (SELECT vec_id, ccl, fcl,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d DESC, fcl) AS rn
+        FROM nfed) WHERE rn = 1),
+    p AS (
+      SELECT n.vec_id AS new_id, o.vec_id AS old_id
+      FROM nfassign n JOIN fassign o
+        ON n.ccl = o.ccl AND n.fcl = o.fcl),
+    sims AS (
+      SELECT p.new_id, p.old_id, {_cos_expr('q', 'c')} AS cos_sim
+      FROM p JOIN newbatch q ON q.vec_id = p.new_id
+             JOIN embeddings c ON c.vec_id = p.old_id)
+    SELECT new_id AS vec_id, CAST(MIN(old_id) AS BIGINT) AS dup_of,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors
+    FROM sims WHERE cos_sim >= 0.95
+    GROUP BY new_id
+    """,
+)
+def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — the production ingest shape: the
+    two-level quantizer trains on the EXISTING corpus only (K =
+    ceil(|corpus|/64), never retrained per batch), the NEW batch
+    (perturbed clones — paraphrases sharing zero n-grams) is assigned
+    to its cells with the SAME bounded quantizer artifact, and
+    pairing is strictly new×corpus within a (coarse, fine) cell —
+    corpus×corpus is never re-paired, so a daily ingest costs
+    |new| + matching-cell corpus rows (the embedding-space analog of
+    q_dedup_incremental's band-join contract). The oracle re-derives
+    the corpus-trained quantizer from _kmeans2_cte_sql and restates
+    the new-batch two-stage assignment as ned/nfed CTEs with the same
+    integer-scaled argmax; a new vector landing in a corpus-empty
+    coarse cell pairs with nothing on both engines (Spark: -1 fine
+    sentinel; SQL: no fvec rows to join)
+    (operators/similarity.py:semantic_dedup_incremental)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    return S.semantic_dedup_incremental(emb, _clone_batch(emb),
+                                        threshold=0.95,
+                                        target_cluster=64)
+
 
 
 @query(

@@ -1719,6 +1719,41 @@ class TestTwoLevelSemanticDedup:
             r.vec_id for r in c.select("vec_id").collect())
         assert all(0 <= r.ccl < nc and 0 <= r.fcl < nf for r in rows)
 
+    def test_incremental_new_vs_corpus_only(self, spark):
+        """semantic_dedup_incremental pairs strictly NEW×corpus: the
+        quantizer trains on the corpus alone, every clone in the new
+        batch reports its original, and no corpus id ever appears as
+        a flagged vec_id (corpus×corpus is never re-paired). Also
+        partition-layout independent."""
+        import numpy as np
+
+        from gasket_spark.operators.similarity import (
+            semantic_dedup_incremental)
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(40, 64) / 8.0
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(40)],
+            "vec_id long, embedding array<double>")
+        new = spark.createDataFrame(
+            [(100 + i, [float(base[i][0]) + 0.0078125]
+              + [float(x) for x in base[i][1:]]) for i in range(10)],
+            "vec_id long, embedding array<double>")
+        out = {r.vec_id: (r.dup_of, r.n_dup_neighbors)
+               for r in semantic_dedup_incremental(
+                   corpus, new, threshold=0.98,
+                   target_cluster=16).collect()}
+        for i in range(10):
+            assert out.get(100 + i, (None,))[0] == i
+        assert all(k >= 100 for k in out)  # only NEW ids flagged
+        a = sorted(out.items())
+        b = sorted(
+            (r.vec_id, (r.dup_of, r.n_dup_neighbors))
+            for r in semantic_dedup_incremental(
+                corpus.repartition(5), new.repartition(3),
+                threshold=0.98, target_cluster=16).collect())
+        assert a == b
+
     def test_assignment_regimes_agree(self, spark):
         """The broadcast-quantizer map pass (default: bounded K-row
         artifact, no extra shuffle) and the cogrouped per-cell path
