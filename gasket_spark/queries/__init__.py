@@ -484,6 +484,59 @@ def _signal_rank() -> dict[str, float]:
     return rank
 
 
+def free_session_caches(spark: SparkSession) -> int:
+    """Session hygiene for LONG-LIVED sessions: release every tracked
+    Spark-resident cache the query layer built — the checkpointed
+    pair graphs (_PAIR_CACHE, _PREFIX_PAIR_CACHE), the graph edge
+    table (_EDGE_CACHE), and the plan-persist intermediates
+    (containment's inverted indexes, winnow's fingerprints,
+    edit-distance's gram table). Entries rebuild on demand, so this
+    trades recompute for memory — the knob a session running hundreds
+    of distinct queries needs (the r13 catch: a full-registry sf0.1
+    sweep OOMed the JVM at query ~209 purely from ACCUMULATED cache
+    blocks; each query re-verified green in a fresh session).
+    Driver-only caches (BPE merge lists) are cleared too. Returns the
+    number of cache entries released."""
+    from gasket_spark.io import free_checkpoint
+    from gasket_spark.queries import llm, relational
+
+    app = spark.sparkContext.applicationId
+    n = 0
+    for cache in (llm._PAIR_CACHE, llm._PREFIX_PAIR_CACHE,
+                  relational._EDGE_CACHE):
+        for k in list(cache):
+            if k[0] == app:
+                free_checkpoint(spark, cache[k][1])
+            del cache[k]
+            n += 1
+    for k in list(llm._PLAN_PERSIST_CACHE):
+        if k[1] == app:
+            for frame in llm._PLAN_PERSIST_CACHE[k][1]:
+                frame.unpersist(False)
+        del llm._PLAN_PERSIST_CACHE[k]
+        n += 1
+    n += len(llm._BPE_MERGE_CACHE)
+    llm._BPE_MERGE_CACHE.clear()
+    # With every tracked cache cleared, any persistent RDD still in
+    # the session is an ORPHANED per-call / per-iteration
+    # localCheckpoint (iterative graph queries cut lineage each round;
+    # DataFrame.unpersist cannot release those blocks) — sweep them.
+    # Contract: callers holding their OWN persisted frames must not
+    # invoke this mid-use; everything the query layer builds rebuilds
+    # on demand.
+    try:
+        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    except Exception:  # pragma: no cover - dead/stopped context
+        return n
+    for rdd in live.values():
+        try:
+            rdd.unpersist(False)
+            n += 1
+        except Exception:  # pragma: no cover - racing teardown
+            pass
+    return n
+
+
 def _load_all() -> None:
     # Import for registration side effects; keep order stable.
     from gasket_spark.queries import llm  # noqa: F401

@@ -1771,3 +1771,26 @@ class TestTwoLevelSemanticDedup:
         b = sorted((r.id, r.ccl, r.fcl) for r in two_level_assignments(
             c, nc, nf, assign_via="cogroup").collect())
         assert a == b and len(a) == 50
+
+
+class TestSessionCacheHygiene:
+    def test_free_session_caches_releases_everything_and_rebuilds(
+            self, spark):
+        """free_session_caches releases EVERY session-resident block —
+        the tracked stamp caches AND the orphaned per-iteration
+        localCheckpoints iterative queries leave behind (the r13
+        catch: a full-registry sf0.1 sweep OOMed at query ~209 purely
+        from accumulated blocks) — and everything rebuilds on demand."""
+        from gasket_spark.queries import QUERIES, free_session_caches
+
+        sf = "/root/testdata/sf0.001"
+        QUERIES["q_dedup_ngram"](spark, sf).count()
+        QUERIES["q_graph_triangles"](spark, sf).count()
+        jsc = spark.sparkContext._jsc
+        assert len(dict(jsc.getPersistentRDDs())) > 0
+        freed = free_session_caches(spark)
+        assert freed > 0
+        assert len(dict(jsc.getPersistentRDDs())) == 0
+        # rebuild on demand, same results
+        n1 = QUERIES["q_dedup_ngram"](spark, sf).count()
+        assert n1 == QUERIES["q_dedup_ngram"](spark, sf).count()

@@ -86,9 +86,25 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    # Bound accumulated cache residency over a full-registry sweep:
+    # the query layer's stamp caches (pair graphs, edge table,
+    # plan-persist intermediates) are deliberately session-lifetime,
+    # and ~200 distinct queries' worth of them crossed the JVM heap
+    # margin at sf0.1 (r13: OOM at query ~209, every query green in a
+    # fresh session). Freeing every N queries keeps the single-session
+    # sweep honest about per-query behavior while capping residency;
+    # entries rebuild on demand so correctness is unaffected.
+    free_every = int(os.environ.get("SPARK_GRAFT_FREE_EVERY", "60"))
+    from gasket_spark.queries import free_session_caches
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
+        if free_every and n_run % free_every == 0:
+            freed = free_session_caches(spark)
+            print(f"-- freed {freed} session cache entries "
+                  f"after {n_run} queries")
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
