@@ -556,20 +556,10 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
     one declarative plan."""
     C = sampled_kmeans_centroids(corpus, n_centroids, id_col, vec_col,
                                  sample_mult, iters)
-
-    @pandas_udf(LongType())
-    def _nearest(v: pd.Series) -> pd.Series:
-        # RAW vectors: argmax_j v·c_j is scale-invariant in v (the
-        # ivf_topk rule); stable argsort ties to the lowest cluster.
-        V = np.stack(v.to_numpy()).astype(np.float64)
-        dint = _int_dots(V, C)
-        return pd.Series(
-            np.argsort(-dint, axis=1, kind="stable")[:, 0]
-            .astype(np.int64))
-
     h = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"),
-                      _nearest(F.col(vec_col)).alias("_cl"))
+                      _coarse_nearest_udf(C)(F.col(vec_col))
+                      .alias("_cl"))
     a = h.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
                  "_cl")
     b = h.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
@@ -579,8 +569,18 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
              .select("id_a", "id_b",
                      cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold))
-    return (pairs.groupBy(F.col("id_b").alias("vec_id"))
-            .agg(F.min("id_a").alias("dup_of"),
+    return _dup_report(pairs, "id_b", "id_a")
+
+
+def _dup_report(pairs: DataFrame, flag: str, ref: str) -> DataFrame:
+    """The SemDeDup survivor tail, stated ONCE for all three dedup
+    forms (flat, two-level, incremental): each flagged vector reports
+    its smallest qualifying neighbor and how many it had. The
+    arithmetic is exactness-critical (the oracle restates it
+    verbatim), so one copy keeps the three forms aligned by
+    construction."""
+    return (pairs.groupBy(F.col(flag).alias("vec_id"))
+            .agg(F.min(ref).alias("dup_of"),
                  F.count(F.lit(1)).alias("n_dup_neighbors")))
 
 
@@ -867,9 +867,7 @@ def semantic_dedup_two_level(corpus: DataFrame, threshold: float = 0.9,
              .select("id_a", "id_b",
                      cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold))
-    return (pairs.groupBy(F.col("id_b").alias("vec_id"))
-            .agg(F.min("id_a").alias("dup_of"),
-                 F.count(F.lit(1)).alias("n_dup_neighbors")))
+    return _dup_report(pairs, "id_b", "id_a")
 
 
 def semantic_dedup_incremental(corpus: DataFrame, new: DataFrame,
@@ -916,9 +914,7 @@ def semantic_dedup_incremental(corpus: DataFrame, new: DataFrame,
              .select("new_id", "old_id",
                      cosine(F.col("v_n"), F.col("v_o")).alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold))
-    return (pairs.groupBy(F.col("new_id").alias("vec_id"))
-            .agg(F.min("old_id").alias("dup_of"),
-                 F.count(F.lit(1)).alias("n_dup_neighbors")))
+    return _dup_report(pairs, "new_id", "old_id")
 
 
 def pq_codebooks(corpus: DataFrame, n_sub: int = 8, n_centroids: int = 16,

@@ -484,7 +484,8 @@ def _signal_rank() -> dict[str, float]:
     return rank
 
 
-def free_session_caches(spark: SparkSession) -> int:
+def free_session_caches(spark: SparkSession,
+                        sweep_orphans: bool = False) -> int:
     """Session hygiene for LONG-LIVED sessions: release every tracked
     Spark-resident cache the query layer built — the checkpointed
     pair graphs (_PAIR_CACHE, _PREFIX_PAIR_CACHE), the graph edge
@@ -496,7 +497,16 @@ def free_session_caches(spark: SparkSession) -> int:
     sweep OOMed the JVM at query ~209 purely from ACCUMULATED cache
     blocks; each query re-verified green in a fresh session).
     Driver-only caches (BPE merge lists) are cleared too. Returns the
-    number of cache entries released."""
+    number of cache entries released.
+
+    ``sweep_orphans=True`` additionally unpersists EVERY remaining
+    persistent RDD in the session — the orphaned per-iteration
+    localCheckpoints iterative graph queries leave behind, which
+    ``DataFrame.unpersist`` cannot release. OPT-IN because the sweep
+    cannot tell an orphan from a checkpointed frame the CALLER still
+    holds, and unpersisting a localCheckpoint is data LOSS (lineage
+    is truncated — the next action raises, it does not rebuild).
+    Default False is always safe: tracked caches rebuild on demand."""
     from gasket_spark.io import free_checkpoint
     from gasket_spark.queries import llm, relational
 
@@ -517,13 +527,13 @@ def free_session_caches(spark: SparkSession) -> int:
         n += 1
     n += len(llm._BPE_MERGE_CACHE)
     llm._BPE_MERGE_CACHE.clear()
-    # With every tracked cache cleared, any persistent RDD still in
-    # the session is an ORPHANED per-call / per-iteration
-    # localCheckpoint (iterative graph queries cut lineage each round;
-    # DataFrame.unpersist cannot release those blocks) — sweep them.
-    # Contract: callers holding their OWN persisted frames must not
-    # invoke this mid-use; everything the query layer builds rebuilds
-    # on demand.
+    if not sweep_orphans:
+        return n
+    # With every tracked cache cleared, a persistent RDD still in the
+    # session is — for the query layer's own workloads — an ORPHANED
+    # per-call / per-iteration localCheckpoint (iterative graph
+    # queries cut lineage each round). See the docstring for why this
+    # sweep is opt-in.
     try:
         live = dict(spark.sparkContext._jsc.getPersistentRDDs())
     except Exception:  # pragma: no cover - dead/stopped context

@@ -1787,9 +1787,18 @@ class TestSessionCacheHygiene:
         QUERIES["q_dedup_ngram"](spark, sf).count()
         QUERIES["q_graph_triangles"](spark, sf).count()
         jsc = spark.sparkContext._jsc
-        assert len(dict(jsc.getPersistentRDDs())) > 0
+        before = len(dict(jsc.getPersistentRDDs()))
+        assert before > 0
+        # default: tracked caches only — always safe, rebuilds on
+        # demand; the triangles per-call localCheckpoint stays (an
+        # orphan the default must NOT touch: a caller-held checkpoint
+        # is indistinguishable, and unpersisting one is data loss)
         freed = free_session_caches(spark)
         assert freed > 0
+        mid = len(dict(jsc.getPersistentRDDs()))
+        assert 0 < mid < before
+        # opt-in sweep releases the orphans too
+        free_session_caches(spark, sweep_orphans=True)
         assert len(dict(jsc.getPersistentRDDs())) == 0
         # rebuild on demand, same results
         n1 = QUERIES["q_dedup_ngram"](spark, sf).count()

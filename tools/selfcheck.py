@@ -100,11 +100,13 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        n_run += 1
-        if free_every and n_run % free_every == 0:
-            freed = free_session_caches(spark)
-            print(f"-- freed {freed} session cache entries "
+        if free_every and n_run and n_run % free_every == 0:
+            # sweep_orphans is safe HERE: selfcheck holds no
+            # checkpointed frames of its own between queries
+            freed = free_session_caches(spark, sweep_orphans=True)
+            print(f"-- freed {freed} session cache entries/blocks "
                   f"after {n_run} queries")
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
