@@ -103,9 +103,16 @@ def lang_id(col: Column | str) -> Column:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles (JVM-side: sequence + transform +
-    element_at; no explode, no UDF)."""
+    element_at; no explode, no UDF). Documents with fewer than ``n``
+    tokens (and NULL text) yield the EMPTY array: ``sequence(1, 0)``
+    DESCENDS in Spark (the dedup.py winnow lesson), and under Spark
+    4's default ANSI mode the old greatest(...,0) form crashed
+    element_at with INVALID_ARRAY_INDEX — the r13 review catch, only
+    reachable on corpora with short/empty docs (never the fixture)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    m = F.size(toks) - (n - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)) \
+        .otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j) for j in range(n)]))
 
@@ -165,6 +172,9 @@ def hashed_shingle_set(col: Column | str, n: int = 3) -> Column:
         err = np.seterr(over="ignore")
         try:
             for h in tok_hashes:
+                if h is None:  # NULL text -> empty shingle set
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
                 x = np.asarray(h, dtype=np.int64).view(np.uint64)
                 m = x.size - n + 1
                 if m <= 0:
@@ -191,6 +201,11 @@ def minhash_band_hashes(hashed_col: Column, num_hashes: int = 64,
     interpreted-expression evaluations (one xxhash64 pass instead of
     ``num_hashes``). Deterministic for a fixed seed.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}) — a truncated rows_per_band would silently "
+            "drop hashes then crash in the executor reshape")
     rows_per_band = num_hashes // bands
     rng = np.random.RandomState(seed)
     a = (rng.randint(0, 2 ** 62, num_hashes, dtype=np.uint64) * 2 + 1)
@@ -203,7 +218,8 @@ def minhash_band_hashes(hashed_col: Column, num_hashes: int = 64,
         err = np.seterr(over="ignore")  # uint64 wraparound is the point
         try:
             for h in hashes:
-                x = np.asarray(h, dtype=np.int64).view(np.uint64)
+                x = (np.empty(0, dtype=np.int64) if h is None
+                     else np.asarray(h, dtype=np.int64)).view(np.uint64)
                 if x.size == 0:
                     sig = np.full(num_hashes, 2 ** 63 - 1, dtype=np.uint64)
                 else:
@@ -232,7 +248,8 @@ def simhash_from_token_hashes(hashed_col: Column, bits: int = 64) -> Column:
     def _simhash(hashes: pd.Series) -> pd.Series:
         out = []
         for h in hashes:
-            x = np.asarray(h, dtype=np.int64).view(np.uint64)
+            x = (np.empty(0, dtype=np.int64) if h is None
+                 else np.asarray(h, dtype=np.int64)).view(np.uint64)
             if x.size == 0:
                 out.append(np.zeros(bits, dtype=np.int32))
                 continue
@@ -290,7 +307,8 @@ def simhash64(col: Column | str, bits: int = 64,
     def _simhash(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=np.uint64)
         for k, h in enumerate(hashes):
-            x = np.asarray(h, dtype=np.int64).view(np.uint64)
+            x = (np.empty(0, dtype=np.int64) if h is None
+                 else np.asarray(h, dtype=np.int64)).view(np.uint64)
             if x.size == 0:
                 continue
             uniq, cnt = np.unique(x, return_counts=True)
@@ -312,9 +330,35 @@ def fingerprint(col: Column | str) -> Column:
 
 def rolling_hash(col: Column | str, base: int = 1_000_003) -> Column:
     """Polynomial rolling hash over the token sequence (order
-    *sensitive*, unlike :func:`fingerprint`): h = Σ h*B + xxhash64(t),
-    wrapping in signed-64 space. A left-fold, so the value is
-    well-defined and engine-reproducible."""
-    return F.aggregate(
-        tokens(col), F.lit(0).cast("long"),
-        lambda acc, t: acc * base + F.xxhash64(t))
+    *sensitive*, unlike :func:`fingerprint`): h = Σ h·B + xxhash64(t),
+    wrapping mod 2⁶⁴. Runs as an Arrow kernel — Spark 4's default
+    ANSI mode makes the JVM ``aggregate`` fold throw
+    ARITHMETIC_OVERFLOW on the (intended, modular) wrap (the r13
+    review catch), while numpy uint64 arithmetic wraps by definition:
+    h = Σ hash_i · B^(m−1−i), evaluated vectorized per document with
+    wrap-accumulated powers — identical to the left-fold. NULL/empty
+    text hashes to 0."""
+    hashed = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    b = np.uint64(base & 0xFFFFFFFFFFFFFFFF)
+
+    @pandas_udf(LongType())
+    def _roll(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.uint64)
+        err = np.seterr(over="ignore")  # uint64 wrap is the point
+        try:
+            for k, h in enumerate(hs):
+                if h is None:
+                    continue
+                x = np.asarray(h, dtype=np.int64).view(np.uint64)
+                if x.size == 0:
+                    continue
+                pows = np.empty(x.size, dtype=np.uint64)
+                pows[0] = np.uint64(1)
+                for j in range(1, x.size):
+                    pows[j] = pows[j - 1] * b
+                out[k] = (x * pows[::-1]).sum(dtype=np.uint64)
+            return pd.Series(out.view(np.int64))
+        finally:
+            np.seterr(**err)
+
+    return _roll(hashed)

@@ -85,7 +85,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # MEMORY_AND_DISK: at 100 TB this spills instead of recomputing.
     sh = _with_shingles(df, text_col, id_col, n, max_doc_freq,
                         hashed=True).persist()
-    sig = sh.select(
+    # docs with EMPTY shingle sets (< n tokens, NULL text, or fully
+    # df-capped) never enter banding: they all share the all-sentinel
+    # signature, so m such docs would generate 16·m²/2 candidate rows
+    # that the verify then discards at jaccard = 0 < threshold — the
+    # one quadratic hole in the band join (r13 review catch; lossless
+    # for any threshold > 0 because an empty set's jaccard is 0)
+    sig = sh.filter(F.size("sh") > 0).select(
         id_col,
         T.minhash_band_hashes(F.col("sh"), num_hashes, bands)
         .alias("bands"))
@@ -518,7 +524,10 @@ def incremental_minhash_pairs(new: DataFrame, corpus: DataFrame,
                             hashed=True).persist()
 
     def _bands(sh: DataFrame) -> DataFrame:
-        return sh.select(
+        # empty shingle sets excluded before banding — the same
+        # all-sentinel quadratic hole as minhash_lsh_pairs (lossless:
+        # empty-set jaccard is 0 < threshold)
+        return sh.filter(F.size("sh") > 0).select(
             id_col,
             T.minhash_band_hashes(F.col("sh"), num_hashes, bands)
             .alias("bands")) \

@@ -338,6 +338,15 @@ _EDITED_R13: tuple[str, ...] = (
     # used `//`. Output-identical on every fixture; demoted per the
     # same precedent.
     "q_pack_sequences",
+    # empty shingle sets now excluded BEFORE banding (the all-sentinel
+    # signature made the LSH candidate join quadratic in short-doc
+    # count — r13 review catch). Lossless for threshold > 0 and
+    # value-identical on the fixture (no short/NULL docs), but the
+    # operator PLAN changed — demoted per the precedent. The sibling
+    # text.py kernel NULL guards are fixture-unreachable branches and
+    # their consumers are editcheck-ACKED instead.
+    "q_dedup_minhash",
+    "q_dedup_incremental",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

@@ -1803,3 +1803,68 @@ class TestSessionCacheHygiene:
         # rebuild on demand, same results
         n1 = QUERIES["q_dedup_ngram"](spark, sf).count()
         assert n1 == QUERIES["q_dedup_ngram"](spark, sf).count()
+
+
+class TestShortNullDocRobustness:
+    """The r13 review's confirmed-live crash class: fixtures have no
+    short/NULL docs, so the green suite never exercised these paths —
+    every text kernel must survive them (and the LSH band join must
+    not go quadratic on the shared all-sentinel signature)."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, None), (2, "one two"), (3, ""),
+             (4, "alpha beta gamma delta epsilon zeta"),
+             (5, "alpha beta gamma delta epsilon eta")],
+            "doc_id long, text string")
+
+    def test_every_kernel_survives_short_and_null_docs(self, spark):
+        from gasket_spark.functions import text as T
+
+        df = self._corpus(spark)
+        rows = df.select(
+            T.distinct_shingles("text", 3).alias("sh"),
+            T.hashed_shingle_set("text", 3).alias("hs"),
+            T.simhash64("text").alias("sim"),
+            T.simhash_from_token_hashes(
+                F.transform(T.tokens("text"),
+                            lambda t: F.xxhash64(t))).alias("sb"),
+            T.rolling_hash("text").alias("rh")).collect()
+        by_id = {i + 1: r for i, r in enumerate(rows)}
+        # NULL and sub-n docs yield EMPTY shingle sets, not crashes
+        assert by_id[1].sh == [] and by_id[1].hs == []
+        assert by_id[2].sh == [] and by_id[3].sh == []
+        assert len(by_id[4].sh) == 4
+
+    def test_minhash_excludes_empty_sets_from_banding(self, spark):
+        pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(
+            self._corpus(spark), threshold=0.5).collect()}
+        # the two real near-dups pair; the empty-set docs pair with
+        # NOTHING (no all-sentinel quadratic candidates)
+        assert (4, 5) in pairs
+        assert all(a not in (1, 2, 3) and b not in (1, 2, 3)
+                   for a, b in pairs)
+
+    def test_rolling_hash_wraps_and_is_order_sensitive(self, spark):
+        """Under Spark 4's default ANSI mode the old JVM fold threw
+        ARITHMETIC_OVERFLOW on any 2+-token doc; the Arrow kernel
+        wraps mod 2^64 by definition. Order sensitivity is the
+        function's contract vs fingerprint()."""
+        from gasket_spark.functions import text as T
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c b a"), (3, "a b c")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.rh for r in df.select(
+            "doc_id", T.rolling_hash("text").alias("rh")).collect()}
+        assert got[1] == got[3] != got[2]
+        # repartition-invariant (vectorized Horner == left fold)
+        got2 = {r.doc_id: r.rh for r in df.repartition(3).select(
+            "doc_id", T.rolling_hash("text").alias("rh")).collect()}
+        assert got == got2
+
+    def test_band_divisibility_raises_at_call_time(self, spark):
+        from gasket_spark.functions import text as T
+
+        with pytest.raises(ValueError, match="divisible"):
+            T.minhash_band_hashes(F.col("x"), num_hashes=64, bands=12)
