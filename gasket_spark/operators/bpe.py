@@ -162,23 +162,39 @@ def bpe_encode(df: DataFrame, merges: list[tuple],
     merge (x,y) and xy == nothing — adjacency (l, r) never forms,
     but a fused symbol equal to an earlier pattern's left/right can;
     the operator's defined rank-order semantics leaves such re-formed
-    pairs unmerged, exactly as the trainer's own stream would)."""
+    pairs unmerged, exactly as the trainer's own stream would).
+
+    Expression-shape note (the r13 optimization round's catch): the
+    guard must reference the accumulated stream through a LET binding,
+    not directly. ``when(~contains(col, pat), col)`` names ``col``
+    twice, and Catalyst expressions are trees, not DAGs — with the
+    guard value inside a conditional branch, subexpression elimination
+    does not fire, so eight guarded merge layers nested to ~2^8 copies
+    of the replace chain and the encode evaluated EXPONENTIALLY in the
+    merge count (measured 120 s for the sf0.1 noop-sink pass vs ~1 s
+    once let-bound). ``transform(array(col), s -> guard(s))`` binds the
+    evaluated value to a lambda variable: each stage is computed once,
+    the guard references only the variable, and the whole chain is
+    linear again — same values, same in-plan raise, still
+    zero-exchange map-side JVM."""
     col = _padded_symbols_text(text_col)
     for _rank, left, right, _n in merges:
         pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
         for _ in range(passes):
             col = F.replace(col, pat, rep)
         if check_residual:
-            col = F.when(
-                ~F.contains(col, pat), col
-            ).otherwise(F.raise_error(F.concat(F.lit(
+            err = F.concat(F.lit(
                 f"bpe_encode: pattern {left!r}+{right!r} survives "
                 f"{passes} replace passes on "), F.col(id_col).cast(
                     "string"), F.lit(
                 " — raise `passes` so every merge reaches its replace "
                 "fixpoint (the operator's defined semantics) instead "
                 "of silently half-applying a stored merge table to an "
-                "unseen corpus"))))
+                "unseen corpus"))
+            col = F.get(F.transform(
+                F.array(col),
+                lambda s: F.when(~F.contains(s, pat), s)
+                .otherwise(F.raise_error(err))), 0)
     toks = F.split(F.trim(col), " +")
     return df.select(
         F.col(id_col).alias(id_col),
