@@ -96,18 +96,56 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cross-split lookups where the two tables have independent id
     spaces and a numeric collision must not silently hide a real
     neighbor (the knn_label case). Returns (query_id, neighbor_id,
-    cos_sim, rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    cond = (F.col("query_id") != F.col("neighbor_id")) \
-        if exclude_same_id else F.lit(True)
-    scored = (
-        c.join(F.broadcast(q), cond)
-        .select("query_id", "neighbor_id",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
-    )
+    cos_sim, rank).
+
+    Execution shape (r13 optimization round): ``queries`` (the
+    bounded side — same size contract as the old broadcast) is
+    collected once into an in-kernel matrix; the corpus streams
+    through ONE ``mapInPandas`` pass that scores every query against
+    each Arrow batch — no corpus shuffle, and the query×corpus
+    fan-out crosses the Python boundary as three narrow numeric
+    columns instead of |Q|·|C| vector PAIRS (the old
+    BroadcastNestedLoopJoin shipped both 64-dim arrays per pair
+    through Arrow — ~128 doubles of traffic per 16-byte decision,
+    ~820 MB at sf0.1's 400×1600 kNN batch; guide §8: decide with
+    small rows, never move the payload). Per-pair arithmetic is
+    bit-identical to the old per-pair kernel: the same
+    ``_scaled_int_sum`` integer-scaled dot/norms, the same
+    ``dot / (nq · nc)`` float sequence."""
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("q_vec")).collect()
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, "
+                "rank int")
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["q_vec"], dtype=np.float64)
+                  for r in qrows])
+    nq = np.sqrt(_scaled_int_sum(Q * Q) / SCALE)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            ids = pdf["neighbor_id"].to_numpy()
+            nc = np.sqrt(_scaled_int_sum(V * V) / SCALE)
+            for j in range(len(qids)):
+                dot = _scaled_int_sum(V * Q[j]) / SCALE
+                yield pd.DataFrame({
+                    "query_id": np.full(len(ids), qids[j],
+                                        dtype=np.int64),
+                    "neighbor_id": ids,
+                    "cos_sim": dot / (nq[j] * nc)})
+
+    scored = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("c_vec"))
+              .mapInPandas(_score,
+                           "query_id long, neighbor_id long, "
+                           "cos_sim double"))
+    if exclude_same_id:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -1165,15 +1203,52 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     int64 too (femto-units, 1e-15) — the earlier round(score/1e15, 9)
     double re-introduced engine-specific decimal rounding on an
     otherwise bit-exact pipeline (the r8 fixed-point rule)."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                _maxsim_batch(F.col("q_vec"), F.col("c_vec"))
-                .alias("score_i")))
+    # r13 optimization: same corpus-stream shape as cosine_topk — the
+    # bounded query set is collected once into the kernel closure and
+    # the corpus makes ONE mapInPandas pass; the query×corpus product
+    # crosses Arrow as narrow (id, id, score) rows, never as vector
+    # pairs, and the old BroadcastNestedLoopJoin disappears. The 8×8
+    # sub-dot lattice arithmetic is byte-identical to _maxsim_batch
+    # (same reshape/round/max/sum sequence per pair).
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("q_vec")).collect()
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, maxsim_femto long, "
+                "rank int")
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    Qm = np.stack([np.asarray(r["q_vec"], dtype=np.float64)
+                   for r in qrows])
+    n_sub = 8
+    d = Qm.shape[1] // n_sub
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            ids = pdf["neighbor_id"].to_numpy()
+            c = V.reshape(len(V), 1, n_sub, d)
+            for j in range(len(qids)):
+                q = Qm[j].reshape(n_sub, 1, d)
+                scaled = q * c * SCALE             # (B, i, j, k)
+                terms = (np.sign(scaled)
+                         * np.floor(np.abs(scaled) + 0.5)) \
+                    .astype(np.int64)
+                score = terms.sum(axis=3).max(axis=2).sum(axis=1)
+                yield pd.DataFrame({
+                    "query_id": np.full(len(ids), qids[j],
+                                        dtype=np.int64),
+                    "neighbor_id": ids,
+                    "score_i": score})
+
+    scored = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("c_vec"))
+              .mapInPandas(_score,
+                           "query_id long, neighbor_id long, "
+                           "score_i long")
+              .filter(F.col("query_id") != F.col("neighbor_id")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_i").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -496,10 +496,15 @@ class TestNewQueryPlanContracts:
         assert "SortMergeJoin" not in plan
 
     def test_maxsim_broadcast_arrow_kernel(self, spark):
-        """Queries broadcast; the corpus streams through the Arrow
-        MaxSim kernel; one window exchange for per-query top-k."""
+        """The corpus streams through ONE MapInPandas MaxSim pass
+        with the bounded query set held in the kernel closure (r13:
+        the old BroadcastNestedLoopJoin shipped both 64-dim vectors
+        per query×corpus pair through Arrow); one window exchange for
+        per-query top-k, no join of any kind."""
         plan = _plan(QUERIES["q_sim_maxsim"](spark, SF_SMALL))
-        assert "ArrowEvalPython" in plan
+        assert "MapInPandas" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" not in plan
         assert plan.count("Exchange (") <= 2, plan
         assert "SortMergeJoin" not in plan
 
@@ -820,13 +825,16 @@ class TestR11RegistrationPlanContracts:
         assert "CartesianProduct" not in plan
 
     def test_knn_label_broadcasts_queries_and_neighbors(self, spark):
-        """Corpus never shuffles: the query set broadcasts into the
-        scoring pass (the BroadcastNestedLoopJoin IS the declared
-        query×corpus scoring product, queries-side bounded) and the
-        |queries|·k neighbor set broadcasts into the label lookup —
-        no sort-merge join anywhere."""
+        """Corpus never shuffles: the bounded query batch rides in
+        the scoring kernel's closure and the corpus makes ONE
+        MapInPandas pass emitting narrow (query, neighbor, cos) rows
+        (r13: the old BroadcastNestedLoopJoin shipped both 64-dim
+        vectors per pair through Arrow — ~128 doubles per 16-byte
+        decision); the |queries|·k neighbor set still broadcasts into
+        the label lookup — no BNLJ, no sort-merge join anywhere."""
         plan = _plan(QUERIES["q_knn_label"](spark, SF_SMALL))
-        assert "BroadcastNestedLoopJoin" in plan
+        assert "MapInPandas" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
