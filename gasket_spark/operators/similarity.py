@@ -891,11 +891,47 @@ def semantic_dedup_two_level(corpus: DataFrame, threshold: float = 0.9,
     (coarse, fine) cluster — expected pairing work ~ |corpus| ·
     target_cluster / 2, LINEAR in the corpus at fixed target — and
     applies the same deterministic min-lower-id survivor rule.
-    Returns (vec_id, dup_of, n_dup_neighbors), engine-exact."""
-    n = corpus.count()  # driver-side scalar: one cheap count job
+    Returns (vec_id, dup_of, n_dup_neighbors), engine-exact.
+
+    Cache lifecycle: the two persists (corpus, assignment) live as
+    long as the returned lazy plan — long-lived sessions should use
+    :func:`semantic_dedup_two_level_tracked` and unpersist on
+    eviction (q_dedup_semantic holds them in the plan-persist stamp
+    cache). This convenience form discards the handles."""
+    out, _cached = semantic_dedup_two_level_tracked(
+        corpus, threshold=threshold, target_cluster=target_cluster,
+        id_col=id_col, vec_col=vec_col, sample_mult=sample_mult,
+        iters=iters)
+    return out
+
+
+def semantic_dedup_two_level_tracked(
+        corpus: DataFrame, threshold: float = 0.9,
+        target_cluster: int = 1024, id_col: str = "vec_id",
+        vec_col: str = "embedding", sample_mult: int = 64,
+        iters: int = 10) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """:func:`semantic_dedup_two_level` plus the persisted
+    intermediates, so callers can unpersist on eviction.
+
+    r13 optimization: the pipeline makes FIVE passes over the corpus
+    frame (the |C| count, the coarse hash-ordered sample, the
+    per-cell fine sample, and both sides of the pairing self-join) —
+    without a persist each pass re-ran the corpus construction, and
+    the self-join additionally evaluated the coarse+fine assignment
+    UDF subtree twice (Catalyst plans are trees; a self-join
+    duplicates the unmaterialized subtree). Persisting the corpus
+    projection once and the (id, v, ccl, fcl) assignment once turns
+    both sides of the self-join into scans of one in-memory relation
+    (sf0.1: 15.4 s -> ~7 s isolated). At 100 TB the assignment
+    persist is corpus-sized — MEMORY_AND_DISK spills rather than
+    recomputing two Arrow passes, the standard space-for-compute
+    trade, and the tracked handles let the caller bound residency."""
+    corpus = corpus.select(F.col(id_col), F.col(vec_col)).persist()
+    n = corpus.count()  # driver-side scalar; also materializes corpus
     n_coarse, n_fine = two_level_shape(n, target_cluster)
     assigned = two_level_assignments(corpus, n_coarse, n_fine, id_col,
-                                     vec_col, sample_mult, iters)
+                                     vec_col, sample_mult,
+                                     iters).persist()
     a = assigned.select(F.col("id").alias("id_a"),
                         F.col("v").alias("v_a"), "ccl", "fcl")
     b = assigned.select(F.col("id").alias("id_b"),
@@ -905,7 +941,7 @@ def semantic_dedup_two_level(corpus: DataFrame, threshold: float = 0.9,
              .select("id_a", "id_b",
                      cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold))
-    return _dup_report(pairs, "id_b", "id_a")
+    return _dup_report(pairs, "id_b", "id_a"), (corpus, assigned)
 
 
 def semantic_dedup_incremental(corpus: DataFrame, new: DataFrame,
@@ -937,8 +973,33 @@ def semantic_dedup_incremental(corpus: DataFrame, new: DataFrame,
 
     Self-duplicates WITHIN the new batch are a separate call
     (:func:`semantic_dedup_two_level` on ``new``), mirroring the
-    MinHash incremental contract."""
-    n = corpus.count()  # driver-side scalar: one cheap count job
+    MinHash incremental contract.
+
+    Cache lifecycle: the corpus persist lives as long as the returned
+    lazy plan — long-lived sessions should use
+    :func:`semantic_dedup_incremental_tracked` and unpersist on
+    eviction (q_dedup_semantic_incr holds it in the plan-persist
+    stamp cache). This convenience form discards the handle."""
+    out, _cached = semantic_dedup_incremental_tracked(
+        corpus, new, threshold=threshold,
+        target_cluster=target_cluster, id_col=id_col, vec_col=vec_col,
+        sample_mult=sample_mult, iters=iters)
+    return out
+
+
+def semantic_dedup_incremental_tracked(
+        corpus: DataFrame, new: DataFrame, threshold: float = 0.9,
+        target_cluster: int = 1024, id_col: str = "vec_id",
+        vec_col: str = "embedding", sample_mult: int = 64,
+        iters: int = 10) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """:func:`semantic_dedup_incremental` plus the persisted corpus
+    handle, so callers can unpersist on eviction. The corpus frame
+    is read by FOUR jobs (count, coarse sample, fine sample, the
+    old-side assignment of the pairing join) — one persist replaces
+    four re-evaluations of the corpus construction (r13; same
+    rationale as :func:`semantic_dedup_two_level_tracked`)."""
+    corpus = corpus.select(F.col(id_col), F.col(vec_col)).persist()
+    n = corpus.count()  # driver-side scalar; also materializes corpus
     n_coarse, n_fine = two_level_shape(n, target_cluster)
     C, books = two_level_quantizer(corpus, n_coarse, n_fine, id_col,
                                    vec_col, sample_mult, iters)
@@ -952,7 +1013,7 @@ def semantic_dedup_incremental(corpus: DataFrame, new: DataFrame,
              .select("new_id", "old_id",
                      cosine(F.col("v_n"), F.col("v_o")).alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold))
-    return _dup_report(pairs, "new_id", "old_id")
+    return _dup_report(pairs, "new_id", "old_id"), (corpus,)
 
 
 def pq_codebooks(corpus: DataFrame, n_sub: int = 8, n_centroids: int = 16,

@@ -3984,9 +3984,12 @@ def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:semantic_dedup_incremental)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
-    return S.semantic_dedup_incremental(emb, _clone_batch(emb),
-                                        threshold=0.95,
-                                        target_cluster=64)
+
+    def _build():
+        return S.semantic_dedup_incremental_tracked(
+            emb, _clone_batch(emb), threshold=0.95, target_cluster=64)
+
+    return _plan_persist_cached(spark, sf_dir, "semantic_incr", _build)
 
 
 
@@ -4026,6 +4029,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.95 as a duplicate of its smallest such neighbor — the dedup
     layer that catches paraphrases/re-encodings sharing zero n-grams,
     ABOVE MinHash/SimHash in a curation stack
-    (operators/similarity.py:semantic_dedup_two_level)."""
-    return S.semantic_dedup_two_level(_semantic_corpus(spark, sf_dir),
-                                      threshold=0.95, target_cluster=64)
+    (operators/similarity.py:semantic_dedup_two_level). The corpus
+    and assignment persists live in the plan-persist stamp cache
+    (r13: the pairing self-join re-ran the whole clone-corpus
+    construction and both assignment UDF passes per side without
+    them — intermediates only; the pairing/report still computes per
+    action)."""
+    def _build():
+        return S.semantic_dedup_two_level_tracked(
+            _semantic_corpus(spark, sf_dir), threshold=0.95,
+            target_cluster=64)
+
+    return _plan_persist_cached(spark, sf_dir, "semantic", _build)
