@@ -630,7 +630,8 @@ def prefix_filter_pairs_tracked(
         f"CAST((CAST(n_sh AS DECIMAL(38,0)) * {p_num} + {p_den - 1})"
         f" div {p_den} AS BIGINT)")
     p = F.col("n_sh") - ceil_tn + 2
-    prefix = ranked.filter(F.col("_rn") <= p).select(id_col, "s", "n_sh")
+    prefix = ranked.filter(F.col("_rn") <= p).select(id_col, "s", "n_sh",
+                                                    "_rn")
     a, b = prefix.alias("a"), prefix.alias("b")
     # ppjoin SIZE BAND, applied IN-JOIN (the r12 edit-distance-band
     # precedent): J(a,b) >= t forces t·|a| <= |b| <= |a|/t (the
@@ -645,9 +646,26 @@ def prefix_filter_pairs_tracked(
                    f" <= CAST(b.n_sh + 1 AS DECIMAL(38,0)) * {p_den}"),
             F.expr(f"CAST(b.n_sh - 1 AS DECIMAL(38,0)) * {p_num}"
                    f" <= CAST(a.n_sh AS DECIMAL(38,0)) * {p_den}")]
+    # ppjoin POSITIONAL filter (r13), applied in-join like the size
+    # band: all common shingles of a pair sit at global-order rank >=
+    # this matched gram's rank in BOTH docs, so the overlap is at most
+    # min(|a| - rn_a, |b| - rn_b) + 1 for THIS match — and J >= t
+    # needs overlap >= t·(|a|+|b|)/(1+t). A row whose bound can't
+    # reach that is dead weight; the pair itself survives iff its
+    # FIRST common prefix gram passes (for a true pair that row's
+    # bound >= the real overlap, which meets the requirement), so
+    # filtering match rows BEFORE the distinct is LOSSLESS — the
+    # brute-force oracle proves it per round. Exact integer
+    # arithmetic, with the same one-unit slack as the band for the
+    # double-verify boundary class (require bound >= o_min - 1).
+    # Measured at sf0.1: 1.29M -> 542k candidate pairs (2.4x).
+    o_min = (f"CAST((CAST(a.n_sh + b.n_sh AS DECIMAL(38,0)) * {p_num}"
+             f" + {p_num + p_den - 1}) div {p_num + p_den} AS BIGINT)")
+    pos = F.expr(f"least(a.n_sh - a._rn, b.n_sh - b._rn) + 2"
+                 f" >= {o_min}")
     cand = (a.join(b, [F.col("a.s") == F.col("b.s"),
                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-                       *band])
+                       *band, pos])
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
