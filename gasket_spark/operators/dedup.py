@@ -774,11 +774,19 @@ def edit_distance_pairs_tracked(
     # canonical global order: (df, gram) — derived identically by any
     # engine from the same corpus, no hashing involved
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    # persist the RANKED table itself, not a projection of it (r13
+    # optimization catch): `full` used to persist ranked.select(...)
+    # while `sig` filtered the UNpersisted ranked — the cache manager
+    # cannot serve a plan that needs `_rk` from a cache that dropped
+    # it, so the explode + df join + rank window (the expensive half
+    # of the build: 2.7M gram rows at sf0.1) executed TWICE, once per
+    # join side. One cache, two cheap derived views.
     ranked = (base.join(dfreq.hint("shuffle_hash"), "g")
               .withColumn("_rk", F.row_number().over(
                   Window.partitionBy("_id")
-                  .orderBy(F.col("_df").asc(), F.col("g").asc()))))
-    full = ranked.select("_id", "g", "_len").persist()
+                  .orderBy(F.col("_df").asc(), F.col("g").asc())))
+              .select("_id", "g", "_len", "_rk").persist())
+    full = ranked.select("_id", "g", "_len")
     sig = ranked.filter(F.col("_rk") <= sig_k).select("_id", "g", "_len")
     s, f = sig.alias("s"), full.alias("f")
     # the |len(a) − len(b)| <= d band applies INSIDE the candidate
@@ -818,4 +826,4 @@ def edit_distance_pairs_tracked(
            .withColumn("edit_distance", dist)
            .filter(F.col("edit_distance") >= 0)
            .select("id_a", "id_b", "edit_distance"))
-    return out, (full,)
+    return out, (ranked,)
