@@ -188,7 +188,12 @@ def hashed_shingle_set(col: Column | str, n: int = 3) -> Column:
         finally:
             np.seterr(**err)
 
-    return _sh(hashed)
+    # asNondeterministic (r13, guide 4.4): the kernel IS pure, but
+    # declaring it non-deterministic stops the optimizer pushing
+    # inferred isnotnull/join filters BELOW the projection, which
+    # duplicated the Arrow kernel (2 evals per row per join side in
+    # the banding/block plans). Planner hint only - values unchanged.
+    return _sh.asNondeterministic()(hashed)
 
 
 def minhash_band_hashes(hashed_col: Column, num_hashes: int = 64,
@@ -234,7 +239,12 @@ def minhash_band_hashes(hashed_col: Column, num_hashes: int = 64,
         finally:
             np.seterr(**err)
 
-    return _bands(hashed_col)
+    # asNondeterministic (r13, guide 4.4): the kernel IS pure, but
+    # declaring it non-deterministic stops the optimizer pushing
+    # inferred isnotnull/join filters BELOW the projection, which
+    # duplicated the Arrow kernel (2 evals per row per join side in
+    # the banding/block plans). Planner hint only - values unchanged.
+    return _bands.asNondeterministic()(hashed_col)
 
 
 def simhash_from_token_hashes(hashed_col: Column, bits: int = 64) -> Column:
@@ -258,7 +268,12 @@ def simhash_from_token_hashes(hashed_col: Column, bits: int = 64) -> Column:
             out.append((bits_m.sum(axis=0) > 0).astype(np.int32))
         return pd.Series(out)
 
-    return _simhash(hashed_col)
+    # asNondeterministic (r13, guide 4.4): the kernel IS pure, but
+    # declaring it non-deterministic stops the optimizer pushing
+    # inferred isnotnull/join filters BELOW the projection, which
+    # duplicated the Arrow kernel (2 evals per row per join side in
+    # the banding/block plans). Planner hint only - values unchanged.
+    return _simhash.asNondeterministic()(hashed_col)
 
 
 def md5_prefix_hash(col: Column, hex_chars: int = 15) -> Column:
@@ -318,7 +333,12 @@ def simhash64(col: Column | str, bits: int = 64,
             out[k] = (sign_bits * weights).sum(dtype=np.uint64)
         return pd.Series(out.view(np.int64))
 
-    return _simhash(hashed)
+    # asNondeterministic (r13, guide 4.4): the kernel IS pure, but
+    # declaring it non-deterministic stops the optimizer pushing
+    # inferred isnotnull/join filters BELOW the projection, which
+    # duplicated the Arrow kernel (2 evals per row per join side in
+    # the banding/block plans). Planner hint only - values unchanged.
+    return _simhash.asNondeterministic()(hashed)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -361,4 +381,9 @@ def rolling_hash(col: Column | str, base: int = 1_000_003) -> Column:
         finally:
             np.seterr(**err)
 
-    return _roll(hashed)
+    # asNondeterministic (r13, guide 4.4): the kernel IS pure, but
+    # declaring it non-deterministic stops the optimizer pushing
+    # inferred isnotnull/join filters BELOW the projection, which
+    # duplicated the Arrow kernel (2 evals per row per join side in
+    # the banding/block plans). Planner hint only - values unchanged.
+    return _roll.asNondeterministic()(hashed)

@@ -493,9 +493,14 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                 out.append(np.unique(mins).tolist())
         return pd.Series(out)
 
+    # asNondeterministic (r13, guide 4.4): pure kernel; the hint stops
+    # inferred-filter pushdown below the projection from duplicating
+    # the Arrow eval per consumer. Values unchanged. (Safe under the
+    # explode: Generate allows non-deterministic generator input.)
     return df.select(
         F.col(id_col).alias(id_col),
-        F.explode(F.array_distinct(_window_mins(hs))).alias("fp"))
+        F.explode(F.array_distinct(
+            _window_mins.asNondeterministic()(hs))).alias("fp"))
 
 
 def incremental_minhash_pairs(new: DataFrame, corpus: DataFrame,

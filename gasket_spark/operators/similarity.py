@@ -80,7 +80,10 @@ def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _cosine_batch(a, b)
+    # asNondeterministic (r13, guide 4.4): pure kernel; the hint stops
+    # inferred-filter pushdown below the projection from duplicating
+    # the Arrow eval per join side. Values unchanged.
+    return _cosine_batch.asNondeterministic()(a, b)
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -316,7 +319,10 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
         bits = ((E @ P) > 0).astype(np.int64)
         return pd.Series(bits @ weights)
 
-    return _bucket(vec)
+    # asNondeterministic (r13, guide 4.4): pure kernel; the hint stops
+    # inferred-filter pushdown below the projection from duplicating
+    # the Arrow eval per join side. Values unchanged.
+    return _bucket.asNondeterministic()(vec)
 
 
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -530,7 +536,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             dint = _int_dots(V, C)
             order = np.argsort(-dint, axis=1, kind="stable")[:, :top_n]
             return pd.Series(list(order.astype(np.int64)))
-        return _nearest
+        return _nearest.asNondeterministic()
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
@@ -651,7 +657,7 @@ def _coarse_nearest_udf(C: np.ndarray):
             np.argsort(-dint, axis=1, kind="stable")[:, 0]
             .astype(np.int64))
 
-    return _nearest
+    return _nearest.asNondeterministic()
 
 
 def _fine_centroids_df(corpus: DataFrame, C: np.ndarray, n_fine: int,
@@ -734,7 +740,7 @@ def _fine_nearest_udf(books: dict):
                 np.argsort(-dint, axis=1, kind="stable")[:, 0]]
         return pd.Series(out)
 
-    return _fine_nearest
+    return _fine_nearest.asNondeterministic()
 
 
 def two_level_quantizer(corpus: DataFrame, n_coarse: int, n_fine: int,
@@ -1089,7 +1095,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return pd.Series(list(codes))
 
     codes = corpus.select(F.col(id_col).alias("neighbor_id"),
-                          _encode(F.col(vec_col)).alias("codes"))
+                          _encode.asNondeterministic()(
+                              F.col(vec_col)).alias("codes"))
     # per-query LUTs: lut[m][j] = int-scaled dot(q_m, B[m][j]) — the
     # bounded collect (|queries| rows) that makes ADC 8 lookups/row
     qrows = queries.select(id_col, vec_col).collect()
