@@ -762,7 +762,15 @@ def edit_distance_pairs_tracked(
     (reference index.js:1-258); this is the typo/OCR-grain stage,
     one declarative plan."""
     sig_k = d * q + 1
-    toks = F.col(text_col)
+    # one narrow persisted (id, text) table feeds EVERY corpus
+    # consumer below — the gram explode, the short-bucket length
+    # tables, and both verify text sides (r13: each of those used to
+    # re-run the caller's corpus construction — the typo-injection
+    # union for q_dedup_edit — once per consumer, four more times
+    # per action)
+    lens = df.select(F.col(id_col).alias("_id"),
+                     F.col(text_col).alias("_txt")).persist()
+    toks = F.col("_txt")
     n = F.length(toks) - (q - 1)
     gidx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
         .otherwise(F.array().cast("array<int>"))
@@ -773,9 +781,9 @@ def edit_distance_pairs_tracked(
     # by the document length (r11 self-review catch); the int length
     # rides along so the LENGTH BAND can prune INSIDE the candidate
     # join (below), not just at verify
-    base = df.select(F.col(id_col).alias("_id"),
-                     F.explode(grams).alias("g"),
-                     F.length(text_col).alias("_len"))
+    base = lens.select(F.col("_id"),
+                       F.explode(grams).alias("g"),
+                       F.length("_txt").alias("_len"))
     # canonical global order: (df, gram) — derived identically by any
     # engine from the same corpus, no hashing involved
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
@@ -810,8 +818,7 @@ def edit_distance_pairs_tracked(
     # guarantee — band them against every doc within d of their
     # length (both sides length-bounded, so the broadcast is tiny)
     short_max_len = q * (d + 1) - 1
-    ids = df.select(F.col(id_col).alias("_id"),
-                    F.length(text_col).alias("_len"))
+    ids = lens.select(F.col("_id"), F.length("_txt").alias("_len"))
     shorts = ids.filter(F.col("_len") <= short_max_len)
     near = ids.filter(F.col("_len") <= short_max_len + d)
     sh, nr = shorts.alias("sh"), near.alias("nr")
@@ -821,8 +828,6 @@ def edit_distance_pairs_tracked(
         .select(F.least("sh._id", "nr._id").alias("id_a"),
                 F.greatest("sh._id", "nr._id").alias("id_b")))
     cand = cand_sig.unionByName(cand_short).distinct()
-    lens = df.select(F.col(id_col).alias("_id"),
-                     F.col(text_col).alias("_txt"))
     a = lens.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
     b = lens.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
@@ -831,4 +836,4 @@ def edit_distance_pairs_tracked(
            .withColumn("edit_distance", dist)
            .filter(F.col("edit_distance") >= 0)
            .select("id_a", "id_b", "edit_distance"))
-    return out, (ranked,)
+    return out, (ranked, lens)

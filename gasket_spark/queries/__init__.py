@@ -347,6 +347,31 @@ _EDITED_R13: tuple[str, ...] = (
     # their consumers are editcheck-ACKED instead.
     "q_dedup_minhash",
     "q_dedup_incremental",
+    # --- r13 OPTIMIZATION-round edits (all value-identical, each
+    # verified by local oracle sweeps at sf0.01, the heavies also at
+    # sf0.1; demoted per the r12 value-identical-plumbing precedent):
+    # BPE encode residual guards let-bound through transform(array(·))
+    # — the old when/contains form nested the replace chain ~2^8 deep
+    # (120 s -> 1.7 s at sf0.1 under the noop sink).
+    "q_bpe_tokens",
+    # exact cosine / MaxSim scoring re-shaped: bounded query set rides
+    # in the kernel closure, corpus streams through ONE mapInPandas
+    # pass emitting narrow rows (the old BNLJ shipped both 64-dim
+    # vectors per pair through Arrow).
+    "q_sim_topk", "q_knn_label", "q_sim_maxsim",
+    # hot Arrow kernels marked non-deterministic (guide 4.4): stops
+    # inferred-filter pushdown duplicating the kernel per join side
+    # (simhash plan: 8 -> 2 ArrowEvalPython). Pure planner hint.
+    "q_dedup_simhash", "q_dedup_embedding", "q_dedup_ngram",
+    "q_sim_ann", "q_sim_ivf", "q_sim_pq", "q_knn_label_ann",
+    "q_fingerprint_winnow", "q_dedup_containment",
+    # edit-distance blocking now persists the ranked gram table once
+    # (projection-persist left `sig` recomputing the explode+window).
+    "q_dedup_edit",
+    # two-level semantic dedup: corpus + assignment persisted via
+    # tracked forms under the plan-persist stamp cache (the pairing
+    # self-join re-ran the assignment subtree per side).
+    "q_dedup_semantic_incr",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

@@ -1117,11 +1117,15 @@ class TestTrackedPersistLifecycle:
             [(1, "the quick brown fox"), (2, "the quick brown fix")],
             "doc_id long, text string")
         out, cached = D.edit_distance_pairs_tracked(df, d=2, q=2)
-        assert len(cached) == 1     # the ranked gram table
+        # r13: the ranked gram table AND the narrow (id, text) lens
+        # table (one persisted corpus feed for the gram explode, the
+        # short bucket, and both verify text sides)
+        assert len(cached) == 2
         assert out.count() == 1
-        assert cached[0].storageLevel.useMemory
-        cached[0].unpersist(False)
-        assert not cached[0].storageLevel.useMemory
+        assert all(f.storageLevel.useMemory for f in cached)
+        for f in cached:
+            f.unpersist(False)
+        assert not any(f.storageLevel.useMemory for f in cached)
 
     def test_query_stamp_cache_reuses_one_plan(self, spark):
         """Repeated q_dedup_containment invocations in one session
