@@ -722,20 +722,34 @@ def edit_distance_pairs_tracked(
     found by PROVABLY LOSSLESS prefix-filter blocking (the ED-Join
     signature scheme) + exact verification.
 
-    Blocking lemma (pigeonhole): one edit operation overlaps at most
-    ``q`` character q-grams, so edit(a, b) <= d implies
-    |gram_set(a) \\ gram_set(b)| <= d·q. Therefore if signature(a) =
-    the d·q+1 grams of a that are GLOBALLY RAREST (canonical total
-    order by (document frequency, gram) — ties broken by the gram
-    string so both engines derive the identical signature), at least
-    one signature gram of a survives in b — candidates generated by
-    joining signatures against full gram sets (both directions, so
-    the lemma only ever needs to hold one way) form a SUPERSET of
-    the true pair set. Rare-gram signatures keep the join fan-out
-    bounded on repetitive corpora where count-filtering on hot grams
-    would go quadratic — the same reason ``prefix_filter_pairs``
-    exists for Jaccard. A |len(a) − len(b)| <= d band prunes cheaply
-    before the verify.
+    Blocking lemma (pigeonhole + prefix filtering): one edit
+    operation overlaps at most ``q`` character q-grams, so
+    edit(a, b) <= d implies |gram_set(a) \\ gram_set(b)| <= d·q AND
+    |gram_set(b) \\ gram_set(a)| <= d·q. With signature(a) = the
+    d·q+1 grams of a that are GLOBALLY RAREST (canonical total order
+    by (document frequency, gram) — ties broken by the gram string
+    so both engines derive the identical signature), the standard
+    prefix-filter lemma (AllPairs/ED-Join) then gives
+    sig(a) ∩ sig(b) != ∅ for every true pair: if the two signatures
+    were disjoint, every gram of the signature whose max element is
+    globally SMALLER would be missing from the other doc's gram set
+    (any such gram present there would rank inside that doc's own
+    d·q+1 prefix), putting d·q+1 grams in one difference set —
+    contradiction. So the candidate join is SIGNATURE × SIGNATURE
+    (r13 optimization round; previously sig × full-gram-set): the
+    join touches only the d·q+1 rarest grams per doc on BOTH sides,
+    so corpus-hot grams never enter either side of the join and the
+    per-gram fan-out is |sig-docs-with-g|² instead of
+    |sig-docs-with-g| · |all-docs-with-g| — the scaling term on
+    repetitive corpora where count-filtering on hot grams would go
+    quadratic (same reason ``prefix_filter_pairs`` exists for
+    Jaccard). Proved lossless by the hypothesis property test
+    (test_properties.py::test_edit_distance_blocking_is_lossless,
+    re-pinned on the sig∩sig rule), the brute-force fixture twin,
+    and the registered oracle (which keeps the sig × full shape —
+    equal FINAL pair sets prove the tighter pruning loses nothing).
+    A |len(a) − len(b)| <= d band prunes cheaply in-join before the
+    verify.
 
     SHORT-STRING completeness (a real defect caught by the
     brute-force test, worth its comment): the lemma only guarantees
@@ -787,33 +801,35 @@ def edit_distance_pairs_tracked(
     # canonical global order: (df, gram) — derived identically by any
     # engine from the same corpus, no hashing involved
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-    # persist the RANKED table itself, not a projection of it (r13
-    # optimization catch): `full` used to persist ranked.select(...)
-    # while `sig` filtered the UNpersisted ranked — the cache manager
-    # cannot serve a plan that needs `_rk` from a cache that dropped
-    # it, so the explode + df join + rank window (the expensive half
-    # of the build: 2.7M gram rows at sf0.1) executed TWICE, once per
-    # join side. One cache, two cheap derived views.
-    ranked = (base.join(dfreq.hint("shuffle_hash"), "g")
-              .withColumn("_rk", F.row_number().over(
-                  Window.partitionBy("_id")
-                  .orderBy(F.col("_df").asc(), F.col("g").asc())))
-              .select("_id", "g", "_len", "_rk").persist())
-    full = ranked.select("_id", "g", "_len")
-    sig = ranked.filter(F.col("_rk") <= sig_k).select("_id", "g", "_len")
-    s, f = sig.alias("s"), full.alias("f")
+    # persist the SIGNATURE table (r13 optimization round): with the
+    # sig × sig candidate join (see docstring lemma) the full ranked
+    # gram table has no consumer beyond this filter, so the cache
+    # holds d·q+1 rows per doc instead of every gram — the explode +
+    # df join + rank window (the expensive half of the build: 2.7M
+    # gram rows at sf0.1) still runs exactly once, serving both join
+    # sides from one cache.
+    sig = (base.join(dfreq.hint("shuffle_hash"), "g")
+           .withColumn("_rk", F.row_number().over(
+               Window.partitionBy("_id")
+               .orderBy(F.col("_df").asc(), F.col("g").asc())))
+           .filter(F.col("_rk") <= sig_k)
+           .select("_id", "g", "_len").persist())
+    s, f = sig.alias("s"), sig.alias("f")
     # the |len(a) − len(b)| <= d band applies INSIDE the candidate
     # join (lossless: levenshtein <= d forces it) — on a repetitive
     # corpus "globally rarest" grams can still be corpus-hot (the r12
     # sf0.1 catch: 19.8k distinct 8-grams over 10k docs made 8.6M
     # unbanded candidates and pushed the verify join to the heap
-    # margin; the in-join band cuts candidates ~20x for free)
+    # margin; the in-join band cuts candidates ~20x for free). The
+    # sig × sig join is symmetric, so `<` (not `!=`) emits each
+    # unordered pair once per shared sig gram — no least/greatest
+    # swap needed and half the pre-distinct rows.
     cand_sig = (s.join(f, "g")
-                .filter((F.col("s._id") != F.col("f._id"))
+                .filter((F.col("s._id") < F.col("f._id"))
                         & (F.abs(F.col("s._len") - F.col("f._len"))
                            <= d))
-                .select(F.least("s._id", "f._id").alias("id_a"),
-                        F.greatest("s._id", "f._id").alias("id_b")))
+                .select(F.col("s._id").alias("id_a"),
+                        F.col("f._id").alias("id_b")))
     # short-string path: docs with <= d·q grams get no signature
     # guarantee — band them against every doc within d of their
     # length (both sides length-bounded, so the broadcast is tiny)
@@ -836,4 +852,4 @@ def edit_distance_pairs_tracked(
            .withColumn("edit_distance", dist)
            .filter(F.col("edit_distance") >= 0)
            .select("id_a", "id_b", "edit_distance"))
-    return out, (ranked, lens)
+    return out, (sig, lens)

@@ -349,7 +349,13 @@ def test_edit_distance_blocking_is_lossless(texts, d):
     the length-banded short bucket), simulated exactly in Python:
     EVERY pair within edit distance d must be a candidate. This is
     the lemma the Spark operator's recall rests on, explored over
-    random corpora instead of the one hand-built fixture."""
+    random corpora instead of the one hand-built fixture.
+
+    r13 (optimization round): the candidate rule tightened from
+    sig(a) ∩ grams(b) to sig(a) ∩ sig(b) — the standard
+    prefix-filter lemma under the global (df, gram) order, which the
+    operator's sig × sig join now relies on — so this test pins the
+    STRONGER claim."""
     q = 2
     sig_k = d * q + 1
     short_max = q * (d + 1) - 1
@@ -365,7 +371,7 @@ def test_edit_distance_blocking_is_lossless(texts, d):
         for b in texts[i + 1:]:
             if _lev(a, b) > d:
                 continue
-            sig_hit = (sig[a] & grams[b]) or (sig[b] & grams[a])
+            sig_hit = sig[a] & sig[b]
             short_hit = (
                 (len(a) <= short_max or len(b) <= short_max)
                 and abs(len(a) - len(b)) <= d
