@@ -1877,13 +1877,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gasket_spark.operators.graph import pagerank
 
     li = read_table(spark, sf_dir, "lineitem")
+    # NARROW vertex ids inside the loop (r13 optimization round,
+    # guide §2.3): the 'p<k>'/'s<k>' vertex strings are an INJECTIVE
+    # image of (2·partkey, 2·suppkey+1), so the whole fixpoint runs
+    # on 8-byte longs — every per-iteration shuffle (rank table to
+    # the edge partitioning + contribution aggregate) carries a long
+    # key instead of a 5-9 char string, and long hashing/compares are
+    # cheaper in the per-round SHJ builds. The fixed-point integer
+    # arithmetic is id-representation-independent (same graph
+    # topology, same degree table, same integer sums), so every
+    # vertex's rank is bit-identical; the final decode rebuilds the
+    # exact 'p'||partkey / 's'||suppkey strings the oracle derives,
+    # BEFORE the (rank desc, v) top-20 order so tie-breaks compare
+    # the same strings.
     p2s = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+        (F.col("l_partkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"))
     edges = p2s.unionByName(
         p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, max_iter=8)
-    return ranks.orderBy(F.desc("rank"), "v").limit(20) \
+    decoded = ranks.select(
+        F.concat(F.when(F.col("v") % 2 == 0, F.lit("p"))
+                 .otherwise(F.lit("s")),
+                 F.expr("CAST(v div 2 AS STRING)")).alias("v"),
+        "rank")
+    return decoded.orderBy(F.desc("rank"), "v").limit(20) \
         .select("v", "rank")
 
 
