@@ -372,6 +372,19 @@ _EDITED_R13: tuple[str, ...] = (
     # tracked forms under the plan-persist stamp cache (the pairing
     # self-join re-ran the assignment subtree per side).
     "q_dedup_semantic_incr",
+    # --- second r13-optimization pass (same value-identical
+    # discipline; each oracle-verified at sf0.01 AND sf0.1):
+    # edit-distance candidate join tightened to signature × signature
+    # (the prefix-filter lemma; q_dedup_edit already listed above);
+    # PageRank fixpoint re-keyed on injective long vertex ids with a
+    # final string decode — bit-identical ranks, narrower per-round
+    # shuffles.
+    "q_pagerank",
+    # theta set-algebra sketch tables (ta/tb) persisted under the
+    # plan-persist stamp cache: four consumers each, no Catalyst
+    # exchange reuse across differing aggregate tops — 18 lineitem
+    # scans per action collapse to 3.
+    "q_theta_setops",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
