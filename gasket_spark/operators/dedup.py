@@ -347,16 +347,28 @@ def containment_pairs_tracked(
                       F.col("n_sh").alias("n_hi"))
     j = common.join(lo, "id_lo").join(hi, "id_hi")
     num, den = F.lit(threshold_num), F.lit(threshold_den)
-    fwd = (j.filter(F.col("n_common") * den >= num * F.col("n_lo"))
-           .select(F.col("id_lo").alias("contained_id"),
-                   F.col("id_hi").alias("container_id"),
-                   "n_common", F.col("n_lo").alias("n_contained")))
-    rev = (j.filter(F.col("n_common") * den >= num * F.col("n_hi"))
-           .select(F.col("id_hi").alias("contained_id"),
-                   F.col("id_lo").alias("container_id"),
-                   "n_common", F.col("n_hi").alias("n_contained")))
+    # BOTH directed containments in ONE pass over j (r13 optimization
+    # round): the old fwd.union(rev) form evaluated the whole
+    # candidate aggregation TWICE — the self-join + groupBy subtree
+    # is not exchange-reusable across the two filter tops — which at
+    # corpus scale doubles the dominant Σ df² work. Each j row now
+    # emits 0-2 direction structs through one explode; row set is
+    # identical (mutual containment still yields both rows).
+    fwd_s = F.when(F.col("n_common") * den >= num * F.col("n_lo"),
+                   F.struct(F.col("id_lo").alias("contained_id"),
+                            F.col("id_hi").alias("container_id"),
+                            F.col("n_common").alias("n_common"),
+                            F.col("n_lo").alias("n_contained")))
+    rev_s = F.when(F.col("n_common") * den >= num * F.col("n_hi"),
+                   F.struct(F.col("id_hi").alias("contained_id"),
+                            F.col("id_lo").alias("container_id"),
+                            F.col("n_common").alias("n_common"),
+                            F.col("n_hi").alias("n_contained")))
+    out = (j.select(F.explode(F.filter(
+               F.array(fwd_s, rev_s), lambda x: x.isNotNull())).alias("p"))
+           .select("p.*"))
     cached = (inv0,) if inv is inv0 else (inv0, inv)
-    return fwd.unionByName(rev), cached
+    return out, cached
 
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",

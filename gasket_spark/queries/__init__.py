@@ -385,6 +385,11 @@ _EDITED_R13: tuple[str, ...] = (
     # exchange reuse across differing aggregate tops — 18 lineitem
     # scans per action collapse to 3.
     "q_theta_setops",
+    # containment now emits both directed containments in ONE pass
+    # over the sized candidate table (explode of 0-2 direction
+    # structs) — the old fwd.union(rev) evaluated the self-join +
+    # groupBy subtree twice. Row set identical (oracle-verified
+    # sf0.01 + sf0.1); q_dedup_containment already listed above.
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
