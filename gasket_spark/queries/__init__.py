@@ -390,6 +390,12 @@ _EDITED_R13: tuple[str, ...] = (
     # structs) — the old fwd.union(rev) evaluated the self-join +
     # groupBy subtree twice. Row set identical (oracle-verified
     # sf0.01 + sf0.1); q_dedup_containment already listed above.
+    # range join bucketized: join key grew a 3-day epoch-bucket
+    # component (each order window spans <= 2 buckets, lossless) —
+    # the 150-value user key alone made the equi join a filtered
+    # cross-product-per-user. Identical rows at sf0.01/sf0.1 and
+    # under both TZ robustness variants.
+    "q_join_range",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
