@@ -14,7 +14,9 @@ host's 1/5/15-minute load averages at start and end so the next
 reader can adjudicate residual inflation without re-deriving it.
 ``common_prev`` compares medians to the previous artifact's numbers
 (single-run for r12 and earlier — the r13 artifact is the calibration
-break, recorded in NOTES.md)."""
+break, recorded in NOTES.md). ``host_calib_start``/``_end`` carry
+fixed-work host-speed probes (see _host_calibration) so two
+artifacts' numbers can be compared net of host drift."""
 
 from __future__ import annotations
 
@@ -240,6 +242,45 @@ def _common_prev(timings: dict[str, float]) -> dict | None:
             "ratio": round(cur / old, 3) if old else None}
 
 
+def _host_calibration(spark) -> dict[str, float]:
+    """FIXED-WORK host-speed probes (r13 optimization round): the load
+    averages added earlier are VM-local and blind to hypervisor-level
+    CPU steal — this sandbox measured identical back-to-back query
+    runs swinging 1.3 s ↔ 21 s with load < 1. Each probe does the
+    exact same work every invocation, so the ratio between two
+    artifacts' calib numbers estimates the host-speed ratio between
+    their runs, letting a reader separate engine change from host
+    drift without re-deriving it. Three axes (median of 3):
+    single-core Python, all-core JVM compute, and one small shuffle
+    (exchange machinery). Total cost ~5 s — outside the timed region,
+    methodology of the query timings unchanged."""
+    def _med3(fn) -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return round(sorted(ts)[1], 3)
+
+    def _py():
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        return acc
+
+    def _jvm():
+        spark.range(100_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s").collect()
+
+    def _shuffle():
+        spark.range(1_000_000).selectExpr("id % 1009 AS k") \
+            .groupBy("k").count().collect()
+
+    return {"py_1core_sec": _med3(_py),
+            "jvm_allcore_sec": _med3(_jvm),
+            "shuffle_sec": _med3(_shuffle)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from gasket_spark.queries import QUERIES
@@ -263,6 +304,7 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     load_start = os.getloadavg()
+    calib_start = _host_calibration(spark)
     # Queries whose RESULT is eagerly checkpointed under a stamp cache
     # (_PAIR_CACHE / _PREFIX_PAIR_CACHE): run 2+ times a ~50 ms cache
     # lookup, not the query (r13 self-review catch — q_dedup_prefix's
@@ -306,6 +348,8 @@ def main() -> None:
         "cold_only": sorted(cold_only & set(timings)),
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "host_calib_start": calib_start,
+        "host_calib_end": _host_calibration(spark),
     }
     cp = _common_prev(timings)
     if cp is not None:
