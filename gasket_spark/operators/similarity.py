@@ -325,6 +325,98 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return _bucket.asNondeterministic()(vec)
 
 
+def _probe_scores_stream(c: DataFrame, qrows: list, probes_int: list[int],
+                         extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Score LSH probe candidates in ONE corpus stream (r13
+    optimization round — the cosine_topk/maxsim_topk shape applied to
+    the bucketed path): the bounded query set — ids, vectors, and
+    their Spark-computed sign buckets — is collected into the kernel
+    closure as a bucket → query-indices dict, and the corpus streams
+    through one ``mapInPandas`` pass that scores each row against
+    exactly the queries probing its bucket.
+
+    The old broadcast bucket equi-join shipped BOTH 64-dim vectors of
+    every candidate pair through Arrow (~128 doubles of traffic per
+    16-byte decision) and then needed a pair-grain groupBy exchange
+    for probe dedup; here candidates cross the Python boundary as
+    narrow (query_id, neighbor_id[, carried cols], cos_sim) rows and
+    the probe dedup is STRUCTURAL — a corpus row has exactly one
+    bucket and one query's probe buckets are pairwise distinct
+    (b^p1 = b^p2 ⟺ p1 = p2), so each (query, row) pair is emitted at
+    most once (which is also why the old ``first()`` dedup never
+    actually merged rows). Per-pair arithmetic is the identical
+    ``_scaled_int_sum`` integer-scaled sequence with the same
+    ``dot / (nq · nc)`` float op order as ``_cosine_batch``, so every
+    score is bit-identical to the join form — the registered oracles
+    (which state the bucket-join form in SQL) prove it per round.
+
+    ``c`` must carry (neighbor_id, c_vec, bucket, *extra_cols);
+    ``qrows`` are collected Rows of (query_id, q_vec, _b). Carried
+    extra columns (e.g. the kNN label) pass through as their pandas
+    batch slices, preserving NULLs."""
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["q_vec"], dtype=np.float64)
+                  for r in qrows])
+    nq = np.sqrt(_scaled_int_sum(Q * Q) / SCALE)
+    bdict: dict[int, list[int]] = {}
+    for j, r in enumerate(qrows):
+        for p in probes_int:
+            bdict.setdefault(int(r["_b"]) ^ p, []).append(j)
+
+    fields = {f.name: f.dataType.simpleString() for f in c.schema.fields}
+    schema = ("query_id long, neighbor_id long, "
+              + "".join(f"{col} {fields[col]}, " for col in extra_cols)
+              + "cos_sim double")
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            ids = pdf["neighbor_id"].to_numpy()
+            bks = pdf["bucket"].to_numpy()
+            nc = np.sqrt(_scaled_int_sum(V * V) / SCALE)
+            order = np.argsort(bks, kind="stable")
+            uniq, starts = np.unique(bks[order], return_index=True)
+            bounds = np.append(starts[1:], len(order))
+            # gather candidate ROW SLICES per query first, then run
+            # ONE vectorized dot per query and emit ONE frame per
+            # input batch — per-bucket-per-query numpy calls and
+            # per-pair DataFrame yields are pure overhead at small
+            # bucket sizes (measured: the naive loop gave back most
+            # of the Arrow-traffic win). Row-local arithmetic, so
+            # gather order cannot change any value.
+            q_chunks: dict[int, list] = {}
+            for u, s0, s1 in zip(uniq, starts, bounds):
+                js = bdict.get(int(u))
+                if js:
+                    for j in js:
+                        q_chunks.setdefault(j, []).append(order[s0:s1])
+            if not q_chunks:
+                continue
+            outs_q, outs_n, outs_s, rows_all = [], [], [], []
+            for j, chunks in q_chunks.items():
+                rows = (chunks[0] if len(chunks) == 1
+                        else np.concatenate(chunks))
+                dot = _scaled_int_sum(V[rows] * Q[j]) / SCALE
+                outs_q.append(np.full(len(rows), qids[j],
+                                      dtype=np.int64))
+                outs_n.append(ids[rows])
+                outs_s.append(dot / (nq[j] * nc[rows]))
+                rows_all.append(rows)
+            out = {"query_id": np.concatenate(outs_q),
+                   "neighbor_id": np.concatenate(outs_n)}
+            if extra_cols:
+                gather = np.concatenate(rows_all)
+                for col in extra_cols:
+                    out[col] = pdf[col].iloc[gather] \
+                        .reset_index(drop=True)
+            out["cos_sim"] = np.concatenate(outs_s)
+            yield pd.DataFrame(out)
+
+    return c.mapInPandas(_score, schema)
+
+
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, dim: int = 64,
@@ -342,31 +434,33 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     two tables have independent id spaces and a numeric collision
     must not silently hide a real neighbor (the knn_label rule,
     threaded through here per the r11 self-review). Returns
-    (query_id, neighbor_id, cos_sim, rank)."""
+    (query_id, neighbor_id, cos_sim, rank).
+
+    Execution shape (r13 optimization round): the bounded query set
+    (same size contract as the old broadcast side) is collected ONCE
+    — with its Spark-computed buckets, so probe membership is decided
+    by the exact same kernel values — and the corpus makes one
+    ``mapInPandas`` pass (:func:`_probe_scores_stream`); candidates
+    never cross Arrow as vector pairs and the pair-grain probe-dedup
+    exchange is gone. Scores are bit-identical (same integer-scaled
+    arithmetic); the registered oracle still states the bucket-join
+    form in SQL, so matching hashes prove the rewrite."""
     planes = _hyperplanes(dim, n_planes, seed)
+    probes_int = [0] + ([1 << j for j in range(n_planes)]
+                        if multiprobe else [])
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    probes = [F.lit(0)] + ([F.lit(1 << j) for j in range(n_planes)]
-                           if multiprobe else [])
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-            lsh_bucket(F.col(vec_col), planes).alias("_b"))
-        # bucket computed ONCE per query row; probes are cheap XORs
-        .select("query_id", "q_vec", F.explode(F.array(*[
-            F.col("_b").bitwiseXOR(p) for p in probes])).alias("bucket"))
-    )
-    diag = (F.col("query_id") != F.col("neighbor_id")) \
-        if exclude_same_id else F.lit(True)
-    scored = (
-        c.join(F.broadcast(q), ["bucket"])
-        .filter(diag)
-        .select("query_id", "neighbor_id",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("cos_sim").alias("cos_sim"))  # probe-dedup
-    )
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("_b")).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, "
+                "rank int")
+    scored = _probe_scores_stream(c, qrows, probes_int)
+    if exclude_same_id:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -1354,7 +1448,9 @@ def knn_label_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Scale note: with FIXED n_planes the per-bucket candidate count
     grows with the corpus (work ~ |Q|·|C|/2^n_planes·(n_planes+1));
     at 100 TB size n_planes ~ log2(|C|/target_bucket) so buckets stay
-    bounded and the whole lookup remains a bucket equi-join.
+    bounded and the whole lookup remains one bucket-pruned corpus
+    stream (the candidate work is the same set a bucket equi-join
+    would produce; see _probe_scores_stream).
 
     Returns (query_id, pred_label, n_votes)."""
     planes = _hyperplanes(dim, n_planes, seed)
@@ -1362,21 +1458,25 @@ def knn_label_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.col(vec_col).alias("c_vec"),
                       F.col(label_col).alias("_lbl"),
                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    probes = [F.lit(0)] + [F.lit(1 << j) for j in range(n_planes)]
-    q = (queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            lsh_bucket(F.col(vec_col), planes).alias("_b"))
-         .select("query_id", "q_vec", F.explode(F.array(*[
-             F.col("_b").bitwiseXOR(p) for p in probes]))
-             .alias("bucket")))
-    scored = (
-        c.join(F.broadcast(q), ["bucket"])
-        .select("query_id", "neighbor_id", "_lbl",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("cos_sim").alias("cos_sim"),
-             F.first("_lbl").alias("_lbl")))   # probe-dedup
+    probes_int = [0] + [1 << j for j in range(n_planes)]
+    # r13 optimization round: same corpus-stream shape as ann_lsh_topk
+    # (_probe_scores_stream) — the bounded query set is collected with
+    # its Spark-computed buckets and the corpus makes ONE mapInPandas
+    # pass; the label still travels WITH the candidate (no second
+    # corpus pass — the original design rule), now as a narrow carried
+    # column instead of a join-side payload, and the pair-grain
+    # probe-dedup exchange is structural rather than a groupBy.
+    # Scores bit-identical; the oracle keeps the bucket-join SQL form.
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("_b")).collect()
+    if not qrows:
+        lbl_t = dict((f.name, f.dataType.simpleString())
+                     for f in c.schema.fields)["_lbl"]
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, pred_label {lbl_t}, n_votes long")
+    scored = _probe_scores_stream(c, qrows, probes_int,
+                                  extra_cols=("_lbl",))
     wn = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     nbrs = (scored.withColumn("_rk", F.row_number().over(wn))

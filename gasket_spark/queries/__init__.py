@@ -365,6 +365,15 @@ _EDITED_R13: tuple[str, ...] = (
     "q_dedup_simhash", "q_dedup_embedding", "q_dedup_ngram",
     "q_sim_ann", "q_sim_ivf", "q_sim_pq", "q_knn_label_ann",
     "q_fingerprint_winnow", "q_dedup_containment",
+    # (second session) q_sim_ann / q_knn_label_ann additionally
+    # re-shaped onto _probe_scores_stream: the bounded query set —
+    # with its Spark-computed buckets — rides in the kernel closure
+    # and the corpus streams once; the broadcast bucket equi-join and
+    # the pair-grain probe-dedup exchange are gone (3 -> 1 exchanges
+    # per query, vector pairs no longer cross Arrow). Scores are the
+    # identical _scaled_int_sum sequence; both queries re-verified at
+    # sf0.01 + sf0.1 + TZ + SHUFFLE=7. Covered by the same demotion
+    # entries above.
     # edit-distance blocking now persists the ranked gram table once
     # (projection-persist left `sig` recomputing the explode+window).
     "q_dedup_edit",

@@ -1549,8 +1549,9 @@ class TestKnnLabelAnn:
 
     def test_candidates_stay_bucketed(self, spark):
         """The ANN path must never score the full query x corpus
-        product: the join is an equi-join on the bucket key, no
-        nested-loop broadcast of the whole query set."""
+        product: candidates come from bucket-pruned scoring (r13:
+        one MapInPandas corpus stream), never a nested-loop broadcast
+        of the whole query set."""
         from gasket_spark.operators.similarity import knn_label_ann
 
         corpus, queries = self._clustered(spark)
@@ -1560,6 +1561,30 @@ class TestKnnLabelAnn:
                 .fromString("formatted"))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+        assert "MapInPandas" in plan
+
+    def test_null_labels_survive_the_kernel_carry(self, spark):
+        """r13: the label rides through the scoring kernel as a
+        carried pandas column (_probe_scores_stream extra_cols) —
+        NULL labels must survive that carry and still vote by the
+        knn_label rule (count first, smaller label NULLS LAST).
+        Pinned by equality with the exact operator on clustered data
+        where ANN and exact agree, with one whole cluster unlabeled."""
+        from pyspark.sql import functions as F
+        from gasket_spark.operators.similarity import (
+            knn_label, knn_label_ann)
+
+        corpus, queries = self._clustered(spark)
+        corpus = corpus.withColumn(
+            "label", F.when(F.col("label") == 1, F.lit(None).cast("int"))
+            .otherwise(F.col("label")))
+        exact = {r.query_id: (r.pred_label, r.n_votes)
+                 for r in knn_label(corpus, queries, k=5).collect()}
+        ann = {r.query_id: (r.pred_label, r.n_votes)
+               for r in knn_label_ann(corpus, queries, k=5).collect()}
+        assert ann == exact and len(ann) == 10
+        # cluster-1 queries really exercise the NULL path end to end
+        assert any(p is None for p, _ in ann.values())
 
 
 class TestPackSequences:

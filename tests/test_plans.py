@@ -881,16 +881,20 @@ class TestR12RegistrationPlanContracts:
     VARIANT extraction are zero-exchange map-side passes, the
     edit-distance gram join is the pinned shuffle-hash shape."""
 
-    def test_knn_label_ann_is_bucket_equijoin(self, spark):
-        """The LSH candidate join must be a broadcast HASH join on
-        `bucket` — a BroadcastNestedLoopJoin here would BE the
-        quadratic scoring product the operator exists to avoid; the
-        bucket kernel is the Arrow pandas_udf, not a row loop."""
+    def test_knn_label_ann_is_bucket_pruned_stream(self, spark):
+        """The LSH candidate scoring must be ONE bucket-pruned corpus
+        stream (r13: _probe_scores_stream) — no join at candidate
+        grain at all: a BroadcastNestedLoopJoin here would BE the
+        quadratic scoring product the operator exists to avoid, and
+        even the old broadcast bucket equi-join shipped vector PAIRS
+        through Arrow. The bucket kernel is the Arrow pandas_udf
+        (ArrowEvalPython) feeding a single MapInPandas scorer."""
         plan = _plan(QUERIES["q_knn_label_ann"](spark, SF_SMALL))
-        assert "BroadcastHashJoin" in plan
+        assert "MapInPandas" in plan
+        assert "ArrowEvalPython" in plan        # lsh_bucket kernel
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
-        assert "ArrowEvalPython" in plan
+        assert "Join" not in plan               # no candidate-grain join
 
     def test_dedup_edit_gram_join_is_shuffle_hash(self, spark):
         """The (df, gram) ranking join is pinned shuffle_hash (the
