@@ -252,8 +252,14 @@ def _host_calibration(spark) -> dict[str, float]:
     their runs, letting a reader separate engine change from host
     drift without re-deriving it. Three axes (median of 3):
     single-core Python, all-core JVM compute, and one small shuffle
-    (exchange machinery). Total cost ~5 s — outside the timed region,
-    methodology of the query timings unchanged."""
+    (exchange machinery). Total cost ~5 s — outside the timed region.
+    Known side effect (r13 ADVICE): the start probe runs Spark jobs
+    (a 100M-row scan, one small shuffle) BEFORE the timed loop, extra
+    JVM/codegen warm-up that pre-r13 artifacts' first timed queries
+    never got — bounded by the bench's own warmup block (which
+    already runs a full query + touches every table), but recorded
+    here as part of the r13 calibration break rather than claimed as
+    'adds artifact keys only'."""
     def _med3(fn) -> float:
         ts = []
         for _ in range(3):
@@ -305,15 +311,29 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     load_start = os.getloadavg()
     calib_start = _host_calibration(spark)
-    # Queries whose RESULT is eagerly checkpointed under a stamp cache
-    # (_PAIR_CACHE / _PREFIX_PAIR_CACHE): run 2+ times a ~50 ms cache
-    # lookup, not the query (r13 self-review catch — q_dedup_prefix's
-    # "median" read 0.056 s vs its real 6 s build). Record run 1 for
-    # these — the same cold semantics every earlier artifact carried.
-    # (Queries that memoize only INTERMEDIATES — edit's gram table,
-    # containment's indexes, the graph edge cache — still do real
-    # work each run; their medians are honest warm numbers.)
-    cold_only = {"q_dedup_ngram", "q_dedup_prefix"}
+    # Queries that consult ANY process-level stamp cache: run ONCE and
+    # record run 1 — the same cold semantics every pre-r13 single-run
+    # artifact carried. The r13 round exempted only the two
+    # result-checkpointing caches; the r13 verdict's audit showed the
+    # median-of-3 rode EVERY cross-run cache (a memoised result is a
+    # ~50 ms lookup, a persisted intermediate a warm fraction of the
+    # query), so runs 2-3 measured cache hits, not query cost. r14
+    # extends the set to every cache-consulting headline query:
+    # results (_PAIR_CACHE pairs for ngram/components,
+    # _PREFIX_PAIR_CACHE, _BPE_MERGE_CACHE for bpe_train/tokens),
+    # plan-persist intermediates (_plan_persist_cached: theta,
+    # containment, winnow, edit, semantic, semantic_incr), and the
+    # graph _EDGE_CACHE consumers (triangles, sssp). Within one bench
+    # invocation later queries still see earlier queries' caches
+    # (components after ngram, tokens after train) — exactly the
+    # pre-r13 single-run ordering semantics.
+    cold_only = {
+        "q_dedup_ngram", "q_dedup_prefix", "q_dedup_components",
+        "q_bpe_train", "q_bpe_tokens",
+        "q_theta_setops", "q_dedup_containment", "q_fingerprint_winnow",
+        "q_dedup_edit", "q_dedup_semantic", "q_dedup_semantic_incr",
+        "q_graph_triangles", "q_graph_sssp",
+    }
     timings: dict[str, float] = {}
     for name, action in HEADLINE.items():
         if name not in QUERIES:
@@ -355,18 +375,43 @@ def main() -> None:
     if cp is not None:
         out["common_prev"] = cp
     # the summary goes out TWICE: the full per-query line first, then
-    # a SHORT final line with the headline numbers — a bounded tail
-    # capture that truncates the long line's head (the r7 artifact's
-    # failure mode) still parses the last line and keeps the totals.
+    # a FINAL line sized to the driver's bounded tail capture — the
+    # capture keeps the LAST ~2000 characters of stdout, so a final
+    # line longer than that loses its head and fails to parse (the r7
+    # artifact's failure mode). The r13 verdict asked for per-query
+    # timings and the host calibration in the final line (PERF_r13's
+    # per_query/scaling blocks were empty because the short line
+    # carried neither); all 113 query names alone exceed the capture
+    # window, so the final line carries the timings dict compacted
+    # (no JSON whitespace) and truncated to the HEAVIEST queries that
+    # fit, with queries_omitted counting the dropped sub-second tail.
+    # The first (full) line remains the complete record.
     print(json.dumps(out))
     short = {"metric": out["metric"], "value": out["value"],
              "unit": "sec", "sf": out["sf"],
              "n_queries": len(timings), "runs_per_query": runs,
              "agg": "median",
-             "load_avg_end": out["load_avg_end"]}
+             "load_avg_end": out["load_avg_end"],
+             "host_calib_start": out["host_calib_start"],
+             "host_calib_end": out["host_calib_end"]}
     if cp is not None:
         short["common_prev"] = cp
-    print(json.dumps(short))
+    budget = 1900  # tail capture is 2000 chars; leave newline slack
+    fixed = len(json.dumps({**short, "queries": {},
+                            "queries_omitted": len(timings)},
+                           separators=(",", ":")))
+    qline: dict[str, float] = {}
+    used = fixed
+    for name in sorted(timings, key=timings.get, reverse=True):
+        cost = len(json.dumps({name: timings[name]},
+                              separators=(",", ":"))) - 1
+        if used + cost > budget:
+            break
+        qline[name] = timings[name]
+        used += cost
+    short["queries"] = qline
+    short["queries_omitted"] = len(timings) - len(qline)
+    print(json.dumps(short, separators=(",", ":")))
 
 
 if __name__ == "__main__":

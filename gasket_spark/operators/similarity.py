@@ -20,6 +20,8 @@ Determinism: dot products fold in index order; the cosine used for
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -28,6 +30,45 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 SCALE = 1e15  # per-element products are ~1e-2; 64 terms stay < 2^63
+
+# The collected query side is each streamed-scoring operator's BOUNDED
+# side — the same size contract the pre-r13 broadcast join carried
+# (Spark hard-caps a broadcast relation at 512M rows / 8 GB; 64-dim
+# float64 vectors put 4M rows at ~2 GB of closure). Collecting it into
+# the kernel closure made that contract implicit; enforce it loudly
+# instead (r13 verdict): a caller pointing the query side at a
+# corpus-sized table gets a clear error, not a silently dying driver.
+MAX_QUERY_SIDE_ROWS = 4_000_000
+
+
+def _collect_query_side(queries: DataFrame, op: str) -> list:
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_QUERY_ROWS",
+                             str(MAX_QUERY_SIDE_ROWS)))
+    rows = queries.collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{op}: the query side returned {len(rows)} rows — over the "
+            f"bounded-side contract of {cap} (override with "
+            "SPARK_GRAFT_MAX_QUERY_ROWS). The query set is collected "
+            "into the scoring kernel's closure (the same size contract "
+            "as the broadcast side it replaced); a corpus-sized query "
+            "side needs a join-based path, not this operator.")
+    return rows
+
+
+def _require_integral_id(df: DataFrame, col: str, op: str) -> None:
+    """The streamed scoring kernels emit ids as int64 and the
+    empty-query fallbacks declare the same; any other id type used to
+    surface as an opaque numpy cast error from inside the kernel (the
+    pre-r13 join form preserved whatever type the caller had). State
+    the int64 id contract at the operator boundary instead (r13
+    ADVICE)."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"{op}: id column {col!r} has type {dt}, but the streamed "
+            "scoring kernel emits int64 ids (query_id/neighbor_id are "
+            "declared long). Cast ids to an integer type first.")
 
 
 def _dot_scaled(a: Column, b: Column) -> Column:
@@ -115,8 +156,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     bit-identical to the old per-pair kernel: the same
     ``_scaled_int_sum`` integer-scaled dot/norms, the same
     ``dot / (nq · nc)`` float sequence."""
-    qrows = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).alias("q_vec")).collect()
+    _require_integral_id(queries, id_col, "cosine_topk")
+    _require_integral_id(corpus, id_col, "cosine_topk")
+    qrows = _collect_query_side(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec")), "cosine_topk")
     spark = corpus.sparkSession
     if not qrows:
         return spark.createDataFrame(
@@ -354,6 +398,15 @@ def _probe_scores_stream(c: DataFrame, qrows: list, probes_int: list[int],
     ``qrows`` are collected Rows of (query_id, q_vec, _b). Carried
     extra columns (e.g. the kNN label) pass through as their pandas
     batch slices, preserving NULLs."""
+    # Duplicate query ids collapse to their first collected row (r13
+    # ADVICE): the structural dedup below assumes one row per query
+    # id; the old join form's groupBy(query_id, neighbor_id)
+    # .agg(first(...)) collapsed such degenerate duplicates the same
+    # way (first() over an arbitrary representative).
+    seen: set = set()
+    qrows = [r for r in qrows
+             if r["query_id"] not in seen
+             and not seen.add(r["query_id"])]
     qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["q_vec"], dtype=np.float64)
                   for r in qrows])
@@ -375,7 +428,6 @@ def _probe_scores_stream(c: DataFrame, qrows: list, probes_int: list[int],
             V = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
             ids = pdf["neighbor_id"].to_numpy()
             bks = pdf["bucket"].to_numpy()
-            nc = np.sqrt(_scaled_int_sum(V * V) / SCALE)
             order = np.argsort(bks, kind="stable")
             uniq, starts = np.unique(bks[order], return_index=True)
             bounds = np.append(starts[1:], len(order))
@@ -394,6 +446,16 @@ def _probe_scores_stream(c: DataFrame, qrows: list, probes_int: list[int],
                         q_chunks.setdefault(j, []).append(order[s0:s1])
             if not q_chunks:
                 continue
+            # Corpus norms only over rows some query actually probes
+            # (r13 ADVICE): on selective probes most of the batch is
+            # never a candidate, so the full-batch norm pass was
+            # wasted math. Same per-element op sequence over the
+            # candidate rows; nc is indexed only at those positions.
+            cand = np.unique(np.concatenate(
+                [a for chunks in q_chunks.values() for a in chunks]))
+            nc = np.empty(len(V), dtype=np.float64)
+            nc[cand] = np.sqrt(
+                _scaled_int_sum(V[cand] * V[cand]) / SCALE)
             outs_q, outs_n, outs_s, rows_all = [], [], [], []
             for j, chunks in q_chunks.items():
                 rows = (chunks[0] if len(chunks) == 1
@@ -448,12 +510,16 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     planes = _hyperplanes(dim, n_planes, seed)
     probes_int = [0] + ([1 << j for j in range(n_planes)]
                         if multiprobe else [])
+    _require_integral_id(queries, id_col, "ann_lsh_topk")
+    _require_integral_id(corpus, id_col, "ann_lsh_topk")
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("_b")).collect()
+    qrows = _collect_query_side(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       lsh_bucket(F.col(vec_col), planes).alias("_b")),
+        "ann_lsh_topk")
     if not qrows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, "
@@ -1372,8 +1438,11 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     # pairs, and the old BroadcastNestedLoopJoin disappears. The 8×8
     # sub-dot lattice arithmetic is byte-identical to _maxsim_batch
     # (same reshape/round/max/sum sequence per pair).
-    qrows = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).alias("q_vec")).collect()
+    _require_integral_id(queries, id_col, "maxsim_topk")
+    _require_integral_id(corpus, id_col, "maxsim_topk")
+    qrows = _collect_query_side(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec")), "maxsim_topk")
     spark = corpus.sparkSession
     if not qrows:
         return spark.createDataFrame(
@@ -1467,9 +1536,13 @@ def knn_label_ann(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # column instead of a join-side payload, and the pair-grain
     # probe-dedup exchange is structural rather than a groupBy.
     # Scores bit-identical; the oracle keeps the bucket-join SQL form.
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("_b")).collect()
+    _require_integral_id(queries, id_col, "knn_label_ann")
+    _require_integral_id(corpus, id_col, "knn_label_ann")
+    qrows = _collect_query_side(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       lsh_bucket(F.col(vec_col), planes).alias("_b")),
+        "knn_label_ann")
     if not qrows:
         lbl_t = dict((f.name, f.dataType.simpleString())
                      for f in c.schema.fields)["_lbl"]

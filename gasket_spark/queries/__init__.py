@@ -407,6 +407,26 @@ _EDITED_R13: tuple[str, ...] = (
     "q_join_range",
 )
 
+# Queries whose implementation was EDITED in round 14 (the second
+# optimization round — every entry value-identical on the declared
+# fixtures, each oracle-verified at sf0.01 AND sf0.1; demoted per the
+# r12 value-identical-plumbing precedent).
+_EDITED_R14: tuple[str, ...] = (
+    # streamed-scoring kernels grew the bounded-query-side row-cap
+    # guard + the int64-id boundary contract (r13 VERDICT item 8 /
+    # ADVICE 1); _probe_scores_stream additionally collapses
+    # duplicate query ids (old first() semantics) and computes corpus
+    # norms only over probed candidate rows (ADVICE 2-3).
+    "q_sim_topk", "q_sim_ann", "q_sim_maxsim",
+    "q_knn_label", "q_knn_label_ann",
+    # prefix-filter ranking re-shaped: the per-doc rank window +
+    # sizes join replaced by collect_list + array_sort + slice +
+    # posexplode (same (_df, s) total order, same prefix bound, n_sh
+    # from the array size) — the window sort and one join exchange
+    # are gone (r13 VERDICT item 3).
+    "q_dedup_prefix",
+)
+
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and
 # never re-verified since — staler than the r2/r3 greens.
 _GREEN_R01: tuple[str, ...] = (
@@ -543,6 +563,10 @@ def _signal_rank() -> dict[str, float]:
             # r13-edited: same rule, one round later again.
             if 0 < rank.get(n, 0.0) <= 12.0:
                 rank[n] = 1.002
+        for n in _EDITED_R14:
+            # r14-edited: same rule, one round later again.
+            if 0 < rank.get(n, 0.0) <= 13.0:
+                rank[n] = 1.001
         return rank
     rank.update({n: 3.0 for n in _GREEN_R03})
     rank.update({n: 1.0 for n in _GREEN_R01})

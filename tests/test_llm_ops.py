@@ -176,6 +176,54 @@ class TestSimilarity:
         found = pairs.filter(F.col("id_b") == F.col("id_a") + 100000).count()
         assert found == n  # identical vectors share every LSH bucket
 
+    def test_query_side_row_cap_guard(self, spark, monkeypatch):
+        """r14: the collected query side is the operator's bounded
+        side; over the cap it must raise the loud contract error, not
+        silently balloon the kernel closure."""
+        emb = read_table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding")
+        queries = emb.filter(F.col("vec_id") < 5)
+        monkeypatch.setenv("SPARK_GRAFT_MAX_QUERY_ROWS", "3")
+        with pytest.raises(ValueError, match="bounded-side contract"):
+            S.cosine_topk(emb, queries, k=3)
+        with pytest.raises(ValueError, match="bounded-side contract"):
+            S.ann_lsh_topk(emb, queries, k=3)
+        # at the cap it still works
+        monkeypatch.setenv("SPARK_GRAFT_MAX_QUERY_ROWS", "5")
+        assert S.cosine_topk(emb, queries, k=1).count() == 5
+
+    def test_non_integer_id_rejected_at_boundary(self, spark):
+        """r14 (r13 ADVICE): the streamed kernels emit int64 ids; a
+        string id column must fail with the contract TypeError at the
+        operator boundary, not an opaque numpy cast inside the kernel."""
+        emb = read_table(spark, SF_SMALL, "embeddings").select(
+            F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+        queries = emb.limit(3)
+        with pytest.raises(TypeError, match="int64 id"):
+            S.cosine_topk(emb, queries, k=3)
+        with pytest.raises(TypeError, match="int64 id"):
+            S.ann_lsh_topk(emb, queries, k=3)
+        with pytest.raises(TypeError, match="int64 id"):
+            S.maxsim_topk(emb, queries, k=3)
+
+    def test_duplicate_query_ids_collapse(self, spark):
+        """r14 (r13 ADVICE): duplicated query rows must not double-emit
+        (query_id, neighbor_id) candidates in the streamed LSH path —
+        the old join form's first() dedup collapsed them."""
+        emb = read_table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding")
+        queries = emb.filter(F.col("vec_id") < 5)
+        doubled = queries.unionByName(queries)
+        base = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+                for r in S.ann_lsh_topk(emb, queries, k=5).collect()}
+        dup = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+               for r in S.ann_lsh_topk(emb, doubled, k=5).collect()}
+        assert dup == base
+        # and no (query, neighbor) pair appears twice in the raw rows
+        raw = S.ann_lsh_topk(emb, doubled, k=5).groupBy(
+            "query_id", "neighbor_id").count()
+        assert raw.filter(F.col("count") > 1).count() == 0
+
 
 class TestMultimodal:
     def test_attach_and_extract(self, spark, docs):
