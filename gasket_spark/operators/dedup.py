@@ -624,18 +624,13 @@ def prefix_filter_pairs_tracked(
     able to release it on eviction (``io.free_checkpoint``)."""
     sh = df.select(id_col,
                    T.hashed_shingle_set(text_col, n).alias("sh")).persist()
-    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
     inv = sh.select(id_col, F.explode("sh").alias("s"))
     dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     # shuffle_hash on the vocabulary-sized df table (r13 optimization
     # round, the q_dedup_edit precedent): the SMJ default sorts BOTH
-    # shingle-keyed sides before the rank window re-sorts by doc —
-    # the hash build skips those sorts; never broadcast (the r10 OOM
-    # lesson for gram-frequency tables)
-    ranked = (inv.join(dfreq.hint("shuffle_hash"), "s")
-              .withColumn("_rn", F.row_number().over(
-                  Window.partitionBy(id_col).orderBy("_df", "s")))
-              .join(sizes, id_col))
+    # shingle-keyed sides — the hash build skips those sorts; never
+    # broadcast (the r10 OOM lesson for gram-frequency tables)
+    tagged = inv.join(dfreq.hint("shuffle_hash"), "s")
     # EXACT threshold arithmetic (r13 self-review catch): the float
     # form ceil(lit(t) * n_sh) is lossy for thresholds whose product
     # rounds up across an integer (t=0.55, n=100: double product
@@ -652,8 +647,29 @@ def prefix_filter_pairs_tracked(
         f"CAST((CAST(n_sh AS DECIMAL(38,0)) * {p_num} + {p_den - 1})"
         f" div {p_den} AS BIGINT)")
     p = F.col("n_sh") - ceil_tn + 2
-    prefix = ranked.filter(F.col("_rn") <= p).select(id_col, "s", "n_sh",
-                                                    "_rn")
+    # Per-doc rarest-first ranking WITHOUT the rank window (r14, guide
+    # §2.4 — the r13 'not yet optimized' item): row_number() over
+    # (partition by doc order by _df, s) forced a full sort of every
+    # (doc, gram, df) row plus a separate join back onto the doc-size
+    # table, only to DISCARD all ranks past the prefix. The per-doc
+    # prefix bound depends on n_sh (per-row), so WindowGroupLimit
+    # can't truncate it; instead collect each doc's (df, s) pairs into
+    # one array (hash aggregate — no sort, and the doc-grain exchange
+    # replaces the window's identical exchange), array_sort by the
+    # SAME (_df, s) struct order (total: s is distinct within a doc),
+    # and slice to the prefix before posexplode. n_sh = size(array)
+    # falls out for free, deleting the sizes join. Rank semantics,
+    # prefix membership, and output columns are IDENTICAL — the
+    # brute-force oracle twin proves the pair set per round.
+    packed = (tagged.groupBy(id_col)
+              .agg(F.array_sort(F.collect_list(F.struct("_df", "s")))
+                   .alias("_g"))
+              .withColumn("n_sh", F.size("_g")))
+    prefix = (packed
+              .select(id_col, "n_sh",
+                      F.posexplode(F.slice("_g", F.lit(1), p)))
+              .select(id_col, F.col("col.s").alias("s"), "n_sh",
+                      (F.col("pos") + 1).alias("_rn")))
     # shuffle_hash on the candidate self-join too (r13 optimization
     # round): SMJ sorted the ~|corpus|·p/2-row prefix table TWICE by
     # shingle before matching; the hash build per partition skips
