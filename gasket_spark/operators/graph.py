@@ -19,10 +19,42 @@ discipline; on a cluster use ``checkpoint`` to reliable storage).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gasket_spark.utils import persisted
+
+
+def _loop_partitions(df: DataFrame) -> int:
+    """Scale-adaptive partition count for a fixpoint loop's invariant
+    tables (guide §2: derive partitioning from input size, never a
+    constant): Catalyst's size estimate of the edge input (file-size
+    based at the scan — costs no job) over a per-partition byte
+    target, clamped to [1, 4 × defaultParallelism]. The old implicit
+    constant (spark.sql.shuffle.partitions) over-fans small graphs —
+    every one of an 8-round loop's co-partitioned SHJ stages paid
+    32 tasks of scheduler overhead for KB-sized partitions that AQE
+    cannot coalesce (the cached tables' partitioning is frozen, no
+    exchange to re-plan) — and under-fans 100 TB ones. Partition
+    count cannot change any result here: both loop fixpoints are
+    integer-exact and partition-independent (tests/test_graph.py
+    pins partition invariance).
+
+    The default target is 1 MB of ESTIMATE bytes per partition:
+    Catalyst's scan estimate is compressed columnar file bytes,
+    roughly 8-16x smaller than the in-memory row data the loop
+    actually moves, so 1 MB of estimate is a healthy 8-16 MB task —
+    measured at sf0.1 (4.5 MB estimate -> 5 partitions) the 8-round
+    pagerank loop dropped 7.0 -> 5.2 s noop median vs the 32-constant,
+    while a 32 MB target (1 partition) serialized the loop to 8.0 s."""
+    target = int(os.environ.get("SPARK_GRAFT_LOOP_PARTITION_BYTES",
+                                str(1024 * 1024)))
+    est = int(df._jdf.queryExecution().optimizedPlan()
+              .stats().sizeInBytes())
+    cap = df.sparkSession.sparkContext.defaultParallelism * 4
+    return max(1, min(-(-est // target), cap))
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -138,8 +170,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # HashPartitioning(u) satisfies the dedup's ClusteredDistribution
     # on (u, w) — so the dedup needs NO second exchange (one setup
     # shuffle where distinct().repartition("u") paid two).
+    n_parts = _loop_partitions(edges)
     out = (edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
-           .repartition("u").dropDuplicates())
+           .repartition(n_parts, "u").dropDuplicates())
     deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # verts carries the out-degree (NULL = dangling) for the loop's
     # lifetime, so every rank table inherits it for free.
@@ -147,7 +180,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .unionByName(out.select(F.col("w").alias("v")))
              .distinct()
              .join(deg.select(F.col("u").alias("v"), "deg"), "v", "left")
-             .repartition("v"))
+             .repartition(n_parts, "v"))
     with persisted(out, verts):
         n = verts.count()
         d_num, d_den = int(damping * 100), 100
