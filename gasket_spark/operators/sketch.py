@@ -617,10 +617,39 @@ def _td_compress(means: list, weights: list, delta: float):
 
 
 def _td_from_values(vals, delta: float):
+    """Digest a batch of raw (unit-weight) values. r14 (guide §4.2):
+    the generic ``_td_compress`` loop walked every VALUE in Python
+    with two asin calls per step — the dominant cost of the whole
+    sketch build pass. For unit weights the greedy boundaries have a
+    closed form: a centroid starting at sorted position c0 absorbs
+    through the largest e with k(e/n) − k(c0/n) <= 1, so the scan is
+    O(centroids · log n) numpy searchsorted steps over a precomputed
+    k-grid instead of O(n) Python iterations; segment means come from
+    one reduceat. Same greedy segmentation (up to asin ulp at an
+    exact-1.0 boundary); estimates remain bound-verified, never
+    value-pinned (the module's contract). Weight conservation exact:
+    integer counts."""
     import numpy as np
 
     v = np.sort(np.asarray(vals, dtype=np.float64))
-    return _td_compress(v.tolist(), [1.0] * len(v), delta)
+    n = len(v)
+    if n == 0:
+        return [], []
+    q = np.arange(n + 1, dtype=np.float64) / n
+    kgrid = delta / (2.0 * np.pi) * np.arcsin(
+        np.clip(2.0 * q - 1.0, -1.0, 1.0))
+    bounds = [0]
+    c0 = 0
+    while c0 < n:
+        e = int(np.searchsorted(kgrid, kgrid[c0] + 1.0,
+                                side="right")) - 1
+        e = min(max(e, c0 + 1), n)
+        bounds.append(e)
+        c0 = e
+    starts = np.asarray(bounds[:-1])
+    counts = np.diff(np.asarray(bounds))
+    means = np.add.reduceat(v, starts) / counts
+    return means.tolist(), counts.astype(np.float64).tolist()
 
 
 def _td_merge(ma, wa, mb, wb, delta: float):

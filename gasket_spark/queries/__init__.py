@@ -425,6 +425,16 @@ _EDITED_R14: tuple[str, ...] = (
     # from the array size) — the window sort and one join exchange
     # are gone (r13 VERDICT item 3).
     "q_dedup_prefix",
+    # pagerank loop partitioning now derived from the edge input's
+    # Catalyst size estimate instead of the shuffle constant —
+    # partition-independent integer fixpoint, ranks bit-identical.
+    "q_pagerank",
+    # exact-twin percentiles share ONE array-percentile buffer (same
+    # buffer, same getPercentile per element — values bit-identical,
+    # A/B-verified in-session); t-digest batch build re-expressed as
+    # the closed-form unit-weight segmentation (estimates move within
+    # their verified rank bounds; ok-booleans unchanged).
+    "q_agg_kll", "q_agg_tdigest",
 )
 
 # Hash-green (or rows-only-by-design pass) in the r1 driver window and

@@ -1501,14 +1501,21 @@ def q_agg_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = kll_quantiles(kll_sketch(li, ["l_returnflag"], "x", k=200),
                         [0.5, 0.9])
     joined = li.join(F.broadcast(est), "l_returnflag")
+    # array-percentile (r14, guide §2.3/§5): one value buffer serves
+    # both exact twins — two separate percentile() aggregates each
+    # buffered the full column per group (measured 2.8 s -> 1.2 s for
+    # the pair at sf0.1, values bit-identical: same buffer, same
+    # getPercentile per element).
     agg = joined.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile("x", 0.5).alias("p50_exact"),
-        F.percentile("x", 0.9).alias("p90_exact"),
+        F.percentile("x", F.array(F.lit(0.5), F.lit(0.9)))
+        .alias("_p_exact"),
         F.sum((F.col("x") < F.col("q50")).cast("long")).alias("_lt50"),
         F.sum((F.col("x") <= F.col("q50")).cast("long")).alias("_le50"),
         F.sum((F.col("x") < F.col("q90")).cast("long")).alias("_lt90"),
         F.sum((F.col("x") <= F.col("q90")).cast("long")).alias("_le90"))
+    agg = agg.withColumns({"p50_exact": F.element_at("_p_exact", 1),
+                           "p90_exact": F.element_at("_p_exact", 2)})
     eps = 0.05
 
     def ok(lt: str, le: str, p: float):
@@ -1557,14 +1564,18 @@ def q_agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tdigest_sketch(li, ["l_returnflag"], "x", delta=100.0),
         [0.5, 0.99])
     joined = li.join(F.broadcast(est), "l_returnflag")
+    # array-percentile: one value buffer for both exact twins (the
+    # q_agg_kll rationale — values bit-identical, same buffer).
     agg = joined.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile("x", 0.5).alias("p50_exact"),
-        F.percentile("x", 0.99).alias("p99_exact"),
+        F.percentile("x", F.array(F.lit(0.5), F.lit(0.99)))
+        .alias("_p_exact"),
         F.sum((F.col("x") < F.col("q5")).cast("long")).alias("_lt50"),
         F.sum((F.col("x") <= F.col("q5")).cast("long")).alias("_le50"),
         F.sum((F.col("x") < F.col("q99")).cast("long")).alias("_lt99"),
         F.sum((F.col("x") <= F.col("q99")).cast("long")).alias("_le99"))
+    agg = agg.withColumns({"p50_exact": F.element_at("_p_exact", 1),
+                           "p99_exact": F.element_at("_p_exact", 2)})
     eps = 0.025
 
     def ok(lt: str, le: str, p: float):
