@@ -63,20 +63,39 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
     training run ships; n_merges rows, bounded by construction).
 
     ``passes`` bounds the per-round replace fixpoint (exact for
-    same-pair runs up to 2^passes symbols; guarded loudly beyond)."""
-    from gasket_spark.io import checkpoint_tracked, free_checkpoint
+    same-pair runs up to 2^passes symbols; guarded loudly beyond).
 
+    Job shape (r14 optimization round): the loop runs at VOCABULARY
+    grain — tiny next to the corpus (31 rows at the sf0.1 fixture) —
+    so its cost is per-JOB overhead, not data. Three levers vs the
+    r13 form (3 jobs/round × 32 tasks each over localCheckpoints):
+
+    * the word state lives in lazy ``persist``s; each round's
+      residual check is the SAME job that fills the new state's
+      cache (one pass does both), so a round costs 2 jobs (argmax +
+      residual/materialize), not 3 (argmax + checkpoint + residual);
+    * the state is ``coalesce``d to a partition count derived from
+      the TRUE vocabulary size (one row per ~50k words, clamped to
+      4×parallelism — the graph-loop _loop_partitions posture:
+      partitioning from data, never the shuffle constant), so the
+      sf0.1 loop runs 1-task jobs instead of 32-task ones while a
+      100 TB vocabulary keeps its fan-out (coalesce never grows);
+    * the previous round's cache is unpersisted only AFTER the next
+      state materializes, so no round recomputes the chain.
+
+    Same rounds, same argmax, same fixpoint guard — bit-identical
+    merges (the cross-engine and property tests pin them)."""
     spark = df.sparkSession
-    # each round checkpoints the advanced word state to truncate the
-    # replace-chain lineage; the PREVIOUS round's blocks are freed
-    # eagerly (DataFrame.unpersist can't release a localCheckpoint —
-    # the io.checkpoint_tracked/free_checkpoint discipline, same as
-    # the graph loops)
-    words, ck_ids = checkpoint_tracked(
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.col("freq"), _padded_symbols("w").alias("sym")))
+    base = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+            .select(F.col("freq"), _padded_symbols("w").alias("sym"))
+            .persist())
+    n_words = base.count()
+    cap = spark.sparkContext.defaultParallelism * 4
+    n_parts = max(1, min(-(-n_words // 50_000), cap))
+    words = base.coalesce(n_parts).persist()
+    base_live = True
     merges: list[tuple] = []
     for rank in range(n_merges):
         syms = F.split(F.trim(F.col("sym")), " ")
@@ -94,6 +113,11 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
                 .agg(F.sum("freq").alias("n"))
                 .orderBy(F.col("n").desc(), F.col("pair").asc())
                 .limit(1).collect())
+        # the argmax job just materialized `words` — the corpus-grain
+        # base feed is no longer needed after round 0
+        if base_live:
+            base.unpersist(False)
+            base_live = False
         if not best:
             break
         pair, n = best[0].pair, int(best[0].n)
@@ -104,19 +128,26 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text",
         col = F.col("sym")
         for _ in range(passes):
             col = F.replace(col, pat, rep)
-        nxt, nxt_ids = checkpoint_tracked(
-            words.select("freq", col.alias("sym")))
-        free_checkpoint(spark, ck_ids)
-        words, ck_ids = nxt, nxt_ids
-        residual = words.filter(
+        nxt = words.select("freq", col.alias("sym")).persist()
+        # ONE job: scans every advanced row (filling nxt's cache from
+        # the cached `words`) while checking the replace fixpoint
+        residual = nxt.filter(
             F.contains("sym", pat)).limit(1).count()
         if residual:
+            nxt.unpersist(False)
+            words.unpersist(False)
             raise ValueError(
                 f"bpe_merge_table: pattern {pair!r} survives {passes} "
                 "replace passes — raise `passes` so the round reaches "
                 "its replace fixpoint (the operator's defined merge "
                 "semantics) instead of leaving the merge half-applied")
-    free_checkpoint(spark, ck_ids)
+        # nxt's cache is full (the residual job scanned every row) —
+        # the previous state can go now
+        words.unpersist(False)
+        words = nxt
+    if base_live:
+        base.unpersist(False)
+    words.unpersist(False)
     return merges
 
 

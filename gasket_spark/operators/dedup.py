@@ -213,18 +213,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
         inv = sh.select(id_col, F.explode("sh").alias("s"))
     else:
-        # capped: build the inverted index ONCE and df-filter it in
-        # place — the keep-join and the self-join share the shuffle
-        # key ``s``, and the hot-shingle set never visits the driver
-        # (at 100 TB the keep table is shingle-vocabulary sized and
-        # stays distributed)
-        inv0 = df.select(
-            id_col,
-            F.explode(T.hashed_shingle_set(text_col, n)).alias("s"))
+        # capped: the Arrow shingle kernel's doc-grain array output is
+        # persisted and eagerly filled (ONE kernel pass — the old form
+        # left the exploded inv0 unpersisted, so the keep build and
+        # the index fill each re-ran the kernel; r14), then df-filter
+        # the exploded index in place — the keep-join and the
+        # self-join share the shuffle key ``s``, and the hot-shingle
+        # set never visits the driver (at 100 TB the keep table is
+        # shingle-vocabulary sized and stays distributed)
+        sh = df.select(
+            id_col, T.hashed_shingle_set(text_col, n).alias("sh")).persist()
+        sh.count()
+        inv0 = sh.select(id_col, F.explode("sh").alias("s"))
         keep = (inv0.groupBy("s")
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") <= max_doc_freq).select("s"))
         inv = inv0.join(keep, "s").persist()
+        # serialize the capped index's cold cache fill (the self-join
+        # below consumes it from both sides concurrently)
+        inv.count()
         # post-cap set sizes: identical to sizing the arrays after
         # hot-shingle removal (shingles are distinct per doc); docs
         # losing every shingle drop out — they can produce no pairs
@@ -303,13 +310,22 @@ def containment_pairs_tracked(
     invocations (plain ``persist``, so ``DataFrame.unpersist`` works
     — unlike the localCheckpoint caches that need
     ``io.free_checkpoint``)."""
-    # persisted: inv0 feeds THREE consumers (pre-cap sizes, the
-    # df-cap keep table, and the capped index itself) — without the
-    # persist the Arrow shingle kernel re-hashes the corpus per
-    # consumer (r11 measurement at sf0.1: warm 6.4 s -> 3.5 s)
-    inv0 = df.select(
-        id_col,
-        F.explode(T.hashed_shingle_set(text_col, n)).alias("s")).persist()
+    # persisted at DOC grain (r14): the Arrow shingle kernel's output
+    # is the per-doc distinct-hash ARRAY, and everything downstream
+    # derives from it — sizes as F.size (no aggregation pass at all:
+    # the kernel already deduplicated, so array size IS the pre-cap
+    # distinct count, with the only delta n_sh=0 rows for shingle-less
+    # docs that an inner join to the pair table drops anyway), the
+    # inverted index as a cheap JVM explode per consumer. The r11 form
+    # persisted the EXPLODED index and still paid a groupBy exchange
+    # for sizes; worse, its three consumers raced the cold cache fill
+    # in concurrent stages, each evaluating the kernel on partitions
+    # not yet cached. The eager count() serializes that: exactly one
+    # kernel pass, every consumer reads the cache (cold A/B at sf0.1:
+    # see OPTIMIZATION_r14.md).
+    sh = df.select(id_col,
+                   T.hashed_shingle_set(text_col, n).alias("sh")).persist()
+    sh.count()
     # |A| is the PRE-cap distinct-shingle count: the df-cap may only
     # shrink the NUMERATOR (rare-shingle intersection), never the
     # denominator — so the capped test |A∩B ∩ rare| ≥ t·|A| implies
@@ -319,7 +335,8 @@ def containment_pairs_tracked(
     # would read as |A| = 5 and fire the 9/10 threshold on 5% true
     # containment. (ngram_jaccard_pairs sizes post-cap on purpose —
     # there the cap hits numerator and denominator symmetrically.)
-    sizes = inv0.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
+    inv0 = sh.select(id_col, F.explode("sh").alias("s"))
     if max_doc_freq is not None:
         keep = (inv0.groupBy("s")
                 .agg(F.count(F.lit(1)).alias("_df"))
@@ -333,6 +350,10 @@ def containment_pairs_tracked(
     else:
         inv = inv0
     inv = inv.persist()
+    # serialize the capped index's cache fill too: the self-join
+    # consumes it from BOTH sides, and concurrent cold stages would
+    # each re-run the explode + keep join on uncached partitions
+    inv.count()
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, [F.col("a.s") == F.col("b.s"),
@@ -367,8 +388,7 @@ def containment_pairs_tracked(
     out = (j.select(F.explode(F.filter(
                F.array(fwd_s, rev_s), lambda x: x.isNotNull())).alias("p"))
            .select("p.*"))
-    cached = (inv0,) if inv is inv0 else (inv0, inv)
-    return out, cached
+    return out, (sh, inv)
 
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",
@@ -467,43 +487,61 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     (reference index.js:1-258); fingerprint extraction is such a
     stage, one declarative plan.
 
-    Kernel split (r11): gram hashing stays JVM-side (xxhash64 — the
-    oracle-shared base hash), but the per-window sliding MIN runs as
-    an Arrow-batched numpy kernel. The interpreted
-    transform(slice(array_min)) tower cost ~50 ms/doc (15.8 s for a
-    10k-doc corpus on 32 cores, measured); the numpy
-    sliding_window_view min is ~10× cheaper end to end with
-    bit-identical output — the repo's standing rule that HOF towers
-    don't belong in hot paths (module docstring)."""
+    Kernel split (r11, deepened r14): the r11 form hashed grams
+    JVM-side with an interpreted transform(concat_ws(slice)) tower
+    (~O(tokens·k) expression work per doc — the exact shape the
+    module docstring bans from hot paths) and only ran the sliding
+    MIN in numpy. r14 moves gram hashing into the same Arrow kernel:
+    tokens are xxhash64'd once JVM-side, and each k-window of token
+    hashes folds with the order-sensitive uint64 mix
+    hashed_shingle_set uses — one vectorized pass builds the gram
+    hashes AND the window minima. The fingerprint VALUES change
+    (mix-of-token-hashes instead of xxhash64-of-gram-string), but a
+    fingerprint is an internal sampling key: the winnowing guarantee
+    only needs any deterministic injective-in-practice gram hash
+    computed identically on both documents, which this is (64-bit
+    collision odds unchanged), and the property tests + the
+    q_fingerprint_winnow oracle (string grams in SQL) pin exactly
+    that."""
     import numpy as np
     from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    toks = F.split(F.col(text_col), " ")
-    ngrams = F.size(toks) - (k - 1)
-    gidx = F.when(ngrams >= 1, F.sequence(F.lit(1), ngrams)) \
-        .otherwise(F.array().cast("array<int>"))
-    hs = F.transform(
-        gidx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    from gasket_spark.functions.text import _SHINGLE_MIX, tokens
+
+    hashed = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
 
     @pandas_udf(ArrayType(LongType()))
-    def _window_mins(grams: pd.Series) -> pd.Series:
+    def _winnow(tok_hashes: pd.Series) -> pd.Series:
         out = []
-        for arr in grams:
-            a = np.asarray(arr, dtype=np.int64)
-            if a.size == 0:
-                # no gram at all (doc shorter than k tokens)
-                out.append([])
-            elif a.size < window:
-                # short docs (>=k tokens but fewer than `window`
-                # grams) still get fingerprinted: the single window
-                # is the whole gram array
-                out.append([int(a.min())])
-            else:
-                mins = sliding_window_view(a, window).min(axis=1)
-                out.append(np.unique(mins).tolist())
-        return pd.Series(out)
+        err = np.seterr(over="ignore")
+        try:
+            for h in tok_hashes:
+                if h is None:  # NULL text -> no fingerprints
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                x = np.asarray(h, dtype=np.int64).view(np.uint64)
+                m = x.size - k + 1
+                if m <= 0:
+                    # no gram at all (doc shorter than k tokens)
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                acc = x[:m].copy()
+                for j in range(1, k):
+                    acc = acc * _SHINGLE_MIX + x[j:m + j]
+                g = acc.view(np.int64)
+                if m < window:
+                    # short docs (>=k tokens but fewer than `window`
+                    # grams) still get fingerprinted: the single
+                    # window is the whole gram array
+                    out.append(np.array([g.min()], dtype=np.int64))
+                else:
+                    mins = sliding_window_view(g, window).min(axis=1)
+                    out.append(np.unique(mins))
+            return pd.Series(out)
+        finally:
+            np.seterr(**err)
 
     # asNondeterministic (r13, guide 4.4): pure kernel; the hint stops
     # inferred-filter pushdown below the projection from duplicating
@@ -511,8 +549,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     # explode: Generate allows non-deterministic generator input.)
     return df.select(
         F.col(id_col).alias(id_col),
-        F.explode(F.array_distinct(
-            _window_mins.asNondeterministic()(hs))).alias("fp"))
+        F.explode(
+            _winnow.asNondeterministic()(hashed)).alias("fp"))
 
 
 def incremental_minhash_pairs(new: DataFrame, corpus: DataFrame,
@@ -624,6 +662,11 @@ def prefix_filter_pairs_tracked(
     able to release it on eviction (``io.free_checkpoint``)."""
     sh = df.select(id_col,
                    T.hashed_shingle_set(text_col, n).alias("sh")).persist()
+    # eager fill (r14): the checkpoint action below reads this cache
+    # from the index build AND both verify join sides concurrently —
+    # unfilled, those stages race and re-run the Arrow shingle kernel
+    # on partitions not yet cached
+    sh.count()
     inv = sh.select(id_col, F.explode("sh").alias("s"))
     dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     # shuffle_hash on the vocabulary-sized df table (r13 optimization
@@ -664,7 +707,11 @@ def prefix_filter_pairs_tracked(
     packed = (tagged.groupBy(id_col)
               .agg(F.array_sort(F.collect_list(F.struct("_df", "s")))
                    .alias("_g"))
-              .withColumn("n_sh", F.size("_g")))
+              .withColumn("n_sh", F.size("_g")).persist())
+    # doc-grain persist + eager fill (r14): the candidate self-join
+    # explodes this from BOTH sides — unpersisted, each side re-ran
+    # the dfreq join + hash aggregate
+    packed.count()
     prefix = (packed
               .select(id_col, "n_sh",
                       F.posexplode(F.slice("_g", F.lit(1), p)))
@@ -731,6 +778,7 @@ def prefix_filter_pairs_tracked(
         j.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold))
     sh.unpersist(False)
+    packed.unpersist(False)
     # the tracked diff also caught sh's cache RDD (it materialized
     # DURING the checkpoint action); after the unpersist only the
     # checkpoint's own blocks remain — report exactly those, so a
@@ -824,6 +872,10 @@ def edit_distance_pairs_tracked(
     # per action)
     lens = df.select(F.col(id_col).alias("_id"),
                      F.col(text_col).alias("_txt")).persist()
+    # eager fill (r14): four consumers read this cache in concurrent
+    # cold stages — unmaterialized, each would re-run the caller's
+    # corpus construction on partitions not yet cached
+    lens.count()
     toks = F.col("_txt")
     n = F.length(toks) - (q - 1)
     gidx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
@@ -854,6 +906,11 @@ def edit_distance_pairs_tracked(
                .orderBy(F.col("_df").asc(), F.col("g").asc())))
            .filter(F.col("_rk") <= sig_k)
            .select("_id", "g", "_len").persist())
+    # eager fill (r14): the sig × sig candidate join consumes this
+    # from both sides — cold, the concurrent sides raced the cache
+    # fill and each re-ran the explode + df-join + rank window (the
+    # expensive half of the build) on partitions not yet cached
+    sig.count()
     s, f = sig.alias("s"), sig.alias("f")
     # the |len(a) − len(b)| <= d band applies INSIDE the candidate
     # join (lossless: levenshtein <= d forces it) — on a repetitive

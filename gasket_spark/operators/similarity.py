@@ -1098,6 +1098,11 @@ def semantic_dedup_two_level_tracked(
     assigned = two_level_assignments(corpus, n_coarse, n_fine, id_col,
                                      vec_col, sample_mult,
                                      iters).persist()
+    # eager fill (r14): the pairing self-join reads this cache from
+    # both sides — cold, the two concurrent join-side stages raced
+    # the fill and each re-ran the assignment UDF subtree (coarse +
+    # fine Arrow passes) on partitions not yet cached
+    assigned.count()
     a = assigned.select(F.col("id").alias("id_a"),
                         F.col("v").alias("v_a"), "ccl", "fcl")
     b = assigned.select(F.col("id").alias("id_b"),

@@ -2433,6 +2433,11 @@ def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the same sharing.
         ta = theta_from_kmv(kmv_sketch(a, g, "l_partkey", 1024)).persist()
         tb = theta_from_kmv(kmv_sketch(b, g, "l_partkey", 1024)).persist()
+        # eager fills (r14): the four consumers are concurrent cold
+        # stages — unfilled, each races the cache and re-runs the
+        # lineitem-scan sketch build on partitions not yet cached
+        ta.count()
+        tb.count()
         inter = theta_op(ta, tb, g, "intersect")
         anb = theta_op(ta, tb, g, "a_not_b")
         recomb = theta_op(inter, anb, g, "union")  # (A∩B) ∪ (A\\B) = A
@@ -2635,6 +2640,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is vocab²-sized, not corpus-sized; lifetime is LRU.
     c12 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12")) \
         .persist()
+    # eager fill (r14): the two marginal broadcasts, the total, and
+    # the main join race this cache cold — each re-ran the
+    # corpus-scale bigram shuffle on partitions not yet cached
+    c12.count()
     c1 = c12.groupBy("t1").agg(F.sum("n12").alias("n1")) \
         .withColumnRenamed("t1", "tt1")
     c2 = c12.groupBy("t2").agg(F.sum("n12").alias("n2")) \
@@ -3352,30 +3361,43 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnow_build(spark: SparkSession,
                   sf_dir: str) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    # r14: both corpus passes are Arrow kernels now. The old exact-
+    # verify side built its 8-gram index with an interpreted
+    # transform(concat_ws(slice)) tower — the same ~O(tokens·k)
+    # per-doc expression shape the r11 winnow note measured at
+    # ~50 ms/doc — and, unpersisted, computed it TWICE (once per
+    # self-join side). hashed_shingle_set is the vectorized
+    # equivalent (distinct 8-gram hashes per doc; mix-of-token-hashes
+    # replaces xxhash64-of-gram-string — an internal join key with
+    # identical 64-bit collision odds, verified by the string-gram
+    # oracle), and the persist makes it ONE pass. Both sides tokenize
+    # with the same split, so the winnowing guarantee (candidates ⊇
+    # pairs sharing an 8-gram) is preserved hash-for-hash.
     corpus = _docs_with_near_dups(spark, sf_dir) \
         .repartition(spark.sparkContext.defaultParallelism)
     fps = D.winnow_fingerprints(corpus, k=5, window=4).persist()
+    # eager fills (r14): each persisted table feeds BOTH sides of a
+    # self-join — cold, the two sides race the cache fill in
+    # concurrent stages and re-run the Arrow kernel on partitions not
+    # yet cached; one count() serializes to exactly one kernel pass
+    fps.count()
     a, b = fps.alias("a"), fps.alias("b")
     cand = (a.join(b, [F.col("a.fp") == F.col("b.fp"),
                        F.col("a.doc_id") < F.col("b.doc_id")])
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"))
             .distinct())
-    toks = F.split("text", " ")
-    n8 = F.size(toks) - 7
-    gidx = F.when(n8 >= 1, F.sequence(F.lit(1), n8)) \
-        .otherwise(F.array().cast("array<int>"))
-    g8 = F.transform(
-        gidx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))))
-    inv8 = corpus.select("doc_id",
-                         F.explode(F.array_distinct(g8)).alias("g"))
+    inv8 = corpus.select(
+        "doc_id",
+        F.explode(T.hashed_shingle_set("text", 8)).alias("g")).persist()
+    inv8.count()
     ia, ib = inv8.alias("ia"), inv8.alias("ib")
     shared = (ia.join(ib, [F.col("ia.g") == F.col("ib.g"),
                            F.col("ia.doc_id") < F.col("ib.doc_id")])
               .groupBy(F.col("ia.doc_id").alias("id_a"),
                        F.col("ib.doc_id").alias("id_b"))
               .agg(F.count(F.lit(1)).alias("n_shared_8grams")))
-    return shared.join(cand, ["id_a", "id_b"]), (fps,)
+    return shared.join(cand, ["id_a", "id_b"]), (fps, inv8)
 
 
 @query(
